@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline workloads at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan build + execution); results are
+drained with a count-style action so the driver-side collect cost of huge
+outputs doesn't dominate what is meant to measure engine throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fiat2_spark.session import get_spark
+from fiat2_spark.workloads import QUERIES
+
+HEADLINE = [
+    "groupby_agg",        # TPC-H Q1 shape: scan + partial/final agg
+    "join_fk",            # broadcast FK join
+    "join_three_way",     # multi-join + pushed filter
+    "filter_scan",        # pushdown scan
+    "semi_join",          # existence join
+    "anti_join",          # anti join
+    "set_of_distinct",    # dedup aggregate
+    "triangle",           # triple self-join
+    "window_rownum",      # window functions
+    "top_k",              # TakeOrderedAndProject
+    "coq_div_mod",        # scalar semantics layer
+    "proj_compute",       # computed projection
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="fiat2-spark-bench")
+    # warm the JVM + parquet footers once
+    QUERIES["join_fk"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,175 @@
+"""Relational operators — the fiat2 expression surface on DataFrames.
+
+Reference semantics: fiat2/src/fiat2/Interpret.v:259-499 (a big-step
+interpreter doing O(n·m) nested loops over Coq lists). Here every
+operator is a *declarative* DataFrame transformation: Catalyst performs
+the rewrites the reference proves sound (filter pushdown
+RelTransf.v:441-448, projection pruning Optimize.v:966/1034, join
+reordering Optimize.v:1356/1385, filter fusion Optimize.v:1421), and
+Tungsten supplies codegen'd physical execution — the design stance of
+SURVEY.md §7: port the *logical surface*, not the interpreter.
+
+Collection tags (Language.v:114): ``LikeBag`` is a DataFrame's native
+multiset semantics; ``LikeSet`` adds ``.distinct()``; ``LikeList`` order
+is only observable through ``ESort``, which we realize as a canonical
+whole-row sort — so plans stay order-insensitive up to explicit sort
+points, exactly like Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LIKE_LIST = "list"
+LIKE_BAG = "bag"
+LIKE_SET = "set"
+
+
+def _retag(df: DataFrame, tag: str) -> DataFrame:
+    return df.distinct() if tag == LIKE_SET else df
+
+
+# -- EFilter (Language.v:141, Interpret.v:369-404) -------------------------
+
+def filter_rows(df: DataFrame, pred: Column, tag: str = LIKE_BAG) -> DataFrame:
+    """Keep rows satisfying ``pred``. Catalyst pushes the predicate to the
+    parquet scan (PushedFilters) — the physical realization of the
+    reference's ``filter_pushdown_head`` (RelTransf.v:441-448)."""
+    return _retag(df.filter(pred), tag)
+
+
+# -- EProj (Language.v:143, Interpret.v:467-490) ---------------------------
+
+def project(df: DataFrame, cols: dict[str, Column] | Sequence[str], tag: str = LIKE_BAG) -> DataFrame:
+    """Generalized projection: map each row to a new record. ``cols`` maps
+    output field name → expression (fiat2 records are name-sorted, so we
+    emit fields in sorted order — Value.v:518-556 canonical form)."""
+    if isinstance(cols, dict):
+        out = df.select(*(expr.alias(name) for name, expr in sorted(cols.items())))
+    else:
+        out = df.select(*cols)
+    return _retag(out, tag)
+
+
+# -- EJoin (Language.v:142, Interpret.v:405-466) ---------------------------
+
+def theta_join(
+    left: DataFrame,
+    right: DataFrame,
+    pred: Column,
+    result: dict[str, Column] | None = None,
+    tag: str = LIKE_BAG,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """θ-join with fused projection, the reference's only join form.
+
+    Catalyst extracts equi-conjuncts from ``pred`` and picks
+    broadcast-hash / sort-merge; a pure inequality predicate falls back
+    to BNLJ — same asymptotics as the reference interpreter, so only use
+    non-equi predicates on small inputs (or pre-bucketed ranges).
+    ``broadcast_right`` hints the dimension side for the 100 TB case where
+    the statistics-based threshold can't see the future.
+    """
+    r = F.broadcast(right) if broadcast_right else right
+    joined = left.join(r, on=pred, how="inner")
+    if result is not None:
+        joined = joined.select(*(e.alias(n) for n, e in sorted(result.items())))
+    return _retag(joined, tag)
+
+
+def semi_join(left: DataFrame, right: DataFrame, pred: Column) -> DataFrame:
+    """The reference's existence idiom — ``[y <- t, check p, ret ()] != []``
+    (Ex_BFS.v:42) — as a real semi-join."""
+    return left.join(right, on=pred, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, pred: Column) -> DataFrame:
+    """Emptiness of a correlated subquery (``= []``) → anti-join."""
+    return left.join(right, on=pred, how="left_anti")
+
+
+# -- EFlatmap (Language.v:130, Interpret.v:273-299) ------------------------
+
+def flatmap_explode(df: DataFrame, array_expr: Column, out_name: str, keep: Sequence[str] = ()) -> DataFrame:
+    """Flatmap where the body builds a per-row collection: lateral explode.
+    (The independent-body case is a crossJoin; the table-valued case is
+    ``theta_join`` — the reference's ``to_join_head`` recognition,
+    RelTransf.v:357-367, which our plan builder does by construction.)"""
+    return df.select(*keep, F.explode(array_expr).alias(out_name))
+
+
+def flatmap_cross(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Flatmap with an ``x``-independent table body = cross product."""
+    return left.crossJoin(right)
+
+
+# -- EFlatmap2 (Language.v:131, Interpret.v:7-11,300-312) ------------------
+
+def flatmap2_zip(df: DataFrame, arr1: Column, arr2: Column, n1: str, n2: str, keep: Sequence[str] = ()) -> DataFrame:
+    """Zip-flatmap: walk two arrays in lockstep, stopping at the shorter
+    (flat_map2 truncates — Interpret.v:7-11). ``arrays_zip`` pads with
+    null instead, so explode the zip and drop the padded tail by index.
+    """
+    n = F.least(F.size(arr1), F.size(arr2))
+    zipped = F.slice(F.arrays_zip(arr1.alias("_1"), arr2.alias("_2")), 1, n)
+    ex = df.select(*keep, F.explode(zipped).alias("_z"))
+    return ex.select(*keep, F.col("_z._1").alias(n1), F.col("_z._2").alias(n2))
+
+
+# -- ESort (Language.v:139, Interpret.v:351-367) ---------------------------
+
+def sort_canonical(df: DataFrame, cols: Sequence[str] | None = None, tag: str = LIKE_BAG) -> DataFrame:
+    """Canonical whole-row sort by the total value order (Value.v:116-147):
+    records compare field-by-field in sorted-name order, so ordering by
+    all columns sorted by name reproduces ``value_sort`` (Value.v:499).
+    This is the reference's deterministic-output mechanism; LikeSet sorts
+    the deduplicated rows."""
+    if tag == LIKE_SET:
+        df = df.distinct()
+    order = list(cols) if cols is not None else sorted(df.columns)
+    return df.orderBy(*order)
+
+
+# -- EBagOf / ESetOf (Language.v:145-146) ----------------------------------
+
+def set_of(df: DataFrame) -> DataFrame:
+    """ESetOf: canonical deduplication (Interpret.v:495-498)."""
+    return df.distinct()
+
+
+def bag_canonical(df: DataFrame) -> DataFrame:
+    """Bag canonical form — sorted (value, count) pairs (Value.v:485-517).
+    Materialized only at output/comparison boundaries (SURVEY §7 watch
+    list); internally DataFrames *are* bags."""
+    cnt = df.groupBy(*df.columns).agg(F.count(F.lit(1)).alias("bag_count"))
+    return cnt.orderBy(*sorted(df.columns))
+
+
+# -- OConcat / OCons / ORange (Language.v:95,101-103) ----------------------
+
+def union_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OConcat: list append = UNION ALL (order only observable at sorts)."""
+    return a.unionByName(b)
+
+
+def cons_row(df: DataFrame, row: dict) -> DataFrame:
+    """OCons: prepend one row — the reference's INSERT (Interpret.v:174-177)."""
+    single = df.sparkSession.createDataFrame([row], schema=df.schema)
+    return single.unionByName(df)
+
+
+def int_range(spark, lo: int, hi: int) -> DataFrame:
+    """ORange: [lo, hi) as a table (Interpret.v:80-90). ``spark.range`` is
+    a parallel, partitioned source — no driver materialization."""
+    return spark.range(lo, max(lo, hi)).toDF("n")
+
+
+# -- limit / top-k (absent in reference; engine surface) -------------------
+
+def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:
+    """ORDER BY + LIMIT: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no global sort. The scale-safe top-k."""
+    return df.orderBy(*order).limit(k)

@@ -1,0 +1,21 @@
+"""Named workloads: every entry pairs a PySpark plan (built on the
+fiat2_spark operator layer) with an ANSI-SQL oracle that DuckDB runs on
+the same parquet tables — the port of the reference's differential-oracle
+pattern (naive vs optimized program, same output; ToPython.v / SURVEY §5).
+
+``QUERIES``: name → fn(spark, sf_dir) → DataFrame
+``ORACLES``: name → DuckDB SQL (omitted for non-SQL-expressible ops →
+the driver records a rows-only check).
+"""
+
+from __future__ import annotations
+
+from fiat2_spark.workloads import core, graphs, pipeline, stream
+
+MODULES = (core, graphs, pipeline, stream)
+
+QUERIES = {}
+ORACLES = {}
+for _m in MODULES:
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)

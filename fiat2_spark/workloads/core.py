@@ -1,0 +1,675 @@
+"""Core relational / scalar / aggregate workloads — the SURVEY §2
+operator inventory (§2.1-§2.8), one named query per operator, each with
+a DuckDB oracle.
+
+Naming note (driver contract): every computed column is aliased
+identically in the Spark plan and the oracle SQL — the driver's compare
+sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiat2_spark.functions import scalars as S
+from fiat2_spark.functions import collections as C
+from fiat2_spark.operators import aggregates as A
+from fiat2_spark.operators import relational as R
+from fiat2_spark.workloads.util import dec2, dsum, sql_dsum, tbl
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / projections
+# ---------------------------------------------------------------------------
+
+@q(
+    "filter_scan",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1995-01-01'
+    """,
+)
+def filter_scan(spark, sf_dir):
+    """EFilter (Interpret.v:369-404): predicate pushed to the parquet scan
+    (PushedFilters in explain) — filter_pushdown_head realized by Catalyst."""
+    li = tbl(spark, sf_dir, "lineitem")
+    out = R.filter_rows(
+        li,
+        (F.col("l_quantity") > 45)
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")),
+    )
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@q(
+    "proj_compute",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charged
+    FROM lineitem
+    """,
+)
+def proj_compute(spark, sf_dir):
+    """EProj (Interpret.v:467-490): generalized projection with computed
+    record fields; arithmetic in DECIMAL so the oracle matches bit-for-bit."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return R.project(
+        li,
+        {
+            "l_orderkey": F.col("l_orderkey"),
+            "l_linenumber": F.col("l_linenumber"),
+            "revenue": (dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))).cast("double"),
+            "charged": (dec2(F.col("l_extendedprice")) * (F.lit(1) + dec2(F.col("l_tax")))).cast("double"),
+        },
+    )
+
+
+@q(
+    "if_then_else",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debtor'
+                WHEN c_mktsegment = 'BUILDING' THEN 'builder'
+                ELSE 'regular' END AS class
+    FROM customer
+    """,
+)
+def if_then_else(spark, sf_dir):
+    """EIf (Interpret.v:268-271) as an expression: CASE WHEN chain."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debtor")
+        .when(F.col("c_mktsegment") == "BUILDING", "builder")
+        .otherwise("regular")
+        .alias("class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 joins
+# ---------------------------------------------------------------------------
+
+@q(
+    "join_fk",
+    """
+    SELECT c_name AS cust_name, n_name AS nation_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def join_fk(spark, sf_dir):
+    """The flagship Ex_Employee FK join (Ex_Employee.v:35):
+    ``sort [ d <- departments, e <- employees, check(e.dept_id = d.id),
+    ret {name, dept} ]`` on customer⋈nation. Dimension side broadcast —
+    at 100 TB the fact side never shuffles."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    return R.theta_join(
+        c,
+        n,
+        F.col("c_nationkey") == F.col("n_nationkey"),
+        {"cust_name": F.col("c_name"), "nation_name": F.col("n_name")},
+        broadcast_right=True,
+    )
+
+
+@q(
+    "theta_join_nonequi",
+    """
+    SELECT a.n_name AS n1, b.n_name AS n2
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def theta_join_nonequi(spark, sf_dir):
+    """EJoin with a mixed θ-predicate (Interpret.v:405-466): Catalyst
+    extracts the equi-conjunct (region) for the hash join and applies the
+    inequality as a residual filter — the reference's swap_conjuncts +
+    filter_pushdown story, done by the optimizer."""
+    a = tbl(spark, sf_dir, "nation").alias("a")
+    b = tbl(spark, sf_dir, "nation").alias("b")
+    return R.theta_join(
+        a,
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        {"n1": F.col("a.n_name"), "n2": F.col("b.n_name")},
+    )
+
+
+@q(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join(spark, sf_dir):
+    """The reference's existence idiom (Ex_BFS.v:42 anti/semi pattern):
+    correlated-subquery non-emptiness → left_semi join."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return R.semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """`[... ] = []` emptiness test (CollectionTransf.v:19-20 bag-emptiness
+    annotation) → left_anti join."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return R.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "join_three_way",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           s_name AS supplier_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def join_three_way(spark, sf_dir):
+    """Join associativity/commutativity (Optimize.v:1356,1385) left to
+    Catalyst; the region filter pushes below both joins (RelTransf.v:441)."""
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("s_name").alias("supplier_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 flatmaps
+# ---------------------------------------------------------------------------
+
+@q(
+    "flatmap_explode",
+    """
+    SELECT n_name, CAST(g AS BIGINT) AS n
+    FROM nation, unnest(generate_series(1, n_nationkey % 5 + 1)) AS t(g)
+    """,
+)
+def flatmap_explode(spark, sf_dir):
+    """EFlatmap with a row-dependent collection body (Interpret.v:273-299):
+    lateral explode, fully parallel (no driver loop)."""
+    n = tbl(spark, sf_dir, "nation")
+    return R.flatmap_explode(
+        n,
+        F.sequence(F.lit(1).cast("long"), (F.col("n_nationkey") % 5 + 1).cast("long")),
+        "n",
+        keep=["n_name"],
+    )
+
+
+@q(
+    "flatmap2_zip",
+    """
+    SELECT n_name, CAST(i AS BIGINT) AS x,
+           CAST(n_nationkey + i - 1 AS BIGINT) AS y
+    FROM nation, unnest(generate_series(1, 3)) AS t(i)
+    """,
+)
+def flatmap2_zip(spark, sf_dir):
+    """EFlatmap2 (Interpret.v:7-11,300-312): lockstep zip of two
+    collections, truncating at the shorter — arrays_zip + slice. The
+    oracle states the same rows arithmetically (zip of [1..4] with
+    [k..k+2] truncates to 3 pairs)."""
+    n = tbl(spark, sf_dir, "nation")
+    return R.flatmap2_zip(
+        n,
+        F.sequence(F.lit(1).cast("long"), F.lit(4).cast("long")),
+        F.sequence(F.col("n_nationkey").cast("long"), F.col("n_nationkey").cast("long") + 2),
+        "x",
+        "y",
+        keep=["n_name"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / set-bag / union / cons / range / top-k
+# ---------------------------------------------------------------------------
+
+@q("sort_canonical", "SELECT n_name, n_nationkey, n_regionkey FROM nation")
+def sort_canonical(spark, sf_dir):
+    """ESort LikeList (Interpret.v:351-357): canonical whole-row order via
+    the total value order — order-insensitive to the hash oracle but the
+    sort is the reference's determinism mechanism."""
+    n = tbl(spark, sf_dir, "nation")
+    return R.sort_canonical(n.select("n_name", "n_nationkey", "n_regionkey"))
+
+
+@q("set_of_distinct", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+def set_of_distinct(spark, sf_dir):
+    """ESetOf (Interpret.v:495-498): canonical dedup. Catalyst rewrites to
+    a hash aggregate (ReplaceDistinctWithAggregate) — partial dedup
+    map-side, tiny shuffle."""
+    c = tbl(spark, sf_dir, "customer")
+    return R.set_of(c.select("c_mktsegment", "c_nationkey"))
+
+
+@q(
+    "bag_canonical",
+    """
+    SELECT c_nationkey, COUNT(*) AS bag_count
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def bag_canonical(spark, sf_dir):
+    """Bag canonical form — sorted (value, count) pairs (Value.v:485-517),
+    materialized at the output boundary as groupBy+count."""
+    c = tbl(spark, sf_dir, "customer")
+    return R.bag_canonical(c.select("c_nationkey"))
+
+
+@q(
+    "union_all_concat",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 200000
+    """,
+)
+def union_all_concat(spark, sf_dir):
+    """OConcat (Interpret.v:153-156): list append keeps duplicates —
+    genuine multiset union (rows matching both filters appear twice)."""
+    o = tbl(spark, sf_dir, "orders")
+    return R.union_all(
+        o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_totalprice"),
+        o.filter(F.col("o_totalprice") > 200000).select("o_orderkey", "o_totalprice"),
+    )
+
+
+@q(
+    "cons_insert",
+    """
+    SELECT CAST(99 AS INTEGER) AS r_regionkey, 'ATLANTIS' AS r_name
+    UNION ALL
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def cons_insert(spark, sf_dir):
+    """OCons (Interpret.v:174-177): single-row prepend — the reference's
+    INSERT primitive (Ex_Orders.v insert loop)."""
+    r = tbl(spark, sf_dir, "region")
+    return R.cons_row(r, {"r_regionkey": 99, "r_name": "ATLANTIS"})
+
+
+@q("int_range", "SELECT CAST(r AS BIGINT) AS n FROM range(0, 1000) t(r)")
+def int_range(spark, sf_dir):
+    """ORange (Interpret.v:178-185): [lo,hi) as a partitioned source."""
+    return R.int_range(spark, 0, 1000)
+
+
+@q(
+    "top_k",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_k(spark, sf_dir):
+    """ORDER BY + LIMIT → TakeOrderedAndProject: per-partition heaps, no
+    global sort (engine surface beyond the reference, SURVEY §2.7)."""
+    o = tbl(spark, sf_dir, "orders")
+    return R.top_k(
+        o.select("o_orderkey", "o_totalprice"),
+        10,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar semantics
+# ---------------------------------------------------------------------------
+
+@q(
+    "coq_div_mod",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             o_orderkey - 3000 AS a,
+             (o_custkey % 7) - 3 AS b
+      FROM orders
+    ), m AS (
+      SELECT o_orderkey, a, b, a % b AS m0 FROM t WHERE b <> 0
+    ), f AS (
+      SELECT o_orderkey, a, b,
+             CASE WHEN m0 <> 0 AND ((m0 < 0) <> (b < 0)) THEN m0 + b ELSE m0 END AS mm
+      FROM m
+    )
+    SELECT o_orderkey,
+           CAST((a - mm) / b AS BIGINT) AS q,
+           mm AS r
+    FROM f
+    UNION ALL
+    SELECT o_orderkey, CAST(0 AS BIGINT) AS q, a AS r FROM t WHERE b = 0
+    """,
+)
+def coq_div_mod(spark, sf_dir):
+    """ODiv/OMod Coq semantics (Interpret.v:147,150): floor division, mod
+    sign follows divisor, x/0=0, x mod 0=x — exercised on mixed-sign
+    operands including b=0."""
+    o = tbl(spark, sf_dir, "orders")
+    a = (F.col("o_orderkey") - 3000).cast("long")
+    b = ((F.col("o_custkey") % 7) - 3).cast("long")
+    return o.select(
+        "o_orderkey",
+        S.coq_div(a, b).alias("q"),
+        S.coq_mod(a, b).alias("r"),
+    )
+
+
+@q(
+    "word_arith",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             (o_orderkey * 69069 + 12345) & 4294967295 AS ua,
+             (o_custkey * 1103515245 + 12345) & 4294967295 AS ub
+      FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN ((ua + ub) & 4294967295) >= 2147483648
+                THEN ((ua + ub) & 4294967295) - 4294967296
+                ELSE (ua + ub) & 4294967295 END AS wadd,
+           CASE WHEN ((ua * 3) & 4294967295) >= 2147483648
+                THEN ((ua * 3) & 4294967295) - 4294967296
+                ELSE (ua * 3) & 4294967295 END AS wmul,
+           CASE WHEN ub = 0 THEN -1
+                WHEN (ua // ub) >= 2147483648 THEN (ua // ub) - 4294967296
+                ELSE ua // ub END AS wdivu,
+           ua < ub AS wltu
+    FROM t
+    """,
+)
+def word_arith(spark, sf_dir):
+    """OW* word ops at width 32 (Interpret.v:139-150): wrap-around
+    add/mul, unsigned division and comparison. Values stored as the
+    signed 32-bit interpretation (two's complement in a long)."""
+    o = tbl(spark, sf_dir, "orders")
+    ua = (F.col("o_orderkey") * 69069 + 12345).bitwiseAND(F.lit(4294967295))
+    ub = (F.col("o_custkey") * 1103515245 + 12345).bitwiseAND(F.lit(4294967295))
+    return o.select(
+        "o_orderkey",
+        S.word_add(ua, ub, 32).alias("wadd"),
+        S.word_mul(ua, F.lit(3), 32).alias("wmul"),
+        # ua/ub are already the unsigned-32 value; divu output is nonneg < 2^32
+        S.word_divu(ua, ub, 32).alias("wdivu"),
+        S.word_ltu(ua, ub, 32).alias("wltu"),
+    )
+
+
+@q(
+    "string_ops",
+    """
+    SELECT c_custkey,
+           c_name || '#' || CAST(c_custkey AS VARCHAR) AS tagged,
+           CAST(length(c_name) AS INTEGER) AS name_len
+    FROM customer
+    """,
+)
+def string_ops(spark, sf_dir):
+    """OConcatString / OLengthString / OIntToString (Interpret.v:51-60,165)."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit("#"), S.int_to_string(F.col("c_custkey"))).alias("tagged"),
+        F.length(F.col("c_name")).alias("name_len"),
+    )
+
+
+@q(
+    "eq_nullsafe",
+    """
+    SELECT o_orderkey,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULLIF(o_orderpriority, '1-URGENT'))
+             AS both_none,
+           (o_orderstatus IS NOT DISTINCT FROM o_linestatus_fake) AS eq_opt
+    FROM (SELECT *, NULLIF(o_orderstatus, 'F') AS o_linestatus_fake FROM orders)
+    """,
+)
+def eq_nullsafe(spark, sf_dir):
+    """OEq on options (Interpret.v:173, Value.v:126-130): None == None is
+    true → null-safe equality, including the nested-null case."""
+    o = tbl(spark, sf_dir, "orders")
+    opt1 = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    opt2 = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    fake = F.nullif(F.col("o_orderstatus"), F.lit("F"))
+    return o.select(
+        "o_orderkey",
+        S.eq_value(opt1, opt2).alias("both_none"),
+        S.eq_value(F.col("o_orderstatus"), fake).alias("eq_opt"),
+    )
+
+
+@q(
+    "opt_match_coalesce",
+    """
+    SELECT c.c_custkey,
+           COALESCE(oc.n, 0) AS n_orders,
+           CASE WHEN oc.n IS NULL THEN 'none' ELSE 'some' END AS tag
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey) oc
+      ON oc.o_custkey = c.c_custkey
+    """,
+)
+def opt_match_coalesce(spark, sf_dir):
+    """EOptMatch (Interpret.v:340-345): eliminate an option produced by a
+    dict lookup — here the lookup is a left join against a grouped table
+    (the DictIndex realization), matched with none/some branches."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    counts = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    j = c.join(counts, F.col("o_custkey") == F.col("c_custkey"), "left")
+    return j.select(
+        "c_custkey",
+        S.opt_match(F.col("n"), F.lit(0).cast("long"), lambda x: x).alias("n_orders"),
+        S.opt_match(F.col("n"), F.lit("none"), lambda _: F.lit("some")).alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 aggregates / folds / group-by
+# ---------------------------------------------------------------------------
+
+@q(
+    "agg_sum_count",
+    f"""
+    SELECT {sql_dsum('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+def agg_sum_count(spark, sf_dir):
+    """EACFold AGSum/AGCount (Interpret.v:212-216,320-326): whole-table
+    assoc-comm folds → partial+final aggregation (one row shuffles)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "A")
+    return li.agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@q(
+    "agg_min_max_option",
+    """
+    SELECT MIN(CASE WHEN l_quantity > 1000000 THEN l_extendedprice END) AS min_empty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_min_max_option(spark, sf_dir):
+    """EACIFold AGMin/AGMax → TOption (Interpret.v:218-238): the empty-set
+    fold yields None (SQL null) — exercised via an impossible predicate."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min(F.when(F.col("l_quantity") > 1000000, F.col("l_extendedprice"))).alias("min_empty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@q(
+    "groupby_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def groupby_agg(spark, sf_dir):
+    """The generalized DictIndex group-by (DictIndexImpl.v:25-33) with
+    AC-fold aggregates per group — TPC-H Q1 shape. Partial aggregation
+    means the shuffle carries |groups| rows per partition, not the data."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return A.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.sum(dec2(F.col("l_quantity"))).cast("double"),
+            "sum_base": F.sum(dec2(F.col("l_extendedprice"))).cast("double"),
+            "sum_disc": F.sum(
+                dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+            ).cast("double"),
+            "n": F.count(F.lit(1)),
+        },
+    )
+
+
+@q(
+    "fold_right_concat",
+    """
+    SELECT r.r_name,
+           string_agg(n.n_name, ':' ORDER BY n.n_name) || ':' AS folded
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def fold_right_concat(spark, sf_dir):
+    """EFold — general *right* fold with a non-commutative body
+    (Interpret.v:313-319): fold f [a,b,c] i = f(a, f(b, f(c, i))).
+    Realized on a collected array column via F.aggregate (left fold over
+    the reversed array); with step f(x,acc) = x ++ ':' ++ acc and init ''
+    the result is 'a:b:c:'. The oracle states the same value via
+    string_agg."""
+    r = tbl(spark, sf_dir, "region")
+    n = tbl(spark, sf_dir, "nation")
+    per_region = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+    )
+    folded = A.fold_array(
+        F.col("names"),
+        F.lit(""),
+        lambda x, acc: F.concat(x, F.lit(":"), acc),
+        right=True,
+    )
+    return per_region.select("r_name", folded.alias("folded"))
+
+
+@q(
+    "dict_ops_lookup",
+    """
+    SELECT r.r_name, n.n_nationkey AS china_key
+    FROM region r
+    LEFT JOIN nation n
+      ON n.n_regionkey = r.r_regionkey AND n.n_name = 'CHINA'
+    """,
+)
+def dict_ops_lookup(spark, sf_dir):
+    """Dict ops OLookup/OInsert/ODelete (Interpret.v:92-110,196-210) on a
+    MapType column: build name→key dict per region, delete+reinsert a
+    sentinel, look up 'CHINA' → option. Oracle states the equivalent
+    join (the DictIndexImpl.v:374-390 lookup≡filter equivalence)."""
+    r = tbl(spark, sf_dir, "region")
+    n = tbl(spark, sf_dir, "nation")
+    dicts = (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("n_name"), F.col("n_nationkey"))))
+            ).alias("d")
+        )
+    )
+    j = r.join(dicts, F.col("n_regionkey") == F.col("r_regionkey"), "left")
+    # exercise insert+delete round-trip, then look up
+    d2 = C.dict_delete(C.dict_insert(F.col("d"), "ZZ_SENTINEL", -1), "ZZ_SENTINEL")
+    return j.select("r_name", C.dict_lookup(d2, "CHINA").alias("china_key"))
+
+
+@q(
+    "window_rownum",
+    """
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_rownum(spark, sf_dir):
+    """The primary-key index's consecutive-id fold (BitmapIndex.v:13-18)
+    as row_number(); plus a running aggregate — the moral analog of the
+    reference's incremental maintenance (§4.3) as a window. NOTE the
+    global ORDER BY window is a single-partition sort — fine for id
+    assignment parity, but at 100 TB use zipWithIndex-style
+    per-partition offsets or monotonically_increasing_id instead."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.row_number().over(W.orderBy("o_orderkey")).alias("rn"),
+        F.sum(dec2(F.col("o_totalprice")))
+        .over(W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+    )

@@ -1,0 +1,154 @@
+"""Graph workloads — the reference's iterative/self-join examples:
+triangle enumeration (Ex_Triangle.v:41), grandchildren self-join
+(Ex_Family.v:30), BFS with anti-join (Ex_BFS.v:42).
+
+The edge table is derived deterministically from the driver's parquet
+(same derivation in the oracle SQL), since TESTDATA has no edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators import relational as R
+from fiat2_spark.workloads.util import tbl
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name, oracle=None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+_EDGES_SQL = """
+  SELECT DISTINCT CAST(p_partkey % 30 AS BIGINT) AS src,
+                  CAST((p_size * 7 + p_partkey) % 30 AS BIGINT) AS dst
+  FROM part
+  WHERE p_partkey % 30 <> (p_size * 7 + p_partkey) % 30
+"""
+
+
+def _edges(spark, sf_dir):
+    p = tbl(spark, sf_dir, "part")
+    e = p.select(
+        (F.col("p_partkey") % 30).cast("long").alias("src"),
+        ((F.col("p_size") * 7 + F.col("p_partkey")) % 30).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return e.distinct()
+
+
+@q(
+    "triangle",
+    f"""
+    WITH edges AS ({_EDGES_SQL})
+    SELECT e1.src AS p1, e2.src AS p2, e3.src AS p3
+    FROM edges e1
+    JOIN edges e2 ON e2.src = e1.dst
+    JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+    WHERE e1.src < e2.src AND e2.src < e3.src
+    """,
+)
+def triangle(spark, sf_dir):
+    """Triangle enumeration — the triple self-join of Ex_Triangle.v:41.
+    Three equi-joins on node keys: Catalyst plans hash joins; the
+    ``src < src`` ordering constraint cuts each triangle to one canonical
+    orientation. At 100 TB this is the classic worst-case join — the
+    right plan partitions edges by key once and reuses the exchange."""
+    e = _edges(spark, sf_dir)
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    out = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(e3, (F.col("e3.src") == F.col("e2.dst")) & (F.col("e3.dst") == F.col("e1.src")))
+        .filter((F.col("e1.src") < F.col("e2.src")) & (F.col("e2.src") < F.col("e3.src")))
+    )
+    return out.select(
+        F.col("e1.src").alias("p1"),
+        F.col("e2.src").alias("p2"),
+        F.col("e3.src").alias("p3"),
+    )
+
+
+@q(
+    "grandchildren",
+    """
+    WITH parents AS (
+      SELECT r_name AS parent, n_name AS child
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT n_name AS parent, s_name AS child
+      FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    )
+    SELECT q.child AS grandchild
+    FROM parents p JOIN parents q ON q.parent = p.child
+    WHERE p.parent = 'ASIA'
+    """,
+)
+def grandchildren(spark, sf_dir):
+    """Ex_Family.v:30: ``p,q <- parents, check(p.parent = person &&
+    q.parent = p.child), ret q.child``. The conjunct split (person filter
+    pushes to p's scan, the equi-conjunct drives the join) is the
+    reference's swap_conjuncts + filter_pushdown — Catalyst does both."""
+    r, n, s = (tbl(spark, sf_dir, t) for t in ("region", "nation", "supplier"))
+    gen1 = r.join(n, F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("r_name").alias("parent"), F.col("n_name").alias("child")
+    )
+    gen2 = n.join(s, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        F.col("n_name").alias("parent"), F.col("s_name").alias("child")
+    )
+    parents = R.union_all(gen1, gen2)
+    p = parents.alias("p")
+    qq = parents.alias("q")
+    out = p.filter(F.col("p.parent") == "ASIA").join(
+        qq, F.col("q.parent") == F.col("p.child")
+    )
+    return out.select(F.col("q.child").alias("grandchild"))
+
+
+@q(
+    "bfs",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(node, depth) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 15
+    )
+    SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+    """,
+)
+def bfs(spark, sf_dir):
+    """Level-synchronous BFS with anti-join (Ex_BFS.v:42): the frontier
+    expands through the edge list; visited nodes are excluded by
+    left_anti — the reference's correlated-emptiness idiom. Iteration is
+    driver-side orchestration over distributed joins (fiat2's CForeach);
+    each level is one join + anti-join, and the visited set stays a
+    DataFrame (no driver materialization). The oracle is a recursive CTE
+    (UNION-dedup, depth-capped) — min depth = BFS depth for any graph of
+    diameter < 15; the derived 30-node graph is far denser than that."""
+    e = _edges(spark, sf_dir).persist()
+    visited = spark.createDataFrame([(0, 0)], "node long, depth long").persist()
+    frontier = visited
+    depth = 0
+    while depth < 15:
+        depth += 1
+        nxt = (
+            frontier.join(e, e.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("depth", F.lit(depth).cast("long"))
+            .persist()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).persist()
+        frontier = nxt
+    return visited.select("node", "depth")
