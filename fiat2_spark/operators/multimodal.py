@@ -1,0 +1,70 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, with decode / feature-extract as Arrow-batched Pandas stages.
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(`decode_media` raises NotImplementedError unless given the
+deterministic fake) — but the Spark-side plumbing is real and tested:
+binary payload columns, metadata structs, `mapInPandas` batch iterators
+with explicit output schemas, and the partitioning story (binary blobs
+are large → keep them out of shuffles; extract features early, carry
+ids + features forward, re-join payloads only at the sink).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, checksum bigint, head_hex string"
+
+
+def to_binary_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFrame:
+    """Wrap a column as an opaque media payload with typed metadata —
+    the canonical multimodal table shape: (id, payload: binary,
+    meta: struct<kind, n_bytes>)."""
+    payload = F.encode(F.col(payload_col), "utf-8") if kind == "text" else F.col(payload_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(kind: str):
+    """Real decoders are not available in this container. Gate them so
+    the plumbing (schemas, batching) is testable with the fake."""
+    if kind in ("image", "audio", "video"):
+        raise NotImplementedError(
+            f"{kind} decoding requires codec libraries not present in this "
+            "environment; use extract_byte_features (deterministic fake) "
+            "to exercise the pipeline plumbing."
+        )
+    return lambda b: b
+
+
+def extract_byte_features(binary_df: DataFrame) -> DataFrame:
+    """Deterministic fake 'feature extraction' over binary payloads via
+    mapInPandas: per-payload byte count, additive checksum mod 997, and
+    head bytes as hex. Arrow-batched — the exact shape a real decoder
+    UDF takes (iterator of pandas batches in, schema'd batches out),
+    so swapping in PIL/ffmpeg later changes one function body."""
+
+    def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(lambda b: sum(b) % 997).astype("int64"),
+                    "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(fe, FEATURE_SCHEMA)

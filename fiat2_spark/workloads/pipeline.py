@@ -1,5 +1,406 @@
-"""Training-data-pipeline workloads (dedup, similarity, text analysis,
-multimodal) — filled in as the operators land."""
+"""Training-data-pipeline workloads: dedup (exact / MinHash+LSH /
+SimHash / n-gram Jaccard / embedding-cosine), similarity search
+(brute-force + LSH), text analysis, multimodal byte plumbing — each with
+a DuckDB oracle that recomputes the *identical* md5-based signatures in
+SQL, so the differential gate covers the approximate operators exactly.
+"""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators import dedup as D
+from fiat2_spark.operators import multimodal as M
+from fiat2_spark.operators import similarity as SIM
+from fiat2_spark.operators import text as TX
+from fiat2_spark.workloads.util import tbl
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+# Shared SQL fragments -------------------------------------------------------
+
+_TOKS = """
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents
+"""
+
+_SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TX.STOPWORDS.items()}
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+@q(
+    "text_tokens",
+    f"""
+    WITH toks AS ({_TOKS})
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks,
+                t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+             / greatest(len(toks), 1) AS mean_len
+    FROM toks
+    """,
+)
+def text_tokens(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish subword estimate —
+    pure Catalyst (split/filter/aggregate), no UDF."""
+    d = tbl(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_count(t).alias("n_subwords"),
+        TX.mean_token_len(t).alias("mean_len"),
+    )
+
+
+@q(
+    "text_langid",
+    f"""
+    WITH toks AS ({_TOKS}), scores AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains([{_SW['de']}], t))) AS s_de,
+             len(list_filter(toks, t -> list_contains([{_SW['en']}], t))) AS s_en,
+             len(list_filter(toks, t -> list_contains([{_SW['es']}], t))) AS s_es,
+             len(list_filter(toks, t -> list_contains([{_SW['fr']}], t))) AS s_fr
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Language ID via stopword-hit argmax (first-in-sorted-order wins
+    ties) — the n-gram heuristic family, deterministic."""
+    d = tbl(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        TX.lang_id(t).alias("pred_lang"),
+    )
+
+
+@q(
+    "text_quality",
+    f"""
+    WITH toks AS ({_TOKS}), comp AS (
+      SELECT doc_id,
+             least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS len_term,
+             least((CAST(len(list_filter(toks, t -> list_contains([{_SW['en']}], t))) AS DOUBLE)
+                    / greatest(len(toks), 1)) * 5.0, 1.0) AS sw_term,
+             1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4.0, 1.0) AS punct_term,
+             CASE WHEN (CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                        / greatest(len(toks), 1)) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.5 END AS len_band
+      FROM toks
+    )
+    SELECT doc_id,
+           round(0.3*len_term + 0.3*sw_term + 0.2*punct_term + 0.2*len_band, 6) AS quality
+    FROM comp
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length / punctuation / stopword-ratio composite."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    WITH toks AS ({_TOKS}), c AS (
+      SELECT doc_id, array_to_string(toks, ' ') AS norm,
+             list_transform(list_slice(toks, 1, 8),
+                            t -> CAST(length(t)*7 + ascii(t) AS BIGINT)) AS cs
+      FROM toks
+    )
+    SELECT doc_id, md5(norm) AS fp,
+           (COALESCE(cs[1],0)*27512614111 + COALESCE(cs[2],0)*887503681
+            + COALESCE(cs[3],0)*28629151 + COALESCE(cs[4],0)*923521
+            + COALESCE(cs[5],0)*29791 + COALESCE(cs[6],0)*961
+            + COALESCE(cs[7],0)*31 + COALESCE(cs[8],0)) % 1000000007 AS rhash
+    FROM c
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of normalized text + a rolling
+    polynomial hash over the first 8 tokens (the oracle expands the
+    same polynomial; 31^7·max_term ≪ 2^63 so the single-mod form equals
+    the fold's iterated mod)."""
+    d = tbl(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+        TX.rolling_hash(F.slice(t, 1, 8)).alias("rhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    f"""
+    WITH toks AS ({_TOKS})
+    SELECT md5(array_to_string(toks, ' ')) AS dedup_key,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_copies
+    FROM toks GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint,
+    lowest doc_id survives. Map-side partial aggregation → the shuffle
+    carries one row per distinct document."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.exact_dedup(d, TX.fingerprint_md5(F.col("text")), "doc_id")
+
+
+def _minhash_oracle(n_hashes: int = 8, n_bands: int = 4, threshold: float = 0.7) -> str:
+    rows = n_hashes // n_bands
+    sig_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}#' || s))) AS sig{i}"
+        for i in range(n_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT doc_id, {b} AS band_idx, md5({expr}) AS bh FROM sigs".format(
+            b=b,
+            expr=" || '|' || ".join(f"sig{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH toks AS ({_TOKS}),
+    sh AS (SELECT doc_id, list_distinct(toks) AS sh FROM toks WHERE len(toks) > 0),
+    sigs AS (
+      SELECT doc_id, sh,
+             {sig_cols}
+      FROM sh
+    ),
+    bands AS (
+{band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+    FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+    """
+
+
+@q("dedup_minhash", _minhash_oracle())
+def dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle→minhash→band→bucket-join→exact
+    verify. The oracle recomputes the identical md5 signatures in SQL —
+    the approximate path is checked exactly, not statistically."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.minhash_dedup_pairs(d, "doc_id", "text", n_hashes=8, n_bands=4, shingle_n=1, threshold=0.7)
+
+
+_SIMHASH_ORACLE = f"""
+    WITH toks AS ({_TOKS}),
+    votes AS (
+      SELECT doc_id, b,
+             list_sum(list_transform(toks,
+               t -> CASE WHEN substr(md5(t), b + 1, 1) IN ('8','9','a','b','c','d','e','f')
+                         THEN 1 ELSE -1 END)) AS vote
+      FROM toks, unnest(generate_series(0, 15)) AS g(b)
+    ),
+    sims AS (
+      SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS sh
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS dist
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+@q("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup at Hamming ≤ 3 via lossless nibble banding; the
+    oracle brute-forces all pairs — banding must lose nothing."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = D.simhash_dedup_pairs(d, "doc_id", "text", max_dist=3)
+    return pairs.select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH toks AS ({_TOKS}),
+    sh AS (SELECT doc_id, list_distinct(toks) AS sh FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Direct n-gram Jaccard all-pairs (the exact baseline minhash
+    approximates); threshold 0.9 on token sets."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.9)
+
+
+_COS_SQL = """list_reduce(list_transform(a.e, (x, i) -> CAST(x AS DOUBLE) * CAST(b.e[i] AS DOUBLE)), (p, q) -> p + q)
+              / (sqrt(list_reduce(list_transform(a.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q))
+                 * sqrt(list_reduce(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)))"""
+
+
+@q(
+    "dedup_embedding",
+    f"""
+    WITH e AS (SELECT vec_id, embedding AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL}, 6) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= 0.4
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact O(n²) baseline; the LSH
+    path prunes it at scale). Sequential-fold double math matches the
+    oracle bit-for-bit before the 6-decimal rounding."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return D.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_COS = """list_reduce(list_transform(e.embedding, (x, i) -> CAST(x AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), (p, s) -> p + s)
+              / (sqrt(list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, s) -> p + s))
+                 * sqrt(list_reduce(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, s) -> p + s)))"""
+
+
+@q(
+    "ann_bruteforce",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round({_ANN_COS}, 6) AS cos
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-k (k=5) for 3 query vectors: broadcast
+    queries × corpus scan, per-query ranking. The exact baseline for ANN."""
+    e = tbl(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.cosine_topk(e, queries, k=5)
+
+
+def _lsh_oracle(n_planes: int = 4) -> str:
+    plane_case = (
+        "CASE WHEN substr(md5(p || '#' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+        "IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
+    )
+    return f"""
+    WITH dots AS (
+      SELECT vec_id, embedding, p,
+             list_reduce(list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE) * ({plane_case})), (a, b) -> a + b) AS dp
+      FROM embeddings, unnest(generate_series(0, {n_planes - 1})) AS g(p)
+    ),
+    buckets AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, embedding
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+             round({_ANN_COS}, 6) AS cos
+      FROM buckets e JOIN buckets q ON e.bucket = q.bucket
+      WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """
+
+
+@q("ann_lsh", _lsh_oracle())
+def ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: 4 md5-derived random hyperplanes → 16 buckets →
+    exact rerank within the query's bucket. The oracle recomputes the
+    same planes from md5 in SQL, so approximation error is zero *by
+    construction* — both engines see identical buckets."""
+    e = tbl(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ann_lsh_topk(e, queries, k=5, n_planes=4, dims=64)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@q(
+    "multimodal_bytes",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(COALESCE(list_sum(list_transform(generate_series(1, length(text)),
+                i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS checksum,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_bytes(spark, sf_dir):
+    """Multimodal plumbing end-to-end: text → binary payload + metadata
+    struct → Arrow-batched mapInPandas feature extraction (byte count,
+    additive checksum, head hex). The oracle recomputes the bytes in
+    SQL — this checks the whole Pandas-UDF path produces exactly what
+    the declarative spec says. (Real image/audio decode is stubbed —
+    decode_media raises NotImplementedError; documents are ASCII so
+    chars == bytes.)"""
+    d = tbl(spark, sf_dir, "documents")
+    bin_tbl = M.to_binary_table(d, "doc_id", "text", "text")
+    return M.extract_byte_features(bin_tbl)
