@@ -80,11 +80,13 @@ class Catalog:
     @classmethod
     def from_sf_dir(cls, spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> "Catalog":
         """Load the driver's parquet tables for one scale factor."""
+        from fiat2_spark.workloads.util import tbl
+
         cat = cls(spark)
         for t in tables:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if os.path.exists(path):
-                cat.assign(t, spark.read.parquet(path))
+                cat.assign(t, tbl(spark, sf_dir, t))
         return cat
 
 

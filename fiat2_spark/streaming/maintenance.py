@@ -1,0 +1,171 @@
+"""Incremental view maintenance — the Spark realization of the
+reference's novel contribution: index introduction with verified
+incremental maintenance (SURVEY §4.3).
+
+Reference structure: ``transf_to_idx`` rewrites ``CLetMut e tbl c`` so
+the store holds {base table + auxiliary structures}, substituting reads
+(aggregate → O(1) lookup) and writes (insert → index update) throughout
+(fiat2/src/fiat2/IndexTransf.v:797-803; SumAgg.v:83-92 sum_to_agg_lookup
+/ cons_to_add; MinAgg.v:82-90; DictIndexImpl.v:571-588 cons_to_insert).
+
+Spark realization: a ``MaterializedView`` owns the base relation and a
+set of maintained aggregates. ``insert(batch)`` folds the *batch's*
+aggregate into the maintained state — O(|batch| + |groups|) work per
+batch instead of O(|base|) recomputation; reads are O(1)/O(|groups|).
+This is exactly Structured Streaming's update-mode stateful aggregation
+expressed at the driver layer (and `stream_agg.py` expresses the same
+thing on readStream); the insert-only assumption mirrors the
+reference's OCons-only maintenance (min/sum are only maintainable
+without deletes — the same restriction the Coq proofs carry).
+
+Maintained state lives in small *driver-side* scalars / tiny DataFrames
+(|groups| rows), never a copy of the base data — at 100 TB the base
+stays in parquet; only aggregates are stateful.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class SumIndex:
+    """Materialized SUM(attr) — SumAgg.v:17-18 (to_idx = current sum),
+    83-92 (read rewrite), 150-156 (cons_to_add maintenance)."""
+
+    def __init__(self, expr: Column, alias: str = "sum"):
+        self.expr, self.alias = expr, alias
+        self.state: Any = 0
+
+    def init(self, base: DataFrame) -> None:
+        row = base.agg(F.coalesce(F.sum(self.expr), F.lit(0)).alias("v")).collect()[0]
+        self.state = row["v"]
+
+    def insert(self, batch: DataFrame) -> None:
+        row = batch.agg(F.coalesce(F.sum(self.expr), F.lit(0)).alias("v")).collect()[0]
+        self.state = self.state + row["v"]
+
+    def read(self):
+        return self.state
+
+
+class MinIndex:
+    """Materialized MIN(attr) → option — MinAgg.v:16-17, 82-90, 150-162.
+    Monotone under insert-only (the streaming-safe case): new_min =
+    min(old_min, min(batch))."""
+
+    def __init__(self, expr: Column, alias: str = "min"):
+        self.expr, self.alias = expr, alias
+        self.state: Any = None
+
+    def _merge(self, v):
+        if v is None:
+            return
+        self.state = v if self.state is None else min(self.state, v)
+
+    def init(self, base: DataFrame) -> None:
+        self.state = None
+        self._merge(base.agg(F.min(self.expr).alias("v")).collect()[0]["v"])
+
+    def insert(self, batch: DataFrame) -> None:
+        self._merge(batch.agg(F.min(self.expr).alias("v")).collect()[0]["v"])
+
+    def read(self):
+        return self.state
+
+
+class CountIndex:
+    """Materialized COUNT — the AGCount fold maintained per insert."""
+
+    def __init__(self):
+        self.state = 0
+
+    def init(self, base: DataFrame) -> None:
+        self.state = base.count()
+
+    def insert(self, batch: DataFrame) -> None:
+        self.state += batch.count()
+
+    def read(self):
+        return self.state
+
+
+class GroupIndex:
+    """Maintained group-by aggregates — the DictIndex generalization
+    (DictIndexImpl.v:25-33 to_idx folds the table into key → bag;
+    571-588 cons_to_insert maintains it per insert). State is a
+    |groups|-row DataFrame of mergeable partial aggregates
+    (sum/count); merge = union + re-aggregate of two |groups|-sized
+    inputs, never touching the base. min/max are also mergeable
+    (insert-only)."""
+
+    def __init__(self, keys: list[str], aggs: dict[str, tuple[str, Column]]):
+        """aggs: out_name → (kind, expr), kind ∈ {sum,count,min,max}."""
+        self.keys = keys
+        self.aggs = aggs
+        self.state: DataFrame | None = None
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        cols = []
+        for name, (kind, expr) in sorted(self.aggs.items()):
+            if kind == "count":
+                cols.append(F.count(F.lit(1)).alias(name))
+            else:
+                cols.append(getattr(F, kind)(expr).alias(name))
+        return df.groupBy(*self.keys).agg(*cols)
+
+    def _merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        merged = a.unionByName(b)
+        cols = []
+        for name, (kind, _) in sorted(self.aggs.items()):
+            fn = F.sum if kind in ("sum", "count") else getattr(F, kind)
+            cols.append(fn(F.col(name)).alias(name))
+        return merged.groupBy(*self.keys).agg(*cols)
+
+    def init(self, base: DataFrame) -> None:
+        self.state = self._partial(base).persist()
+        self.state.count()  # pin
+
+    def insert(self, batch: DataFrame) -> None:
+        assert self.state is not None
+        new_state = self._merge(self.state, self._partial(batch)).persist()
+        new_state.count()
+        self.state.unpersist()
+        self.state = new_state
+
+    def read(self) -> DataFrame:
+        assert self.state is not None
+        return self.state
+
+
+class MaterializedView:
+    """The store record {base, aux indexes} of IndexTransf.v:797-803:
+    reads hit maintained aggregates; inserts update base + every index.
+
+    ``base`` is kept as a lazy union lineage (cheap at test scale); at
+    production scale the base append is a parquet write and only the
+    index states are driver-resident.
+    """
+
+    def __init__(self, base: DataFrame):
+        self.base = base
+        self.indexes: dict[str, Any] = {}
+
+    def with_index(self, name: str, idx) -> "MaterializedView":
+        idx.init(self.base)
+        self.indexes[name] = idx
+        return self
+
+    def insert(self, batch: DataFrame) -> None:
+        """OCons/CAssign insert path (cons_to_* rewrites): index updates
+        see only the batch."""
+        for idx in self.indexes.values():
+            idx.insert(batch)
+        self.base = self.base.unionByName(batch)
+
+    def read(self, name: str):
+        """The rewritten read path: aggregate queries answered from the
+        maintained structure, not the base (sum_to_agg_lookup_head)."""
+        return self.indexes[name].read()

@@ -1,5 +1,177 @@
-"""Streaming / incremental-maintenance workloads — filled in as the
-operators land."""
+"""Streaming / incremental-maintenance workloads.
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+The incremental_* queries drive the MaterializedView manager through
+batched inserts (the reference's query-in-a-loop + OCons pattern,
+Ex_Sum.v:30 / Ex_Orders.v:54) and must produce exactly the value a
+from-scratch oracle computes over the final table state — the
+observational-equivalence statement the reference proves for its
+cons_to_add / cons_to_min / cons_to_insert rewrites (SumAgg.v:150-156,
+MinAgg.v:150-162, DictIndexImpl.v:571-588).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiat2_spark.streaming.maintenance import (
+    CountIndex,
+    GroupIndex,
+    MaterializedView,
+    MinIndex,
+    SumIndex,
+)
+from fiat2_spark.streaming.stream_agg import sessionize, windowed_agg
+from fiat2_spark.workloads.util import tbl
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _batches(df, col, n=4):
+    return [df.filter((F.col(col) % n) == i) for i in range(n)]
+
+
+@q(
+    "incremental_sum",
+    """
+    SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events
+    """,
+)
+def incremental_sum(spark, sf_dir):
+    """Ex_Sum.v: interleaved sum-reads and inserts — the maintained SUM
+    must equal recomputation from scratch. Events arrive in 4 batches;
+    only batch aggregates are folded into state."""
+    ev = tbl(spark, sf_dir, "events")
+    b0, b1, b2, b3 = _batches(ev, "event_id")
+    view = (
+        MaterializedView(b0)
+        .with_index("total", SumIndex(F.col("value").cast("decimal(18,2)")))
+        .with_index("n", CountIndex())
+    )
+    for batch in (b1, b2, b3):
+        view.insert(batch)
+        view.read("total")  # interleaved read, as in the reference loop
+    return spark.createDataFrame(
+        [(float(view.read("total")), view.read("n"))],
+        "total_value double, n_events long",
+    )
+
+
+@q(
+    "incremental_min_orders",
+    """
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(o_totalprice) AS min_price,
+           CASE WHEN MIN(o_totalprice) < 1000.0 THEN 'discount' ELSE 'full' END AS status
+    FROM orders
+    """,
+)
+def incremental_min_orders(spark, sf_dir):
+    """Ex_Orders.v:54: point-insert loop with SUM + MIN reads and
+    threshold logic. MIN is maintainable because inserts only shrink it
+    (the monotone, streaming-safe case the reference exploits)."""
+    o = tbl(spark, sf_dir, "orders")
+    b0, b1, b2, b3 = _batches(o, "o_orderkey")
+    view = (
+        MaterializedView(b0)
+        .with_index("sum", SumIndex(F.col("o_totalprice").cast("decimal(18,2)")))
+        .with_index("min", MinIndex(F.col("o_totalprice")))
+    )
+    for batch in (b1, b2, b3):
+        view.insert(batch)
+    mn = view.read("min")
+    return spark.createDataFrame(
+        [(float(view.read("sum")), mn, "discount" if mn < 1000.0 else "full")],
+        "sum_price double, min_price double, status string",
+    )
+
+
+@q(
+    "incremental_groupby",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def incremental_groupby(spark, sf_dir):
+    """The DictIndex maintenance story at group granularity: per-key
+    partial aggregates merged batch-by-batch (state is |groups| rows;
+    the base is never re-aggregated)."""
+    ev = tbl(spark, sf_dir, "events")
+    b0, b1, b2, b3 = _batches(ev, "event_id")
+    gi = GroupIndex(
+        ["event_type"],
+        {"n": ("count", F.lit(1)), "total": ("sum", F.col("value").cast("decimal(18,2)"))},
+    )
+    view = MaterializedView(b0).with_index("by_type", gi)
+    for batch in (b1, b2, b3):
+        view.insert(batch)
+    return view.read("by_type").select(
+        "event_type", "n", F.col("total").cast("double").alias("total")
+    )
+
+
+@q(
+    "stream_window_agg",
+    """
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' AS window_end,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_agg(spark, sf_dir):
+    """Tumbling-window aggregation (F.window) — the same plan runs on
+    readStream with a watermark (tests/test_streaming.py drives that
+    path); epoch-aligned buckets match DuckDB's time_bucket."""
+    ev = tbl(spark, sf_dir, "events")
+    return windowed_agg(ev)
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Sessionization via gap detection (lag + running sum) — the batch
+    analog of streaming session_window, 30-minute gap."""
+    ev = tbl(spark, sf_dir, "events")
+    out = sessionize(ev, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "session_start",
+        "session_end",
+        "n_events",
+    )

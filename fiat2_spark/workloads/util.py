@@ -17,7 +17,18 @@ from pyspark.sql import functions as F
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read as long nanos and truncate to micros —
+        # exactly what DuckDB does when it surfaces the column as
+        # (microsecond) TIMESTAMP, so the oracle sees identical values.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return spark.read.parquet(path)
 
 
 def dec2(c: Column) -> Column:
