@@ -1,0 +1,547 @@
+"""Compiler: fiat2 AST → Spark plans.
+
+Two lowering levels, chosen by type:
+
+* **table level** (``compile_expr``): collection-typed expressions become
+  DataFrame plans. The comprehension patterns the reference recognizes
+  with verified rewrites are recognized here *at plan build time* —
+  ``flatmap e (λx. if p then [r] else [])`` becomes ``filter+project``
+  (to_filter_head, RelTransf.v:311-317; to_proj_head 658-664), the
+  nested two-table form becomes a θ-join (to_join_head,
+  RelTransf.v:357-367) — so Catalyst sees joins and filters, not lambdas,
+  and its own pushdown/pruning/reordering (the reference's §4.1/§4.2
+  catalog) applies.
+
+* **column level** (``compile_column``): scalar and nested-collection
+  expressions become Column trees (higher-order array/map functions for
+  EFlatmap/EFilter/EFold on nested lists — all JVM-side, codegen'd).
+
+Row binders: a variable bound by filter/join/proj over a record table
+maps to the table's columns (optionally alias-qualified for
+self-joins); a whole-row reference (``EVar x``) reconstructs the
+canonical sorted-field struct. Non-record element tables use the single
+column ``value``.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiat2_spark.functions import collections as CO
+from fiat2_spark.functions import scalars as S
+from fiat2_spark.plans import ast as A
+
+_alias_counter = itertools.count()
+
+
+class CompileError(Exception):
+    pass
+
+
+from dataclasses import dataclass  # noqa: E402
+
+
+@dataclass(frozen=True)
+class _ALit(A.Atom):
+    """Internal: a pre-evaluated driver-side value spliced back into the
+    AST by _lift_table_aggs (not part of the reference surface)."""
+
+    v: Any
+
+
+# -- environment bindings ---------------------------------------------------
+# ("col", Column)            row/scalar value as a Column expression
+# ("row", prefix, [cols])    record binder over a table's columns
+# ("df", DataFrame)          table-typed binding
+# ("py", value)              driver-side Python value (CForeach/CLet)
+
+
+def _bind_row(df: DataFrame, prefix: str | None):
+    p = f"{prefix}." if prefix else ""
+    if df.columns == ["value"]:
+        return ("col", F.col(f"{p}value"))
+    return ("row", prefix, list(df.columns))
+
+
+def _row_struct(prefix: str | None, cols: list[str]) -> Column:
+    p = f"{prefix}." if prefix else ""
+    return F.struct(*[F.col(p + c).alias(c) for c in sorted(cols)])
+
+
+def _py_to_col(v: Any) -> Column:
+    if isinstance(v, dict):
+        return F.struct(*[_py_to_col(v[k]).alias(k) for k in sorted(v)])
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_py_to_col(x) for x in v])
+    return F.lit(v)
+
+
+# -- pattern recognition (the reference's comprehension shapes) -------------
+
+def _as_singleton(e: A.Expr):
+    """``[r]`` = OCons r ANil — the `ret` of the notation layer."""
+    if isinstance(e, A.EBinop) and e.op == "OCons" and isinstance(e.e2, A.EAtom) and isinstance(e.e2.a, A.ANil):
+        return e.e1
+    return None
+
+
+def _is_nil(e: A.Expr) -> bool:
+    return isinstance(e, A.EAtom) and isinstance(e.a, (A.ANil, A.AEmptyBag, A.AEmptySet))
+
+
+def _as_guarded_singleton(e: A.Expr):
+    """``if p then [r] else []`` → (p, r); plain ``[r]`` → (None, r)."""
+    r = _as_singleton(e)
+    if r is not None:
+        return None, r
+    if isinstance(e, A.EIf) and _is_nil(e.e2):
+        r = _as_singleton(e.e1)
+        if r is not None:
+            return e.p, r
+    return None
+
+
+# -- column-level compilation ----------------------------------------------
+
+def compile_column(e: A.Expr, env: dict, w: int = 64) -> Column:
+    cc = lambda x, env2=None: compile_column(x, env2 if env2 is not None else env, w)  # noqa: E731
+
+    match e:
+        case A.EVar(x):
+            b = env.get(x)
+            if b is None:
+                raise CompileError(f"unbound variable {x}")
+            kind = b[0]
+            if kind == "col":
+                return b[1]
+            if kind == "row":
+                return _row_struct(b[1], b[2])
+            if kind == "py":
+                return _py_to_col(b[1])
+            raise CompileError(f"table-typed variable {x} used in scalar context")
+        case A.EAtom(a):
+            return _atom_column(a)
+        case A.EAccess(r, s):
+            if isinstance(r, A.EVar) and env.get(r.x, ("",))[0] == "row":
+                _, prefix, _cols = env[r.x]
+                return F.col((f"{prefix}." if prefix else "") + s)
+            if isinstance(r, A.EVar) and env.get(r.x, ("",))[0] == "py":
+                return _py_to_col(env[r.x][1][s])
+            return cc(r).getField(s)
+        case A.EUnop(op, e1):
+            return _unop_column(op, cc(e1), w)
+        case A.EBinop(op, e1, e2):
+            return _binop_column(op, cc(e1), cc(e2), w)
+        case A.ETernop("OInsert", d, k, v):
+            return CO.dict_insert(cc(d), cc(k), cc(v))
+        case A.EIf(p, e1, e2):
+            return F.when(cc(p), cc(e1)).otherwise(cc(e2))
+        case A.ELet(e1, x, e2):
+            return cc(e2, {**env, x: ("col", cc(e1))})
+        case A.ERecord(fields):
+            return F.struct(*[cc(fe).alias(n) for n, fe in sorted(fields)])
+        case A.EOptMatch(e1, e_none, x, e_some):
+            opt = cc(e1)
+            return F.when(opt.isNull(), cc(e_none)).otherwise(
+                cc(e_some, {**env, x: ("col", opt)})
+            )
+        case A.EFlatmap(tag, e1, x, e2):
+            arr = cc(e1)
+            mapped = F.transform(arr, lambda v: cc(e2, {**env, x: ("col", v)}))
+            return _retag_array(F.flatten(mapped), tag)
+        case A.EFlatmap2(e1, e2, x1, x2, e3):
+            a1, a2 = cc(e1), cc(e2)
+            n = F.least(F.size(a1), F.size(a2))
+            idx = F.sequence(F.lit(1), n)
+            mapped = F.transform(
+                idx,
+                lambda i: cc(
+                    e3,
+                    {**env, x1: ("col", F.element_at(a1, i)), x2: ("col", F.element_at(a2, i))},
+                ),
+            )
+            return F.when(n > 0, F.flatten(mapped)).otherwise(F.array())
+        case A.EFold(e1, e2, v, acc, e3):
+            # right fold (Interpret.v:313-319): reverse, then left-fold
+            arr, init = cc(e1), cc(e2)
+            return F.aggregate(
+                F.reverse(arr),
+                init,
+                lambda a, x: cc(e3, {**env, v: ("col", x), acc: ("col", a)}),
+            )
+        case A.EACFold(ag, e1):
+            arr = cc(e1)
+            if ag == "AGCount":
+                return F.size(arr).cast("long")
+            return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+        case A.EACIFold(ag, e1):
+            arr = cc(e1)
+            return F.array_min(arr) if ag == "AGMin" else F.array_max(arr)
+        case A.EDictFold(d, e0, k, v, acc, body):
+            entries = F.array_sort(F.map_entries(cc(d)))
+            return F.aggregate(
+                entries,
+                cc(e0),
+                lambda a, ent: cc(
+                    body,
+                    {**env, k: ("col", ent["key"]), v: ("col", ent["value"]), acc: ("col", a)},
+                ),
+            )
+        case A.ESort(tag, l):
+            return _retag_array(cc(l), "LikeSet" if tag == "LikeSet" else "LikeBag")
+        case A.EFilter(tag, l, x, p):
+            arr = cc(l)
+            out = F.filter(arr, lambda v: cc(p, {**env, x: ("col", v)}))
+            return _retag_array(out, tag)
+        case A.EProj(tag, l, x, r):
+            arr = cc(l)
+            out = F.transform(arr, lambda v: cc(r, {**env, x: ("col", v)}))
+            return _retag_array(out, tag)
+        case A.EJoin(tag, l1, l2, x, y, p, r):
+            a1, a2 = cc(l1), cc(l2)
+            pairs = F.flatten(
+                F.transform(
+                    a1,
+                    lambda vx: F.transform(
+                        F.filter(a2, lambda vy: cc(p, {**env, x: ("col", vx), y: ("col", vy)})),
+                        lambda vy: cc(r, {**env, x: ("col", vx), y: ("col", vy)}),
+                    ),
+                )
+            )
+            return _retag_array(pairs, tag)
+        case A.EBagOf(l):
+            return F.array_sort(cc(l))
+        case A.ESetOf(l):
+            return F.array_sort(F.array_distinct(cc(l)))
+    raise CompileError(f"cannot compile to column: {e!r}")
+
+
+def _retag_array(arr: Column, tag: str) -> Column:
+    if tag == "LikeSet":
+        return F.array_sort(F.array_distinct(arr))
+    if tag == "LikeBag":
+        return F.array_sort(arr)
+    return arr
+
+
+def _atom_column(a: A.Atom) -> Column:
+    match a:
+        case _ALit(v):
+            return _py_to_col(v)
+        case A.AWord(n) | A.AInt(n):
+            return F.lit(n).cast("long")
+        case A.ABool(b):
+            return F.lit(b)
+        case A.AString(s):
+            return F.lit(s)
+        case A.ANil(_) | A.AEmptyBag(_) | A.AEmptySet(_):
+            return F.array()
+        case A.ANone(_):
+            return F.lit(None)
+        case A.AEmptyDict(_):
+            return F.map_from_arrays(F.array(), F.array())
+        case A.AUnit():
+            return F.lit(None)
+    raise CompileError(f"unknown atom {a!r}")
+
+
+def _unop_column(op: str, c: Column, w: int) -> Column:
+    match op:
+        case "OWNeg":
+            return S.word_neg(c, w)
+        case "ONeg":
+            return -c
+        case "ONot":
+            return ~c
+        case "OLength":
+            return F.size(c).cast("long")
+        case "OLengthString":
+            return F.length(c).cast("long")
+        case "OIntToString":
+            return S.int_to_string(c)
+        case "OSome":
+            return c  # options are nullable columns; Some is injection
+    raise CompileError(f"unknown unop {op}")
+
+
+def _binop_column(op: str, c1: Column, c2: Column, w: int) -> Column:
+    match op:
+        case "OPlus":
+            return c1 + c2
+        case "OMinus":
+            return c1 - c2
+        case "OTimes":
+            return c1 * c2
+        case "ODiv":
+            return S.coq_div(c1, c2)
+        case "OMod":
+            return S.coq_mod(c1, c2)
+        case "OWPlus":
+            return S.word_add(c1, c2, w)
+        case "OWMinus":
+            return S.word_sub(c1, c2, w)
+        case "OWTimes":
+            return S.word_mul(c1, c2, w)
+        case "OWDivU":
+            return S.word_divu(c1, c2, w)
+        case "OWDivS":
+            return S.word_divs(c1, c2, w)
+        case "OWModU":
+            return S.word_modu(c1, c2, w)
+        case "OWModS":
+            return S.word_mods(c1, c2, w)
+        case "OAnd":
+            return c1 & c2
+        case "OOr":
+            return c1 | c2
+        case "OConcat":
+            return F.concat(c1, c2)
+        case "OConcatString":
+            return F.concat(c1, c2)
+        case "OWLessU":
+            return S.word_ltu(c1, c2, w)
+        case "OWLessS":
+            return S.word_lts(c1, c2, w)
+        case "OLess":
+            return c1 < c2
+        case "OEq":
+            return S.eq_value(c1, c2)
+        case "OCons":
+            return F.concat(F.array(c1), c2)
+        case "ORange":
+            return F.when(
+                c2 > c1, F.sequence(c1.cast("long"), c2.cast("long") - 1)
+            ).otherwise(F.array().cast("array<long>"))
+        case "OWRange":
+            return F.when(
+                c2 > c1, F.sequence(c1.cast("long"), c2.cast("long") - 1)
+            ).otherwise(F.array().cast("array<long>"))
+        case "OBagInsert":
+            return CO.bag_insert(c2, c1)
+        case "OSetInsert":
+            return F.array_sort(F.array_distinct(F.array_append(c2, c1)))
+        case "OLookup":
+            return CO.dict_lookup(c1, c2)
+        case "ODelete":
+            return CO.dict_delete(c1, c2)
+    raise CompileError(f"unknown binop {op}")
+
+
+# -- table-level compilation ------------------------------------------------
+
+def is_table_expr(e: A.Expr, env: dict, store) -> bool:
+    """Conservative: does ``e`` denote a top-level table (DataFrame)?"""
+    match e:
+        case A.ELoc(x):
+            return x in store and isinstance(store.get(x), DataFrame)
+        case A.EVar(x):
+            return env.get(x, ("",))[0] == "df"
+        case A.EFilter(_, l, _, _) | A.EProj(_, l, _, _) | A.ESort(_, l) | A.EBagOf(l) | A.ESetOf(l):
+            return is_table_expr(l, env, store)
+        case A.EJoin(_, l1, l2, _, _, _, _):
+            return is_table_expr(l1, env, store) or is_table_expr(l2, env, store)
+        case A.EFlatmap(_, e1, _, _):
+            return is_table_expr(e1, env, store)
+        case A.EBinop("OConcat", e1, e2):
+            return is_table_expr(e1, env, store) or is_table_expr(e2, env, store)
+        case A.EBinop("OCons", _, e2):
+            return is_table_expr(e2, env, store)
+        case A.EBinop("ORange", _, _):
+            return False  # column-level unless explicitly lifted
+    return False
+
+
+def _project_record(df: DataFrame, r: A.Expr, env: dict, spark) -> DataFrame:
+    """Project the join/proj result expression ``r`` over ``df``."""
+    if isinstance(r, A.ERecord):
+        return df.select(
+            *[compile_column(fe, env).alias(n) for n, fe in sorted(r.fields)]
+        )
+    if isinstance(r, A.EVar) and env.get(r.x, ("",))[0] == "row":
+        _, prefix, cols = env[r.x]
+        p = f"{prefix}." if prefix else ""
+        return df.select(*[F.col(p + c).alias(c) for c in sorted(cols)])
+    return df.select(compile_column(r, env).alias("value"))
+
+
+def _retag_df(df: DataFrame, tag: str) -> DataFrame:
+    return df.distinct() if tag == "LikeSet" else df
+
+
+def compile_expr(e: A.Expr, env: dict, store, spark: SparkSession) -> DataFrame:
+    """Lower a table-typed expression to a DataFrame plan."""
+    ce = lambda x, env2=None: compile_expr(x, env2 if env2 is not None else env, store, spark)  # noqa: E731
+
+    match e:
+        case A.ELoc(x):
+            v = store.get(x)
+            if not isinstance(v, DataFrame):
+                raise CompileError(f"store location {x} is not a table")
+            return v
+        case A.EVar(x):
+            b = env.get(x)
+            if b and b[0] == "df":
+                return b[1]
+            raise CompileError(f"variable {x} is not table-bound")
+        case A.EFilter(tag, l, x, p):
+            df = ce(l)
+            env2 = {**env, x: _bind_row(df, None)}
+            return _retag_df(df.filter(compile_column(p, env2)), tag)
+        case A.EProj(tag, l, x, r):
+            df = ce(l)
+            env2 = {**env, x: _bind_row(df, None)}
+            return _retag_df(_project_record(df, r, env2, spark), tag)
+        case A.EJoin(tag, l1, l2, x, y, p, r):
+            a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
+            df1, df2 = ce(l1).alias(a1), ce(l2).alias(a2)
+            env2 = {**env, x: _bind_row(df1, a1), y: _bind_row(df2, a2)}
+            joined = df1.join(df2, on=compile_column(p, env2), how="inner")
+            return _retag_df(_project_record(joined, r, env2, spark), tag)
+        case A.EFlatmap(tag, e1, x, e2):
+            return _compile_flatmap(tag, e1, x, e2, env, store, spark)
+        case A.ESort(tag, l):
+            df = ce(l)
+            if tag == "LikeSet":
+                df = df.distinct()
+            return df.orderBy(*sorted(df.columns))
+        case A.EBagOf(l):
+            return ce(l)  # DataFrames are bags natively
+        case A.ESetOf(l):
+            return ce(l).distinct()
+        case A.EBinop("OConcat", e1, e2):
+            return ce(e1).unionByName(ce(e2))
+        case A.EBinop("OCons", row_e, e2):
+            df = ce(e2)
+            row_val = eval_value(row_e, env, store, spark)
+            if hasattr(row_val, "asDict"):
+                row_val = row_val.asDict(recursive=True)
+            single = spark.createDataFrame(
+                [tuple(row_val[c] for c in df.columns)]
+                if isinstance(row_val, dict)
+                else [(row_val,)],
+                schema=df.schema,
+            )
+            return single.unionByName(df)
+        case A.EBinop("ORange", lo, hi):
+            lo_v = eval_value(lo, env, store, spark)
+            hi_v = eval_value(hi, env, store, spark)
+            return spark.range(lo_v, max(lo_v, hi_v)).toDF("value")
+        case A.EAtom(a) if isinstance(a, (A.ANil, A.AEmptyBag, A.AEmptySet)):
+            t = a.t
+            from fiat2_spark.plans.typecheck import TDouble
+
+            def spark_type(ft) -> str:
+                m = {
+                    A.TInt(): "long", A.TBool(): "boolean", A.TString(): "string",
+                    A.TWord(): "long", TDouble(): "double",
+                }
+                if ft in m:
+                    return m[ft]
+                if isinstance(ft, A.TRecord):
+                    inner = ", ".join(f"{n} {spark_type(t2)}" for n, t2 in ft.fields)
+                    return f"struct<{inner}>"
+                raise CompileError(f"cannot build empty table of {ft}")
+
+            if isinstance(t, A.TRecord):
+                schema = ", ".join(f"{n} {spark_type(t2)}" for n, t2 in t.fields)
+            else:
+                schema = f"value {spark_type(t) if t else 'long'}"
+            return spark.createDataFrame([], schema)
+    raise CompileError(f"cannot compile to table plan: {e!r}")
+
+
+def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
+    """EFlatmap lowering with the reference's rewrite patterns applied at
+    build time (see module docstring)."""
+    df1 = compile_expr(e1, env, store, spark)
+    env_row = {**env, x: _bind_row(df1, None)}
+
+    # to_proj / to_filter: body is (guarded) singleton
+    g = _as_guarded_singleton(e2)
+    if g is not None:
+        p, r = g
+        df = df1 if p is None else df1.filter(compile_column(p, env_row))
+        return _retag_df(_project_record(df, r, env_row, spark), tag)
+
+    # to_join: flatmap t1 x (flatmap t2 y (if p then [r] else []))
+    if isinstance(e2, A.EFlatmap) and x not in A.free_vars(e2.e1):
+        inner = _as_guarded_singleton(e2.e2)
+        if inner is not None and is_table_expr(e2.e1, env, store):
+            p, r = inner
+            y = e2.x
+            a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
+            d1 = df1.alias(a1)
+            d2 = compile_expr(e2.e1, env, store, spark).alias(a2)
+            env2 = {**env, x: _bind_row(df1, a1), y: _bind_row(d2, a2)}
+            joined = (
+                d1.join(d2, on=compile_column(p, env2), how="inner")
+                if p is not None
+                else d1.crossJoin(d2)
+            )
+            return _retag_df(_project_record(joined, r, env2, spark), tag)
+
+    # independent table body → cross product
+    if x not in A.free_vars(e2) and is_table_expr(e2, env, store):
+        return _retag_df(df1.crossJoin(compile_expr(e2, env, store, spark)), tag)
+
+    # correlated collection-valued body → lateral explode
+    arr = compile_column(e2, env_row)
+    exploded = df1.select(F.explode(arr).alias("_fm"))
+    inner_fields = exploded.schema["_fm"].dataType
+    from pyspark.sql import types as T
+
+    if isinstance(inner_fields, T.StructType):
+        out = exploded.select(*[F.col(f"_fm.{f.name}").alias(f.name) for f in inner_fields.fields])
+    else:
+        out = exploded.select(F.col("_fm").alias("value"))
+    return _retag_df(out, tag)
+
+
+# -- driver-side evaluation (scalar contexts of the command layer) ---------
+
+def eval_value(e: A.Expr, env: dict, store, spark: SparkSession) -> Any:
+    """Evaluate a scalar-typed expression to a Python value. Table-rooted
+    aggregates (EACFold/EACIFold/OLength over a table) are computed as
+    DataFrame aggregations; the residual scalar expression is evaluated
+    in a single-row select."""
+    lifted = _lift_table_aggs(e, env, store, spark)
+    col = compile_column(lifted, env)
+    row = spark.range(1).select(col.alias("v")).collect()[0]
+    return row["v"]
+
+
+def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
+    def lift(sub: A.Expr) -> A.Expr:
+        match sub:
+            case A.EACFold(ag, t) if is_table_expr(t, env, store):
+                df = compile_expr(t, env, store, spark)
+                if ag == "AGCount":
+                    return A.EAtom(_ALit(df.count()))
+                col = F.col(df.columns[0])
+                v = df.agg(F.coalesce(F.sum(col), F.lit(0)).alias("v")).collect()[0]["v"]
+                return A.EAtom(_ALit(v))
+            case A.EACIFold(ag, t) if is_table_expr(t, env, store):
+                df = compile_expr(t, env, store, spark)
+                col = F.col(df.columns[0])
+                fn = F.min if ag == "AGMin" else F.max
+                v = df.agg(fn(col).alias("v")).collect()[0]["v"]
+                return A.EAtom(_ALit(v))
+            case A.EUnop("OLength", t) if is_table_expr(t, env, store):
+                return A.EAtom(A.AInt(compile_expr(t, env, store, spark).count()))
+            case A.EBinop(op, e1, e2):
+                return A.EBinop(op, lift(e1), lift(e2))
+            case A.EUnop(op, e1):
+                return A.EUnop(op, lift(e1))
+            case A.EIf(p, e1, e2):
+                return A.EIf(lift(p), lift(e1), lift(e2))
+            case A.EOptMatch(e1, en, x, es):
+                return A.EOptMatch(lift(e1), lift(en), x, lift(es))
+            case A.ELet(e1, x, e2):
+                return A.ELet(lift(e1), x, lift(e2))
+        return sub
+
+    return lift(e)

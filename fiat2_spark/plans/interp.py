@@ -1,0 +1,100 @@
+"""Command-layer interpreter — fiat2's imperative driver layer
+(fiat2/src/fiat2/Language.v:210-217, Interpret.v:501-524) over the
+catalog.
+
+Commands are driver-side orchestration: the store maps names to
+DataFrames (tables) or Python values (scalars); expressions compile to
+distributed plans via `compile.py`. CForeach collects the iterated list
+to the driver and runs the body per row — the reference's semantics
+exactly (Interpret.v:516-523, inherently sequential state updates);
+batch-scale insert loops should use streaming.MaterializedView instead
+(SURVEY §4.3 mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fiat2_spark.plans import ast as A
+from fiat2_spark.plans.compile import compile_expr, eval_value, is_table_expr
+
+
+class Store:
+    """Mutable store (Gstore): name → DataFrame | Python value."""
+
+    def __init__(self):
+        self._m: dict[str, Any] = {}
+
+    def get(self, name: str):
+        if name not in self._m:
+            raise KeyError(f"unbound store location {name!r}")
+        return self._m[name]
+
+    def assign(self, name: str, v) -> None:
+        self._m[name] = v
+
+    def __contains__(self, name):
+        return name in self._m
+
+    def snapshot(self):
+        return dict(self._m)
+
+    def restore(self, snap):
+        self._m = snap
+
+
+def _eval(e: A.Expr, env: dict, store: Store, spark: SparkSession):
+    if is_table_expr(e, env, store):
+        return compile_expr(e, env, store, spark)
+    return eval_value(e, env, store, spark)
+
+
+def run_command(c: A.Command, store: Store, env: dict, spark: SparkSession) -> Store:
+    """Big-step execution of a command against the store
+    (Interpret.v:501-524)."""
+    match c:
+        case A.CSkip():
+            return store
+        case A.CSeq(c1, c2):
+            run_command(c1, store, env, spark)
+            return run_command(c2, store, env, spark)
+        case A.CLet(e, x, body):
+            v = _eval(e, env, store, spark)
+            binding = ("df", v) if isinstance(v, DataFrame) else ("py", v)
+            return run_command(body, store, {**env, x: binding}, spark)
+        case A.CLetMut(e, x, body):
+            # bind x in the store for the extent of body, then restore
+            # (Interpret.v:510-513)
+            saved = store._m.get(x, _MISSING)
+            store.assign(x, _eval(e, env, store, spark))
+            try:
+                return run_command(body, store, env, spark)
+            finally:
+                if saved is _MISSING:
+                    del store._m[x]
+                else:
+                    store._m[x] = saved
+        case A.CAssign(x, e):
+            store.assign(x, _eval(e, env, store, spark))
+            return store
+        case A.CIf(e, c1, c2):
+            cond = eval_value(e, env, store, spark)
+            return run_command(c1 if cond else c2, store, env, spark)
+        case A.CForeach(e, x, body):
+            v = _eval(e, env, store, spark)
+            if isinstance(v, DataFrame):
+                rows = [
+                    r["value"] if v.columns == ["value"] else r.asDict(recursive=True)
+                    for r in v.collect()
+                ]
+            else:
+                rows = list(v)
+            for row in rows:
+                run_command(body, store, {**env, x: ("py", row)}, spark)
+            return store
+    raise TypeError(f"unknown command {c!r}")
+
+
+_MISSING = object()

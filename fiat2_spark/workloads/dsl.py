@@ -1,0 +1,159 @@
+"""Workloads expressed in the fiat2 DSL (AST → compiled DataFrame plans)
+and checked against DuckDB — the end-to-end proof that a reference user's
+*programs* (not just hand-built DataFrame queries) run on this engine.
+"""
+
+from __future__ import annotations
+
+from fiat2_spark.plans import ast as A
+from fiat2_spark.plans.compile import compile_expr
+from fiat2_spark.plans.interp import Store
+from fiat2_spark.workloads.util import tbl
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return reg
+
+
+def _store(spark, sf_dir, *names) -> Store:
+    st = Store()
+    for n in names:
+        st.assign(n, tbl(spark, sf_dir, n))
+    return st
+
+
+def _ret(e: A.Expr) -> A.Expr:
+    return A.EBinop("OCons", e, A.EAtom(A.ANil()))
+
+
+@q(
+    "dsl_employee_join",
+    """
+    SELECT n_name AS dept, s_name AS name
+    FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def dsl_employee_join(spark, sf_dir):
+    """Ex_Employee.v:35 as a comprehension AST:
+    ``sort [ d <- nation, e <- supplier, check(e.s_nationkey = d.n_nationkey),
+    ret {name: e.s_name, dept: d.n_name} ]`` — the plan builder recognizes
+    the nested flatmap+guard as a θ-join (to_join_head,
+    RelTransf.v:357-367) so Catalyst plans a hash join."""
+    guard = A.EIf(
+        A.EBinop(
+            "OEq",
+            A.EAccess(A.EVar("e"), "s_nationkey"),
+            A.EAccess(A.EVar("d"), "n_nationkey"),
+        ),
+        _ret(
+            A.ERecord(
+                (
+                    ("name", A.EAccess(A.EVar("e"), "s_name")),
+                    ("dept", A.EAccess(A.EVar("d"), "n_name")),
+                )
+            )
+        ),
+        A.EAtom(A.ANil()),
+    )
+    prog = A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("nation"),
+            "d",
+            A.EFlatmap("LikeList", A.ELoc("supplier"), "e", guard),
+        ),
+    )
+    return compile_expr(prog, {}, _store(spark, sf_dir, "nation", "supplier"), spark)
+
+
+@q(
+    "dsl_filter_project",
+    """
+    SELECT c_name AS name, c_nationkey AS nk
+    FROM customer WHERE c_acctbal < 0.0 AND c_mktsegment = 'BUILDING'
+    """,
+)
+def dsl_filter_project(spark, sf_dir):
+    """EFilter + EProj via the DSL; the conjunctive predicate reaches the
+    parquet scan (the reference's filter_pushdown, done by Catalyst)."""
+    pred = A.EBinop(
+        "OAnd",
+        A.EBinop("OLess", A.EAccess(A.EVar("x"), "c_acctbal"), A.EAtom(A.AInt(0))),
+        A.EBinop(
+            "OEq", A.EAccess(A.EVar("x"), "c_mktsegment"), A.EAtom(A.AString("BUILDING"))
+        ),
+    )
+    prog = A.EProj(
+        "LikeBag",
+        A.EFilter("LikeBag", A.ELoc("customer"), "x", pred),
+        "x",
+        A.ERecord(
+            (
+                ("name", A.EAccess(A.EVar("x"), "c_name")),
+                ("nk", A.EAccess(A.EVar("x"), "c_nationkey")),
+            )
+        ),
+    )
+    return compile_expr(prog, {}, _store(spark, sf_dir, "customer"), spark)
+
+
+@q(
+    "dsl_grandchildren",
+    """
+    WITH parents AS (
+      SELECT r_name AS parent, n_name AS child
+      FROM region JOIN nation ON n_regionkey = r_regionkey
+    )
+    SELECT q.child AS grandchild
+    FROM parents p JOIN parents q ON q.parent = p.child
+    WHERE p.parent = 'AMERICA'
+    """,
+)
+def dsl_grandchildren(spark, sf_dir):
+    """Ex_Family.v:30 with the conjunct-split shape: ``p,q <- parents,
+    check(p.parent = person && q.parent = p.child), ret q.child``. The
+    person-equality conjunct pushes to p's scan, the join conjunct
+    drives the hash join (swap_conjuncts + filter_pushdown_head,
+    RelTransf.v:441-508 — Catalyst splits conjunctions natively)."""
+    parents_ast = A.EJoin(
+        "LikeBag",
+        A.ELoc("region"),
+        A.ELoc("nation"),
+        "r",
+        "n",
+        A.EBinop(
+            "OEq",
+            A.EAccess(A.EVar("n"), "n_regionkey"),
+            A.EAccess(A.EVar("r"), "r_regionkey"),
+        ),
+        A.ERecord(
+            (
+                ("parent", A.EAccess(A.EVar("r"), "r_name")),
+                ("child", A.EAccess(A.EVar("n"), "n_name")),
+            )
+        ),
+    )
+    pred = A.EBinop(
+        "OAnd",
+        A.EBinop("OEq", A.EAccess(A.EVar("p"), "parent"), A.EAtom(A.AString("AMERICA"))),
+        A.EBinop("OEq", A.EAccess(A.EVar("q"), "parent"), A.EAccess(A.EVar("p"), "child")),
+    )
+    prog = A.EJoin(
+        "LikeBag",
+        parents_ast,
+        parents_ast,
+        "p",
+        "q",
+        pred,
+        A.ERecord((("grandchild", A.EAccess(A.EVar("q"), "child")),)),
+    )
+    return compile_expr(prog, {}, _store(spark, sf_dir, "region", "nation"), spark)
