@@ -1,0 +1,90 @@
+"""Sources & sinks.
+
+The reference has no file formats or connectors (SURVEY §2.1): data
+enters via store locations (ELoc) and leaves via CAssign / the Haskell
+demo server's JSON serialization (haskellServer/src/Extracted.hs:
+3035-3038 generate_json). This module is the engine's I/O surface:
+columnar parquet first (pushdown + pruning), the other Spark formats
+behind one dispatcher, JSON record output for server parity, and
+bucketed writes — the physical realization of the reference's DictIndex
+(a bucketed table IS a persisted hash index: joins/lookups on the
+bucket key skip the shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fiat2_spark.catalog import TPCH_TABLES
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None, **options) -> DataFrame:
+    """Read one table. Schema required for json/csv at scale (inference
+    is a full extra pass over 100 TB)."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r} (delta/iceberg need jars absent here)")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    **options,
+) -> None:
+    """Write a table; ``partition_by`` gives write-time partition pruning
+    for the columns the reference would bitmap-index (BitmapIndex.v
+    intent → directory-level data skipping)."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    w = df.write.mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.format(fmt).save(path)
+
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 32, mode: str = "overwrite"
+) -> None:
+    """Persisted hash index (DictIndexImpl.v to_idx intent): bucketing by
+    the lookup attribute lets every later equi-join/point-lookup on it
+    co-locate without a shuffle."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table_name)
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
+    """Register the testdata tables as temp views for spark.sql use."""
+    from fiat2_spark.workloads.util import tbl
+
+    for t in tables:
+        if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+            tbl(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def to_json_records(df: DataFrame, n: int | None = None) -> list[str]:
+    """JSON record serialization — the extracted server's generate_json
+    output shape (Extracted.hs:3035-3038): one JSON object per row.
+    Driver-side by design (it's the HTTP boundary, small results)."""
+    it = df.toJSON().toLocalIterator()
+    out = []
+    for i, rec in enumerate(it):
+        if n is not None and i >= n:
+            break
+        out.append(rec)
+    return out

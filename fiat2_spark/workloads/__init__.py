@@ -10,9 +10,9 @@ the driver records a rows-only check).
 
 from __future__ import annotations
 
-from fiat2_spark.workloads import core, dsl, graphs, pipeline, stream
+from fiat2_spark.workloads import core, dsl, graphs, pipeline, server, stream
 
-MODULES = (core, dsl, graphs, pipeline, stream)
+MODULES = (core, dsl, graphs, pipeline, server, stream)
 
 QUERIES = {}
 ORACLES = {}

@@ -112,6 +112,9 @@ def dsl_filter_project(spark, sf_dir):
     WITH parents AS (
       SELECT r_name AS parent, n_name AS child
       FROM region JOIN nation ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT n_name AS parent, c_name AS child
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
     )
     SELECT q.child AS grandchild
     FROM parents p JOIN parents q ON q.parent = p.child
@@ -123,8 +126,10 @@ def dsl_grandchildren(spark, sf_dir):
     check(p.parent = person && q.parent = p.child), ret q.child``. The
     person-equality conjunct pushes to p's scan, the join conjunct
     drives the hash join (swap_conjuncts + filter_pushdown_head,
-    RelTransf.v:441-508 — Catalyst splits conjunctions natively)."""
-    parents_ast = A.EJoin(
+    RelTransf.v:441-508 — Catalyst splits conjunctions natively).
+    Two generations (region→nation, nation→customer) via OConcat so
+    grandchildren exist."""
+    gen1 = A.EJoin(
         "LikeBag",
         A.ELoc("region"),
         A.ELoc("nation"),
@@ -142,6 +147,25 @@ def dsl_grandchildren(spark, sf_dir):
             )
         ),
     )
+    gen2 = A.EJoin(
+        "LikeBag",
+        A.ELoc("nation"),
+        A.ELoc("customer"),
+        "n",
+        "c",
+        A.EBinop(
+            "OEq",
+            A.EAccess(A.EVar("c"), "c_nationkey"),
+            A.EAccess(A.EVar("n"), "n_nationkey"),
+        ),
+        A.ERecord(
+            (
+                ("parent", A.EAccess(A.EVar("n"), "n_name")),
+                ("child", A.EAccess(A.EVar("c"), "c_name")),
+            )
+        ),
+    )
+    parents_ast = A.EBinop("OConcat", gen1, gen2)
     pred = A.EBinop(
         "OAnd",
         A.EBinop("OEq", A.EAccess(A.EVar("p"), "parent"), A.EAtom(A.AString("AMERICA"))),
@@ -156,4 +180,4 @@ def dsl_grandchildren(spark, sf_dir):
         pred,
         A.ERecord((("grandchild", A.EAccess(A.EVar("q"), "child")),)),
     )
-    return compile_expr(prog, {}, _store(spark, sf_dir, "region", "nation"), spark)
+    return compile_expr(prog, {}, _store(spark, sf_dir, "region", "nation", "customer"), spark)
