@@ -38,13 +38,13 @@ def test_fk_join_broadcasts_dimension(spark):
 
 
 def test_groupby_partial_aggregation(spark):
-    df = QUERIES["groupby_agg"](spark, SF_SMOKE)
-    df.count()  # let AQE finalize so codegen ids are visible
-    p = plan_of(df)
-    # partial (map-side) + final aggregate pair
+    p = plan_of(QUERIES["groupby_agg"](spark, SF_SMOKE))
+    # partial (map-side) + final aggregate pair: the shuffle carries one
+    # row per (partition, group), not the data
     assert p.count("HashAggregate") >= 2
-    # whole-stage codegen active (formatted explain tags nodes with ids)
-    assert "codegen id" in p or "WholeStageCodegen" in p
+    assert "partial_sum" in p and "partial_count" in p
+    # aggregation pushes the shipdate filter to the scan as well
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p
 
 
 def test_topk_no_global_sort(spark):
