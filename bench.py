@@ -34,6 +34,16 @@ HEADLINE = [
     "top_k",              # TakeOrderedAndProject
     "coq_div_mod",        # scalar semantics layer
     "proj_compute",       # computed projection
+    "dsl_employee_join",  # fiat2 AST -> compiled join plan
+    "dedup_minhash",      # MinHash+LSH near-dup
+    "dedup_simhash",      # SimHash nibble-banded near-dup
+    "ann_bruteforce",     # exact cosine top-k
+    "ann_lsh",            # LSH-bucketed ANN
+    "text_quality",       # text scoring (pure Catalyst)
+    "dedup_exact",        # fingerprint hash-groupBy
+    "stream_window_agg",  # tumbling-window aggregation
+    "sessionize",         # gap-based sessionization
+    "multimodal_bytes",   # Arrow-batched pandas feature extraction
 ]
 
 

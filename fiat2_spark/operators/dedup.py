@@ -47,7 +47,11 @@ def shingles(toks: Column, n: int = 1) -> Column:
     """Word n-gram shingle *set* (distinct). n=1 → token set."""
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    # guard: Spark's sequence(1, 0) is DESCENDING ([1,0]), not empty —
+    # docs with < n tokens must yield an empty shingle set explicitly
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return F.array_distinct(grams)
 
@@ -100,16 +104,25 @@ def minhash_dedup_pairs(
     """
     rows = n_hashes // n_bands
     toks = tokens(F.col(text_col))
-    sh = df.select(
+    # signature hashing is CPU-bound (n_hashes md5s per shingle): spread
+    # a small/single-row-group scan across all cores before computing
+    sh = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc"),
         shingles(toks, shingle_n).alias("sh"),
     ).filter(F.size(F.col("sh")) > 0)
+    # materialize the cache NOW: the downstream plan reads it from three
+    # stages (band-left, band-right, verify) that otherwise race to
+    # populate it and each recompute the shingle pass
     sh = sh.persist()
+    sh.count()
 
     banded = sh.select(
         "doc",
         F.explode(minhash_bands(minhash_signature(F.col("sh"), n_hashes), n_bands, rows)).alias("b"),
     ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    # persist the band digests too: the self-join otherwise evaluates the
+    # full n_hashes-md5 signature expression once per join side
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -140,49 +153,79 @@ def minhash_dedup_pairs(
 _HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]
 
 
-def simhash16(toks: Column) -> Column:
-    """16-bit SimHash: bit b is the sign of the vote sum over tokens of
-    ±1 according to the high bit of hex digit b of md5(token). Token
-    multiplicity counts (it's a weighted vote)."""
-    def voter(b: int):
-        return lambda acc, t: acc + F.when(
-            F.substring(F.md5(t), b + 1, 1).isin(*_HIGH_HEX), 1
-        ).otherwise(-1)
+SIMHASH_BITS = 60     # 15 hex digits × 4 bits; stays clear of the sign bit
+SIMHASH_BANDS = 4     # 15-bit bands → pigeonhole-lossless for dist ≤ 3
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
-    out = F.lit(0).cast("long")
-    for b in range(16):
-        vote = F.aggregate(toks, F.lit(0).cast("long"), voter(b))
-        out = out + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
-    return out
+
+def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, sh): 60-bit SimHash per document, computed as a
+    shuffle-aggregate — explode tokens, hash each ONCE, sum ±1 votes for
+    each of 60 bits (bit b = bit b%4 of hex digit b//4 of md5(token)),
+    then assemble the signature. Fully codegen'd (no higher-order
+    functions in the hot path); partial aggregation means the shuffle
+    carries 60 longs per doc. Docs with zero tokens drop out (explode),
+    matching the oracle's unnest. Token multiplicity counts (weighted
+    vote); vote == 0 → bit 0."""
+    n_out = df.sparkSession.sparkContext.defaultParallelism
+    t = df.repartition(n_out).select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = t.select("doc", F.md5(F.col("tok")).alias("h"))
+    digs = h.select(
+        "doc",
+        *[
+            F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("int").alias(f"v{d}")
+            for d in range(SIMHASH_BITS // 4)
+        ],
+    )
+    votes = digs.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col(f"v{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc", sh.alias("sh"))
 
 
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_dist, found via
-    nibble banding: 16 bits → 4 nibbles; distance ≤ 3 pairs share ≥ 1
-    intact nibble (pigeonhole) so the banded equi-join is lossless.
-    Returns (id_a, id_b, dist)."""
-    assert max_dist <= 3, "nibble banding is lossless only for dist <= 3"
-    sh = df.select(F.col(id_col).alias("doc"), simhash16(tokens(F.col(text_col))).alias("sh")).persist()
-    nib = sh.select(
+    banding: 60 bits → 4 bands of 15; distance ≤ 3 pairs share ≥ 1
+    intact band (pigeonhole) so the banded equi-join is lossless.
+    Returns (id_a, id_b, dist).
+
+    Scale note: band values range over 2^15, so random collisions are
+    ~n²/2^16 per band — a 16-bit signature (2^4-value nibble bands) made
+    the join quadratic at 5k docs (measured 6M+ candidate rows)."""
+    assert max_dist <= 3, "4-band banding is lossless only for dist <= 3"
+    sh = simhash60_table(df, id_col, text_col).persist()
+    band = sh.select(
         "doc",
         "sh",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("nib_idx"),
-                    F.shiftright(F.col("sh"), 4 * i).bitwiseAND(F.lit(15)).alias("nib_val"),
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("sh"), _BAND_BITS * i)
+                    .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                    .alias("band_val"),
                 )
-                for i in range(4)
+                for i in range(SIMHASH_BANDS)
             ])
         ).alias("nb"),
-    ).select("doc", "sh", F.col("nb.nib_idx").alias("nib_idx"), F.col("nb.nib_val").alias("nib_val"))
+    ).select("doc", "sh", F.col("nb.band_idx").alias("band_idx"), F.col("nb.band_val").alias("band_val"))
 
-    l, r = nib.alias("l"), nib.alias("r")
+    l, r = band.alias("l"), band.alias("r")
     cand = (
         l.join(
             r,
-            (F.col("l.nib_idx") == F.col("r.nib_idx"))
-            & (F.col("l.nib_val") == F.col("r.nib_val"))
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
             & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(
@@ -211,7 +254,9 @@ def ngram_jaccard_pairs(
     un-blocked form is the oracle-checkable baseline; production use
     should block or prefer minhash_dedup_pairs."""
     toks = tokens(F.col(text_col))
-    base = df.select(
+    # all-pairs parallelism = left-side partition count; a single-row-group
+    # scan would put every comparison on one core
+    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
         F.col(id_col).alias("doc"),
         shingles(toks, shingle_n).alias("sh"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
@@ -244,7 +289,10 @@ def embedding_dedup_pairs(
     at 100 TB run it only inside LSH buckets."""
     from fiat2_spark.operators.similarity import cosine
 
-    base = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("v"))
+    # spread the O(n²) comparison across all cores (see ngram_jaccard_pairs)
+    base = df.repartition(df.sparkSession.sparkContext.defaultParallelism).select(
+        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+    )
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, F.col("l.doc") < F.col("r.doc"))

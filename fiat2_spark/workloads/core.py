@@ -645,6 +645,83 @@ def dict_ops_lookup(spark, sf_dir):
 
 
 @q(
+    "survey_join",
+    """
+    SELECT c_name AS name, n_name AS department, c_mktsegment AS feedback
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def survey_join(spark, sf_dir):
+    """The Ex_Survey workload (Ex_Survey.v:27-48): departments⋈responses
+    on `department-id` with HYPHENATED field names (the reference's
+    records allow arbitrary strings as field names), project
+    {name, department, feedback}. The hyphenated intermediate columns
+    exercise Spark's backtick-quoted identifier path end-to-end. The
+    reference wraps this in range(0,10000) purely to make its rewrite
+    observable in timing — one execution is semantics-complete."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    responses = c.select(
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("department-id"),
+        F.col("c_mktsegment").alias("feedback"),
+    )
+    departments = n.select(
+        F.col("n_nationkey").alias("department-id"),
+        F.col("n_name").alias("department-name"),
+    )
+    return R.theta_join(
+        responses,
+        departments,
+        responses["department-id"] == departments["department-id"],
+        {
+            "name": F.col("name"),
+            "department": F.col("`department-name`"),
+            "feedback": F.col("feedback"),
+        },
+        broadcast_right=True,
+    )
+
+
+@q(
+    "proj_feed_pipeline",
+    """
+    WITH shirts AS (
+      SELECT p_brand AS color, p_name AS name, p_retailprice AS price
+      FROM part
+    )
+    SELECT CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           CAST(MIN(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           COUNT(*) AS n
+    FROM shirts WHERE color = 'Brand#13'
+    """,
+)
+def proj_feed_pipeline(spark, sf_dir):
+    """The PipelineEx outfits→shirts feed (PipelineEx.v:185-221):
+    populate a derived table by projection, equality-filter it
+    (color = 'white' ≈ p_brand = 'Brand#13'), then SUM + MIN the price —
+    the composite the reference optimizes with DictIdx + SumAgg + MinAgg
+    indexes. Here the projection collapses into the scan (ColumnPruning)
+    and the filter pushes to parquet, so the 'index' is the row-group
+    skip — the Spark-native realization of the same asymptotics."""
+    p = tbl(spark, sf_dir, "part")
+    shirts = R.project(
+        p,
+        {
+            "color": F.col("p_brand"),
+            "name": F.col("p_name"),
+            "price": F.col("p_retailprice"),
+        },
+    )
+    white = R.filter_rows(shirts, F.col("color") == "Brand#13")
+    return white.agg(
+        F.sum(dec2(F.col("price"))).cast("double").alias("sum_price"),
+        F.min(dec2(F.col("price"))).cast("double").alias("min_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
     "window_rownum",
     """
     SELECT o_orderkey,
