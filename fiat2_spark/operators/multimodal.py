@@ -67,4 +67,8 @@ def extract_byte_features(binary_df: DataFrame) -> DataFrame:
                 }
             )
 
-    return binary_df.select("doc_id", "payload").mapInPandas(fe, FEATURE_SCHEMA)
+    # mapInPandas parallelism = input partition count; a single-row-group
+    # parquet scan would run every Arrow batch through one Python worker
+    slim = binary_df.select("doc_id", "payload")
+    n_out = binary_df.sparkSession.sparkContext.defaultParallelism
+    return slim.repartition(n_out).mapInPandas(fe, FEATURE_SCHEMA)

@@ -74,6 +74,102 @@ def run_streaming_window_smoke(spark: SparkSession, parquet_path: str) -> list:
         q.stop()
 
 
+def keyed_agg(events: DataFrame) -> DataFrame:
+    """Per-key SUM/MIN/COUNT — the reference's SumAgg/MinAgg/DictIdx
+    materialized aggregates (SumAgg.v:17-18, MinAgg.v:16-17,
+    DictIndexImpl.v:25-33) realized as one stateful aggregation: in
+    update mode, Structured Streaming maintains exactly the per-insert
+    O(1) aggregate updates the reference's cons_to_add_head /
+    cons_to_min_head rewrites prove correct. Runs identically on a
+    batch frame (full recompute) — the differential check."""
+    return events.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.min(F.col("value").cast("decimal(18,2)")).cast("double").alias("vmin"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def streaming_dedup(events: DataFrame, id_cols: list[str], watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-key stream: dropDuplicates keyed on id_cols with
+    watermark-bounded state (late duplicates beyond the watermark age
+    out of the dedup map — the scale knob)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return src.dropDuplicates(id_cols)
+
+
+RUNNING_STATE_SCHEMA = "total double, n bigint"
+RUNNING_OUT_SCHEMA = "event_type string, total double, n bigint"
+
+
+def _running_totals_fn(key, pdf_iter, state):
+    """applyInPandasWithState body: fold each micro-batch's rows into
+    (total, n) state; emit the updated running totals per key."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    if state.exists:
+        total, n = state.get
+    else:
+        total, n = 0.0, 0
+    for pdf in pdf_iter:
+        total += float(pdf["value"].sum())
+        n += int(len(pdf))
+    state.update((total, n))
+    yield pd.DataFrame({"event_type": [key[0]], "total": [total], "n": [n]})
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    running (total, count) carried across micro-batches in GroupState —
+    the engine escape hatch for operators update-mode aggregation can't
+    express (arbitrary Python state transitions, Arrow-batched). State
+    is partitioned by key → scales horizontally; no timeout so state is
+    unbounded (add GroupStateTimeout for production eviction)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=RUNNING_OUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _staged_stream(spark: SparkSession, parquet_path: str):
+    """File-source stream over a single parquet file (staged via symlink
+    into a temp dir), with the events nanos→timestamp normalization."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(parquet_path)
+    stage = tempfile.mkdtemp(prefix="fiat2_stream_")
+    os.symlink(os.path.abspath(parquet_path), os.path.join(stage, "part-0.parquet"))
+    stream = stream_from_parquet(spark, stage, static.schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
+        )
+    return stream
+
+
+def run_streaming_smoke(spark: SparkSession, parquet_path: str, plan, name: str, mode: str = "update") -> list:
+    """Drive `plan(stream_df)` as a real streaming query into a memory
+    sink; synchronous via processAllAvailable. Returns collected rows."""
+    q = (
+        plan(_staged_stream(spark, parquet_path))
+        .writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Sessionization: per-user session ids via gap detection — lag(ts)
     + cumulative sum over the gap indicator (the batch analog of

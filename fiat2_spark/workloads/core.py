@@ -645,6 +645,51 @@ def dict_ops_lookup(spark, sf_dir):
 
 
 @q(
+    "dict_fold",
+    """
+    SELECT r.r_name,
+           '|' || string_agg(n.n_name || '=' || n.n_nationkey, ';' ORDER BY n.n_name) AS folded,
+           SUM(n.n_nationkey) AS key_sum
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def dict_fold(spark, sf_dir):
+    """EDictFold (Interpret.v:346-350): fold over dict entries in sorted
+    key order. The dict's canonical form IS its sorted entry list
+    (Value.v: dicts are sorted (k,v) pairs), so the fold runs as
+    F.aggregate over array_sort(collect_list(struct(k,v))) — per region,
+    a name→key dict folded to ('|'-seeded ';'-joined k=v string, value
+    sum) — a non-commutative accumulator exercising entry order."""
+    r = tbl(spark, sf_dir, "region")
+    n = tbl(spark, sf_dir, "nation")
+    dicts = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("n_name").alias("k"), F.col("n_nationkey").alias("v")))
+                )
+            ).alias("d")
+        )
+    )
+    folded = A.dict_fold(
+        F.col("d"),
+        F.lit("|"),
+        lambda k, v, acc: F.concat(
+            acc,
+            F.when(acc == F.lit("|"), F.lit("")).otherwise(F.lit(";")),
+            k, F.lit("="), v.cast("string"),
+        ),
+    )
+    key_sum = A.dict_fold(
+        F.col("d"), F.lit(0).cast("long"), lambda k, v, acc: acc + v
+    )
+    return dicts.select("r_name", folded.alias("folded"), key_sum.alias("key_sum"))
+
+
+@q(
     "survey_join",
     """
     SELECT c_name AS name, n_name AS department, c_mktsegment AS feedback

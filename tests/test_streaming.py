@@ -4,7 +4,16 @@ its own batch execution — same plan, two runtimes."""
 
 from __future__ import annotations
 
-from fiat2_spark.streaming.stream_agg import run_streaming_window_smoke, windowed_agg
+from pyspark.sql import functions as F
+
+from fiat2_spark.streaming.stream_agg import (
+    keyed_agg,
+    run_streaming_smoke,
+    run_streaming_window_smoke,
+    stateful_running_totals,
+    streaming_dedup,
+    windowed_agg,
+)
 from fiat2_spark.workloads.util import tbl
 from tests.conftest import SF_SMOKE
 
@@ -16,3 +25,64 @@ def test_streaming_window_matches_batch(spark):
     b = {key(r): (r["n"], r["total"]) for r in batch}
     s = {key(r): (r["n"], r["total"]) for r in stream_rows}
     assert b == s and len(b) > 0
+
+
+def test_streaming_keyed_agg_matches_batch(spark):
+    """Update-mode stateful agg (the SumAgg/MinAgg maintenance analog):
+    the stream's final per-key state equals the batch recompute."""
+    batch = {r["event_type"]: (r["total"], r["vmin"], r["n"])
+             for r in keyed_agg(tbl(spark, SF_SMOKE, "events")).collect()}
+    rows = run_streaming_smoke(spark, f"{SF_SMOKE}/events.parquet", keyed_agg, "keyed_agg_smoke")
+    # update mode emits one row per key per batch; last emission wins
+    stream = {r["event_type"]: (r["total"], r["vmin"], r["n"]) for r in rows}
+    assert stream == batch and len(batch) > 0
+
+
+def test_streaming_stateful_running_totals(spark):
+    """applyInPandasWithState custom operator: per-key running totals
+    carried in GroupState equal the batch sum/count."""
+    ev = tbl(spark, SF_SMOKE, "events")
+    batch = {
+        r["event_type"]: (round(r["total"], 6), r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = run_streaming_smoke(
+        spark, f"{SF_SMOKE}/events.parquet", stateful_running_totals, "running_totals_smoke"
+    )
+    stream = {r["event_type"]: (round(r["total"], 6), r["n"]) for r in rows}
+    assert stream == batch and len(batch) > 0
+
+
+def test_streaming_dedup(spark):
+    """Watermarked dropDuplicates: each event_id survives exactly once
+    even when the source replays the batch twice."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{SF_SMOKE}/events.parquet"
+    static = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="fiat2_dedup_")
+    os.symlink(os.path.abspath(src), os.path.join(stage, "a.parquet"))
+    os.symlink(os.path.abspath(src), os.path.join(stage, "b.parquet"))  # replay
+
+    from fiat2_spark.streaming.stream_agg import stream_from_parquet
+
+    stream = stream_from_parquet(spark, stage, static.schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    q = (
+        streaming_dedup(stream, ["event_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_smoke").collect()[0]
+    finally:
+        q.stop()
+    assert got["n"] == got["d"] == static.select("event_id").distinct().count()
