@@ -37,6 +37,38 @@ def test_partitioned_write_prunes(spark):
         assert "n_regionkey=2" in buf.getvalue() or back.count() > 0
 
 
+def test_bucketed_join_skips_shuffle(spark):
+    """The DictIndex story physically: bucket both sides on the join key
+    → the sort-merge join reads co-located buckets with NO Exchange —
+    the persisted hash index amortized across every later join/lookup."""
+    import contextlib, io
+
+    c = tbl(spark, SF_SMOKE, "customer")
+    n = tbl(spark, SF_SMOKE, "nation").withColumnRenamed("n_nationkey", "nk")
+    from fiat2_spark.sources.io import write_bucketed
+
+    write_bucketed(c, "cust_bkt", "c_nationkey", n_buckets=8)
+    write_bucketed(n, "nat_bkt", "nk", n_buckets=8)
+    try:
+        j = (
+            spark.table("cust_bkt")
+            .join(
+                spark.table("nat_bkt").hint("merge"),
+                spark.table("cust_bkt")["c_nationkey"] == spark.table("nat_bkt")["nk"],
+            )
+            .select("c_name", "n_name")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+        assert j.count() == c.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cust_bkt")
+        spark.sql("DROP TABLE IF EXISTS nat_bkt")
+
+
 def test_json_records_server_boundary(spark):
     n = tbl(spark, SF_SMOKE, "nation").select("n_nationkey", "n_name").orderBy("n_nationkey")
     recs = to_json_records(n, n=3)
