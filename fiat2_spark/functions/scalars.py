@@ -33,6 +33,12 @@ _U64 = 18446744073709551616  # 2^64
 _I64_MAX = 9223372036854775807
 
 
+def _u64_lit() -> Column:
+    """2^64 as a DECIMAL literal — it exceeds long, so F.lit(int) would
+    fail at the py4j boundary; route through a string cast."""
+    return F.lit(str(_U64)).cast("decimal(21,0)")
+
+
 def _col(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
@@ -84,7 +90,7 @@ def _unsigned(c: Column, w: int) -> Column:
     """Unsigned reinterpretation: long for w<64, DECIMAL(20,0) for w=64."""
     if w >= 64:
         d = c.cast("decimal(20,0)")
-        return F.when(c < 0, d + F.lit(_U64).cast("decimal(21,0)")).otherwise(d)
+        return F.when(c < 0, d + _u64_lit()).otherwise(d)
     return c.bitwiseAND(F.lit(_mask(w)))
 
 
@@ -92,7 +98,7 @@ def _u64_to_long(d: Column) -> Column:
     """DECIMAL in [0, 2^64) → the signed long with that bit pattern."""
     return F.when(
         d > F.lit(_I64_MAX).cast("decimal(20,0)"),
-        (d.cast("decimal(21,0)") - F.lit(_U64).cast("decimal(21,0)")).cast("long"),
+        (d.cast("decimal(21,0)") - _u64_lit()).cast("long"),
     ).otherwise(d.cast("long"))
 
 
@@ -126,8 +132,9 @@ def word_divu(a, b, w: int = 64) -> Column:
     if w >= 64:
         q = _u64_to_long(_exact_div_nonneg(ua, ub))
         return F.when(b == 0, F.lit(-1).cast("long")).otherwise(q)
+    # all-ones sign-extends to -1 in the stored w-bit signed representation
     q = _exact_div_nonneg(ua, ub).cast("long")
-    return F.when(ub == 0, F.lit(_mask(w)).cast("long")).otherwise(_wrap(q, w))
+    return F.when(ub == 0, F.lit(-1).cast("long")).otherwise(_wrap(q, w))
 
 
 def word_modu(a, b, w: int = 64) -> Column:
