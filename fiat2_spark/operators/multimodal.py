@@ -48,7 +48,7 @@ def decode_media(kind: str):
     return lambda b: b
 
 
-def extract_byte_features(binary_df: DataFrame) -> DataFrame:
+def extract_byte_features(binary_df: DataFrame, n_partitions: int | None = None) -> DataFrame:
     """Deterministic fake 'feature extraction' over binary payloads via
     mapInPandas: per-payload byte count, additive checksum mod 997, and
     head bytes as hex. Arrow-batched — the exact shape a real decoder
@@ -67,8 +67,13 @@ def extract_byte_features(binary_df: DataFrame) -> DataFrame:
                 }
             )
 
-    # mapInPandas parallelism = input partition count; a single-row-group
-    # parquet scan would run every Arrow batch through one Python worker
+    # mapInPandas parallelism = input partition count. Pass n_partitions
+    # (e.g. defaultParallelism) when the per-row work is heavy — a real
+    # image/audio decode — and the input has few partitions; for cheap
+    # extractors the Python-worker fan-out costs more than it saves
+    # (measured: 32-way repartition of a 5k-row byte checksum was 10×
+    # slower than the single-partition run).
     slim = binary_df.select("doc_id", "payload")
-    n_out = binary_df.sparkSession.sparkContext.defaultParallelism
-    return slim.repartition(n_out).mapInPandas(fe, FEATURE_SCHEMA)
+    if n_partitions is not None:
+        slim = slim.repartition(n_partitions)
+    return slim.mapInPandas(fe, FEATURE_SCHEMA)

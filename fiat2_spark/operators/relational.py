@@ -80,6 +80,38 @@ def theta_join(
     return _retag(joined, tag)
 
 
+def salted_equi_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: explode the left's hot keys across
+    ``salt`` shuffle partitions by appending a random salt to the key,
+    replicating each right row once per salt value. Use when one key
+    holds a large share of the rows and the right side is too big to
+    broadcast — AQE's skew-join split handles moderate skew at runtime,
+    but a single pathological key within one partition still serializes;
+    salting is the explicit fix. Cost: right side × salt, so keep salt
+    small (8-32).
+    """
+    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    joined = l_salted.join(
+        r_salted,
+        on=[
+            l_salted[left_key] == r_salted[right_key],
+            l_salted["__salt"] == r_salted["__salt"],
+        ],
+        how=how,
+    )
+    return joined.drop("__salt")
+
+
 def semi_join(left: DataFrame, right: DataFrame, pred: Column) -> DataFrame:
     """The reference's existence idiom — ``[y <- t, check p, ret ()] != []``
     (Ex_BFS.v:42) — as a real semi-join."""

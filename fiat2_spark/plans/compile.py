@@ -514,6 +514,21 @@ def eval_value(e: A.Expr, env: dict, store, spark: SparkSession) -> Any:
     return row["v"]
 
 
+def scalar_frame(named: dict[str, A.Expr], env: dict, store, spark: SparkSession) -> DataFrame:
+    """One-row DataFrame of named scalar-typed expressions — the read
+    path of the Ex_Orders / Ex_Sum command loops (sum/min reads plus
+    threshold logic, Ex_Orders.v:69-76). Table-rooted aggregates inside
+    each expression are lifted to DataFrame aggregations
+    (annotate_collection's sum/min/count recognition,
+    CollectionTransf.v:6-22); the residual scalar expression compiles to
+    a single-row select."""
+    cols = []
+    for name, e in named.items():
+        lifted = _lift_table_aggs(e, env, store, spark)
+        cols.append(compile_column(lifted, env).alias(name))
+    return spark.range(1).select(*cols)
+
+
 def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
     def lift(sub: A.Expr) -> A.Expr:
         match sub:

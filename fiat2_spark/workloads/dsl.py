@@ -6,7 +6,7 @@ and checked against DuckDB — the end-to-end proof that a reference user's
 from __future__ import annotations
 
 from fiat2_spark.plans import ast as A
-from fiat2_spark.plans.compile import compile_expr
+from fiat2_spark.plans.compile import compile_expr, scalar_frame
 from fiat2_spark.plans.interp import Store
 from fiat2_spark.workloads.util import tbl
 
@@ -104,6 +104,43 @@ def dsl_filter_project(spark, sf_dir):
         ),
     )
     return compile_expr(prog, {}, _store(spark, sf_dir, "customer"), spark)
+
+
+@q(
+    "dsl_orders_agg",
+    """
+    SELECT SUM(o_custkey) AS sum_price,
+           MIN(o_custkey) AS min_price,
+           CASE WHEN SUM(o_custkey) < 300 THEN 'no discount' ELSE 'discount' END AS status
+    FROM orders
+    """,
+)
+def dsl_orders_agg(spark, sf_dir):
+    """The Ex_Orders 'discount status' read (Ex_Orders.v:69-76): SUM and
+    MIN folds over a projected table plus threshold logic, written as
+    fold ASTs. The compiler's agg lifting (the annotate_collection
+    sum/min recognition, CollectionTransf.v:6-22) turns each
+    table-rooted fold into a DataFrame aggregation — a user writing
+    folds still gets partial+final agg() plans, never a driver loop."""
+    proj = A.EProj(
+        "LikeBag",
+        A.ELoc("orders"),
+        "o",
+        A.ERecord((("p", A.EAccess(A.EVar("o"), "o_custkey")),)),
+    )
+    total = A.EACFold("AGSum", proj)
+    low = A.EACIFold("AGMin", A.ESetOf(proj))
+    status = A.EIf(
+        A.EBinop("OLess", total, A.EAtom(A.AInt(300))),
+        A.EAtom(A.AString("no discount")),
+        A.EAtom(A.AString("discount")),
+    )
+    return scalar_frame(
+        {"sum_price": total, "min_price": low, "status": status},
+        {},
+        _store(spark, sf_dir, "orders"),
+        spark,
+    )
 
 
 @q(

@@ -67,3 +67,22 @@ def test_candidate_joins_are_hash_joins(spark, name):
 def test_semi_anti_join_physical(spark):
     assert "LeftSemi" in plan_of(QUERIES["semi_join"](spark, SF_SMOKE))
     assert "LeftAnti" in plan_of(QUERIES["anti_join"](spark, SF_SMOKE))
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted equi-join (the explicit skew fix) returns exactly the rows
+    of the plain join, and the salt key reaches the shuffle (both join
+    keys participate in the Exchange partitioning)."""
+    from fiat2_spark.operators.relational import salted_equi_join
+    from fiat2_spark.workloads.util import tbl
+
+    c = tbl(spark, SF_SMOKE, "customer")
+    n = tbl(spark, SF_SMOKE, "nation")
+    plain = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select("c_custkey", "n_name")
+    salted = salted_equi_join(c, n, "c_nationkey", "n_nationkey", salt=8).select(
+        "c_custkey", "n_name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert "__salt" in plan_of(
+        salted_equi_join(c, n, "c_nationkey", "n_nationkey", salt=8)
+    )
