@@ -338,6 +338,41 @@ def int_range(spark, sf_dir):
 
 
 @q(
+    "word_range",
+    """
+    SELECT CAST(r AS BIGINT) AS n,
+           CAST(CASE WHEN (r & 255) >= 128 THEN (r & 255) - 256
+                     ELSE r & 255 END AS BIGINT) AS w8
+    FROM range(200, 300) t(r)
+    """,
+)
+def word_range(spark, sf_dir):
+    """OWRange (Interpret.v:80-90,183-185): word range [lo,hi) at width
+    8 — values wrap through the sign boundary (200..255 are negative in
+    the signed representative, 256+ wrap to 0)."""
+    r = R.int_range(spark, 200, 300)
+    return r.select(F.col("n"), S.word_add(F.col("n"), F.lit(0), 8).alias("w8"))
+
+
+@q(
+    "bag_set_insert",
+    """
+    WITH b AS (SELECT n_regionkey AS v FROM nation UNION ALL SELECT 2)
+    SELECT v, COUNT(*) AS cnt FROM b GROUP BY v
+    """,
+)
+def bag_set_insert(spark, sf_dir):
+    """OBagInsert/OSetInsert (Interpret.v:186-193): insert into a bag =
+    append + recanonicalize to sorted (value,count); the set after the
+    same insert is exactly the bag's key column (sorted dedup) — one
+    result proves both canonical forms."""
+    n = tbl(spark, sf_dir, "nation")
+    bag = n.select(F.col("n_regionkey").alias("v"))
+    inserted = R.cons_row(bag, {"v": 2})
+    return inserted.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@q(
     "top_k",
     """
     SELECT o_orderkey, o_totalprice FROM orders
