@@ -44,6 +44,11 @@ HEADLINE = [
     "stream_window_agg",  # tumbling-window aggregation
     "sessionize",         # gap-based sessionization
     "multimodal_bytes",   # Arrow-batched pandas feature extraction
+    "survey_join",        # hyphenated-field join (Ex_Survey)
+    "proj_feed_pipeline", # projection-feed + sum/min (PipelineEx)
+    "dict_fold",          # EDictFold over sorted entries
+    "dsl_orders_agg",     # DSL fold -> lifted agg plan
+    "text_fingerprint",   # md5 + rolling hash
 ]
 
 
