@@ -112,6 +112,44 @@ def salted_equi_join(
     return joined.drop("__salt")
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of join (engine surface beyond the reference): for each left
+    row, the right row with the greatest ``ts_col`` ≤ the left's, per
+    key — left-join semantics (unmatched → nulls in ``right_cols``).
+
+    Implementation is the union+window trick: tag the sides, union by
+    name, and carry each right value forward with last(ignorenulls)
+    over (keys ORDER BY ts, side) — right sorts before left on ties so
+    equal timestamps match. ONE shuffle on the keys and a partition-local
+    sort; never builds the range-join pair explosion, so it scales like
+    a sort-merge join. Right rows must be unique per (keys, ts) —
+    pre-aggregate ties — and ``right_cols`` must not collide with left
+    column names.
+    """
+    from pyspark.sql import Window as W
+
+    u = left.withColumn("__is_l", F.lit(1)).unionByName(
+        right.withColumn("__is_l", F.lit(0)), allowMissingColumns=True
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(ts_col), F.col("__is_l"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *left.columns,
+        "__is_l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in right_cols],
+    )
+    return filled.filter(F.col("__is_l") == 1).drop("__is_l")
+
+
 def semi_join(left: DataFrame, right: DataFrame, pred: Column) -> DataFrame:
     """The reference's existence idiom — ``[y <- t, check p, ret ()] != []``
     (Ex_BFS.v:42) — as a real semi-join."""

@@ -175,3 +175,37 @@ def sessionize_events(spark, sf_dir):
         "session_end",
         "n_events",
     )
+
+
+@q(
+    "asof_join",
+    """
+    WITH r AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.click_id, r.ts AS click_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest
+    prior-or-equal click (engine surface beyond the reference — the
+    standard event-correlation primitive). Spark side is the
+    union+window trick (one shuffle + partition-local sort, no range
+    explosion); the oracle is DuckDB's native ASOF LEFT JOIN — two
+    entirely different algorithms, same rows."""
+    from fiat2_spark.operators.relational import asof_join as aj
+
+    ev = tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    return aj(left, right, ["user_id"], "ts", ["click_id", "click_ts"])
