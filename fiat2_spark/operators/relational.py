@@ -150,6 +150,40 @@ def asof_join(
     return filled.filter(F.col("__is_l") == 1).drop("__is_l")
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Interval join: pairs where ``right_ts ∈ [left_ts - window, left_ts]``
+    per key, built scale-safe. A naive range predicate after an equi-join
+    on a hot key degenerates to a per-key cross product; binning
+    timestamps into window-width buckets and exploding the left row into
+    the two covering buckets turns the range condition into an
+    equi-join on (keys, bucket) — each pair is examined at most once and
+    the shuffle keys are uniform. The exact range filter runs on the
+    surviving candidates only.
+    """
+    lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
+    l_binned = left.withColumn("__bin", F.explode(F.array(lb - 1, lb)))
+    r_binned = right.withColumn("__bin", rb)
+    on = [l_binned[k] == r_binned[k] for k in keys] + [
+        l_binned["__bin"] == r_binned["__bin"]
+    ]
+    assert left_ts != right_ts, "rename one timestamp column before joining"
+    joined = l_binned.join(r_binned, on=on)
+    for k in keys:
+        joined = joined.drop(r_binned[k])
+    in_range = (F.col(right_ts) <= F.col(left_ts)) & (
+        F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECOND")
+    )
+    return joined.filter(in_range).drop("__bin")
+
+
 def semi_join(left: DataFrame, right: DataFrame, pred: Column) -> DataFrame:
     """The reference's existence idiom — ``[y <- t, check p, ret ()] != []``
     (Ex_BFS.v:42) — as a real semi-join."""

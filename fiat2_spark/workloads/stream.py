@@ -209,3 +209,78 @@ def asof_join(spark, sf_dir):
         .withColumn("click_ts", F.col("ts"))
     )
     return aj(left, right, ["user_id"], "ts", ["click_id", "click_ts"])
+
+
+@q(
+    "json_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract(spark, sf_dir):
+    """Semi-structured props: extract a field from the JSON payload
+    column JVM-side (get_json_object — no Python in the loop) and
+    aggregate. The training-data staple for metadata-carrying event
+    logs; schema stays on read."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("k_sum"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@q(
+    "rollup_multires",
+    """
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+    """,
+)
+def rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: one pass produces
+    per-(day, type), per-day, and grand-total aggregates (GROUPING SETS
+    share the shuffle). The engine surface the reference's materialized
+    aggregates generalize to at warehouse scale."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.rollup(F.date_trunc("day", F.col("ts")).cast("date").alias("day"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "range_join_binned",
+    """
+    WITH l AS (SELECT event_id, user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+    SELECT l.event_id, COUNT(*) AS n_clicks
+    FROM l JOIN r ON l.user_id = r.user_id
+       AND r.cts <= l.pts AND r.cts >= l.pts - INTERVAL 1 HOUR
+    GROUP BY l.event_id
+    """,
+)
+def range_join_binned(spark, sf_dir):
+    """Interval join: clicks within the hour before each purchase,
+    per user. The Spark side bins timestamps into window-width buckets
+    (equi-join on (user, bucket), exact filter on survivors) — the
+    scale-safe realization; the oracle states the naive range join."""
+    from fiat2_spark.operators.relational import range_join_binned as rj
+
+    ev = tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("pts")
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    pairs = rj(left, right, ["user_id"], "pts", "cts", 3600)
+    return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
