@@ -830,3 +830,51 @@ def window_rownum(spark, sf_dir):
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@q(
+    "distinct_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_custs
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def distinct_agg(spark, sf_dir):
+    """Distinct aggregation (engine surface beyond the reference,
+    SURVEY §2.5 note): two-phase plan — partial dedup of (group, value)
+    pairs before the count, so the shuffle carries distinct pairs."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_custs"),
+    )
+
+
+@q(
+    "set_ops",
+    """
+    SELECT n_nationkey AS k FROM nation JOIN customer ON c_nationkey = n_nationkey
+    INTERSECT
+    SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    EXCEPT
+    SELECT n_regionkey FROM nation
+    """,
+)
+def set_ops(spark, sf_dir):
+    """Set intersect/except (absent in the reference — SURVEY §2.7 notes
+    sets exist without ∩/∖; Spark provides both): nations having
+    customers AND suppliers, minus keys that are also region keys."""
+    n = tbl(spark, sf_dir, "nation")
+    c = tbl(spark, sf_dir, "customer")
+    s = tbl(spark, sf_dir, "supplier")
+    with_cust = n.join(c, F.col("c_nationkey") == F.col("n_nationkey")).select(
+        F.col("n_nationkey").alias("k")
+    )
+    with_supp = n.join(s, F.col("s_nationkey") == F.col("n_nationkey")).select(
+        F.col("n_nationkey").alias("k")
+    )
+    return with_cust.intersect(with_supp).exceptAll(
+        n.select(F.col("n_regionkey").alias("k")).distinct()
+    )
