@@ -878,3 +878,21 @@ def set_ops(spark, sf_dir):
     return with_cust.intersect(with_supp).exceptAll(
         n.select(F.col("n_regionkey").alias("k")).distinct()
     )
+
+
+@q(
+    "outer_join",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+)
+def outer_join(spark, sf_dir):
+    """Left outer join (engine surface — the reference has no outer
+    joins, SURVEY §2.4): customers kept with null order columns when no
+    order exists; null-extension semantics match the SQL oracle."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )

@@ -284,3 +284,23 @@ def range_join_binned(spark, sf_dir):
     )
     pairs = rj(left, right, ["user_id"], "pts", "cts", 3600)
     return pairs.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@q(
+    "keyed_agg_maintenance",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS vmin,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def keyed_agg_maintenance(spark, sf_dir):
+    """The SumAgg/MinAgg/DictIdx materialized aggregates (§4.3) as one
+    keyed aggregation — the same plan runs in update-mode Structured
+    Streaming where state IS the maintained index (per-insert O(1)
+    updates; batch/stream agreement tested in test_streaming.py)."""
+    from fiat2_spark.streaming.stream_agg import keyed_agg
+
+    return keyed_agg(tbl(spark, sf_dir, "events"))
