@@ -174,24 +174,37 @@ def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = t.select("doc", F.md5(F.col("tok")).alias("h"))
+    # one packed aggregate per hex digit instead of one per bit: the 4
+    # one-bit counts ride in 16-bit lanes of a single long (codegen for
+    # 60 separate sums took seconds to Janino-compile). Lane capacity
+    # caps documents at 65535 tokens — split longer docs upstream.
     digs = h.select(
         "doc",
         *[
-            F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("int").alias(f"v{d}")
+            F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("long").alias(f"v{d}")
             for d in range(SIMHASH_BITS // 4)
         ],
     )
+
+    def packed(d: int):
+        v = F.col(f"v{d}")
+        lanes = sum(
+            (F.shiftright(v, bit).bitwiseAND(F.lit(1)) * F.lit(1 << (16 * bit)))
+            for bit in range(4)
+        )
+        return F.sum(lanes).alias(f"p{d}")
+
     votes = digs.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.shiftright(F.col(f"v{b // 4}"), b % 4).bitwiseAND(F.lit(1)) * 2 - 1
-            ).alias(f"s{b}")
-            for b in range(SIMHASH_BITS)
-        ]
+        F.count(F.lit(1)).alias("ntok"),
+        *[packed(d) for d in range(SIMHASH_BITS // 4)],
     )
+    # bit b set ⟺ ones-count strictly exceeds half: 2·c1 > n (vote > 0)
     sh = F.lit(0).cast("long")
     for b in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        c1 = F.shiftright(F.col(f"p{b // 4}"), 16 * (b % 4)).bitwiseAND(F.lit(0xFFFF))
+        sh = sh + F.when(c1 * 2 > F.col("ntok"), F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     return votes.select("doc", sh.alias("sh"))
 
 
