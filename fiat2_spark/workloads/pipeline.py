@@ -419,3 +419,62 @@ def multimodal_bytes(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     bin_tbl = M.to_binary_table(d, "doc_id", "text", "text")
     return M.extract_byte_features(bin_tbl)
+
+
+@q(
+    "pipeline_e2e",
+    f"""
+    WITH toks AS ({_TOKS}), comp AS (
+      SELECT doc_id, lang, toks,
+             least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0) AS len_term,
+             least((CAST(len(list_filter(toks, t -> list_contains([{_SW['en']}], t))) AS DOUBLE)
+                    / greatest(len(toks), 1)) * 5.0, 1.0) AS sw_term,
+             1.0 - least((CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                          / greatest(length(text), 1)) * 4.0, 1.0) AS punct_term,
+             CASE WHEN (CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+                        / greatest(len(toks), 1)) BETWEEN 3.0 AND 8.0
+                  THEN 1.0 ELSE 0.5 END AS len_band,
+             md5(array_to_string(toks, ' ')) AS fp
+      FROM toks
+    ), scored AS (
+      SELECT doc_id, lang, toks, fp,
+             round(0.3*len_term + 0.3*sw_term + 0.2*punct_term + 0.2*len_band, 6) AS quality
+      FROM comp
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.5
+    ), keepers AS (
+      SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp
+    )
+    SELECT k.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(k.toks)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(k.quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+    FROM keepers j JOIN kept k ON k.doc_id = j.doc_id
+    GROUP BY k.lang
+    """,
+)
+def pipeline_e2e(spark, sf_dir):
+    """End-to-end training-data prep — the composition a real pipeline
+    runs: quality-score every document, drop low-quality (< 0.5),
+    exact-dedup on the normalized-text fingerprint (lowest doc_id
+    survives), then per-language corpus stats. Every stage is the
+    already-oracle-checked operator; this checks their COMPOSITION
+    (column flow, dedup-then-join-back, decimal-exact double sums).
+    One scan, two shuffles (dedup keys, language groups)."""
+    d = tbl(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        TX.token_count(t).alias("n_tokens"),
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.5)
+    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = keepers.select("doc_id").join(kept, "doc_id")
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
+    )
