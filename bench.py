@@ -49,6 +49,11 @@ HEADLINE = [
     "dict_fold",          # EDictFold over sorted entries
     "dsl_orders_agg",     # DSL fold -> lifted agg plan
     "text_fingerprint",   # md5 + rolling hash
+    "asof_join",          # union+window as-of join
+    "range_join_binned",  # binned interval join
+    "json_extract",       # JVM-side JSON field extraction
+    "rollup_multires",    # grouping-sets rollup
+    "pipeline_e2e",       # composed prep pipeline
 ]
 
 
