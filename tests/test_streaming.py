@@ -86,3 +86,27 @@ def test_streaming_dedup(spark):
     finally:
         q.stop()
     assert got["n"] == got["d"] == static.select("event_id").distinct().count()
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """Our gap+lag sessionization must agree with Spark's native
+    session_window (window merging) on session starts, event counts,
+    and last-event times — two algorithms, one semantics."""
+    from fiat2_spark.streaming.stream_agg import sessionize
+
+    ev = tbl(spark, SF_SMOKE, "events")
+    ours = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_end"])
+        for r in sessionize(ev, gap_minutes=30).collect()
+    }
+    native = {
+        (r["user_id"], r["first_ts"]): (r["n"], r["last_ts"])
+        for r in ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert ours == native and len(ours) > 0
