@@ -39,17 +39,19 @@ def q(name: str, oracle: str | None = None):
     """
     SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
     FROM lineitem
-    WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_quantity > 45 AND l_shipdate < TIMESTAMP '1998-01-01'
     """,
 )
 def filter_scan(spark, sf_dir):
     """EFilter (Interpret.v:369-404): predicate pushed to the parquet scan
-    (PushedFilters in explain) — filter_pushdown_head realized by Catalyst."""
+    (PushedFilters in explain) — filter_pushdown_head realized by Catalyst.
+    Thresholds chosen so the result is non-empty at every sf (an empty
+    result would hash-match trivially)."""
     li = tbl(spark, sf_dir, "lineitem")
     out = R.filter_rows(
         li,
         (F.col("l_quantity") > 45)
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp")),
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")),
     )
     return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
@@ -157,14 +159,17 @@ def theta_join_nonequi(spark, sf_dir):
     "semi_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def semi_join(spark, sf_dir):
     """The reference's existence idiom (Ex_BFS.v:42 anti/semi pattern):
-    correlated-subquery non-emptiness → left_semi join."""
+    correlated-subquery non-emptiness → left_semi join. The price
+    condition makes the semi-join selective — every customer has SOME
+    order, so the unconditioned form kept all rows (trivial)."""
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return R.semi_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name"
     )
@@ -174,14 +179,17 @@ def semi_join(spark, sf_dir):
     "anti_join",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
     """,
 )
 def anti_join(spark, sf_dir):
     """`[... ] = []` emptiness test (CollectionTransf.v:19-20 bag-emptiness
-    annotation) → left_anti join."""
+    annotation) → left_anti join. Conditioned on price so the complement
+    is non-empty at every sf — the unconditioned form returned zero rows
+    (all customers have orders), which hash-matches trivially."""
     c = tbl(spark, sf_dir, "customer")
-    o = tbl(spark, sf_dir, "orders")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return R.anti_join(c, o, F.col("c_custkey") == F.col("o_custkey")).select(
         "c_custkey", "c_name"
     )
