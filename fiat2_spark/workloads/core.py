@@ -904,3 +904,60 @@ def outer_join(spark, sf_dir):
     return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left").select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer
+    ) WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-k per group (engine surface): rank within partition + filter.
+    Unlike global top-k (TakeOrderedAndProject), this shuffles once on
+    the group key and sorts within partitions — no global sort."""
+    from pyspark.sql import Window as W
+
+    c = tbl(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_mktsegment", "c_custkey", "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "quantile_disc",
+    """
+    SELECT o_orderpriority AS prio,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def quantile_disc(spark, sf_dir):
+    """Discrete quantiles per group — exact, engine-portable: the
+    sorted-array realization picks element ceil(q*n) (the quantile_disc
+    definition), so Spark and DuckDB agree bit-for-bit with no
+    interpolation semantics to reconcile. At 100 TB prefer
+    approx_percentile (t-digest sketch, one pass, mergeable); the exact
+    form is the oracle-checkable baseline."""
+    o = tbl(spark, sf_dir, "orders")
+    grouped = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    def disc(q):
+        idx = F.greatest(F.ceil(F.col("n") * q), F.lit(1)).cast("int")
+        return F.element_at(F.col("vals"), idx)
+    return grouped.select("prio", disc(0.5).alias("p50"), disc(0.9).alias("p90"), "n")
