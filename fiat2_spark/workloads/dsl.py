@@ -218,3 +218,73 @@ def dsl_grandchildren(spark, sf_dir):
         A.ERecord((("grandchild", A.EAccess(A.EVar("q"), "child")),)),
     )
     return compile_expr(prog, {}, _store(spark, sf_dir, "region", "nation", "customer"), spark)
+
+
+@q(
+    "dsl_command_pipeline",
+    """
+    WITH base AS (SELECT o_orderkey AS id, o_custkey AS price FROM orders),
+    ins AS (SELECT * FROM (VALUES (9000001, 100), (9000002, 200), (9000003, 300)) t(id, price)),
+    all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    SELECT SUM(price) AS sum_price, MIN(price) AS min_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM all_rows
+    """,
+)
+def dsl_command_pipeline(spark, sf_dir):
+    """The full Ex_Orders command program (Ex_Orders.v:54,69-76) through
+    the interpreter: CLetMut a mutable table from a projection, CForeach
+    an insert loop (OCons a record per iteration), then read maintained
+    SUM/MIN/COUNT into store slots — the query-in-a-loop +
+    table-mutation lifecycle the reference's index rewrites optimize,
+    executed against real parquet through the store."""
+    from pyspark.sql import Row
+
+    from fiat2_spark.plans.interp import run_command
+
+    st = Store()
+    st.assign("orders", tbl(spark, sf_dir, "orders"))
+    base = A.EProj(
+        "LikeBag",
+        A.ELoc("orders"),
+        "o",
+        A.ERecord((
+            ("id", A.EAccess(A.EVar("o"), "o_orderkey")),
+            ("price", A.EAccess(A.EVar("o"), "o_custkey")),
+        )),
+    )
+    insert = A.CAssign(
+        "orders_mut",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OPlus", A.EVar("n"), A.EAtom(A.AInt(9000000)))),
+                ("price", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(100)))),
+            )),
+            A.ELoc("orders_mut"),
+        ),
+    )
+    price_proj = A.EProj(
+        "LikeBag", A.ELoc("orders_mut"), "x", A.EAccess(A.EVar("x"), "price")
+    )
+    prog = A.CLetMut(
+        base,
+        "orders_mut",
+        A.CSeq(
+            A.CForeach(
+                A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(4))), "n", insert
+            ),
+            A.CSeq(
+                A.CAssign("out_sum", A.EACFold("AGSum", price_proj)),
+                A.CSeq(
+                    A.CAssign("out_min", A.EACIFold("AGMin", A.ESetOf(price_proj))),
+                    A.CAssign("out_n", A.EUnop("OLength", A.ELoc("orders_mut"))),
+                ),
+            ),
+        ),
+    )
+    run_command(prog, st, {}, spark)
+    return spark.createDataFrame(
+        [Row(sum_price=st.get("out_sum"), min_price=st.get("out_min"), n=st.get("out_n"))],
+        "sum_price long, min_price long, n long",
+    )
