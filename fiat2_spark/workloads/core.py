@@ -961,3 +961,41 @@ def quantile_disc(spark, sf_dir):
         idx = F.greatest(F.ceil(F.col("n") * q), F.lit(1)).cast("int")
         return F.element_at(F.col("vals"), idx)
     return grouped.select("prio", disc(0.5).alias("p50"), disc(0.9).alias("p90"), "n")
+
+
+@q(
+    "nested_collections",
+    """
+    WITH per_region AS (
+      SELECT r.r_name,
+             list_sort(list(n.n_name)) AS names
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT r_name,
+           list_transform(list_filter(names, x -> length(x) > 5), x -> lower(x)) AS long_names,
+           len(names) AS n_names,
+           list_contains(names, 'CHINA') AS has_china
+    FROM per_region
+    """,
+)
+def nested_collections(spark, sf_dir):
+    """Nested TList columns (§1.4: TList t → ArrayType) manipulated with
+    higher-order functions — filter/transform/exists INSIDE a row, the
+    nested-collection half of the fiat2 data model (flatmap over nested
+    lists without exploding). All JVM-side expressions."""
+    r = tbl(spark, sf_dir, "region")
+    n = tbl(spark, sf_dir, "nation")
+    per_region = (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_sort(F.collect_list("n_name")).alias("names"))
+    )
+    return per_region.select(
+        "r_name",
+        F.transform(
+            F.filter(F.col("names"), lambda x: F.length(x) > 5), F.lower
+        ).alias("long_names"),
+        F.size(F.col("names")).cast("long").alias("n_names"),
+        F.array_contains(F.col("names"), "CHINA").alias("has_china"),
+    )
