@@ -271,6 +271,65 @@ def int_range(spark, lo: int, hi: int) -> DataFrame:
     return spark.range(lo, max(lo, hi)).toDF("n")
 
 
+# -- global row numbering (pk-index id assignment, BitmapIndex.v:13-18) ----
+
+def global_row_number(
+    df: DataFrame,
+    order_col: str,
+    id_name: str = "rn",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Consecutive 1-based ids in the total order of ``order_col``,
+    WITHOUT the single-partition global window: ``ROW_NUMBER() OVER
+    (ORDER BY k)`` moves every row into one task — the one plan shape
+    that cannot scale past a single executor core. This is the Spark
+    realization of the reference's pk-index consecutive-id fold
+    (BitmapIndex.v:13-18) for tables that outgrow a single machine.
+
+    Two fully parallel passes (the classic zipWithIndex shape, kept in
+    DataFrame land):
+
+    1. collect ``n_buckets``-1 approximate quantile cut points of
+       ``order_col`` (a tiny driver-side list) and range-bucket every
+       row against the cut array with a pure expression — deterministic
+       given the collected cuts, so no persist is needed between passes;
+    2. count rows per bucket (an ``n_buckets``-row aggregate) and
+       prefix-sum the counts into per-bucket offsets on the driver;
+    3. ``row_number`` within each bucket — parallel, partition-local
+       windows — plus the bucket's offset.
+
+    ``order_col`` must be numeric and unique (equal keys straddling a
+    cut point would make ranks depend on bucket placement; the
+    reference numbers rows of a keyed table, so a unique key exists).
+    Cut-point skew only affects bucket *sizes*, never correctness.
+    """
+    from pyspark.sql import Window as W
+
+    b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+    counts = {
+        r["__bucket"]: r["cnt"]
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
+    for i in range(len(cuts) + 1):
+        offsets.extend((F.lit(i), F.lit(acc)))
+        acc += counts.get(i, 0)
+    off_map = F.create_map(*offsets)
+    w = W.partitionBy("__bucket").orderBy(order_col)
+    return bucketed.withColumn(
+        id_name,
+        F.row_number().over(w).cast("long")
+        + F.element_at(off_map, F.col("__bucket")).cast("long"),
+    ).drop("__bucket")
+
+
 # -- limit / top-k (absent in reference; engine surface) -------------------
 
 def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:

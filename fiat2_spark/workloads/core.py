@@ -822,17 +822,20 @@ def proj_feed_pipeline(spark, sf_dir):
 )
 def window_rownum(spark, sf_dir):
     """The primary-key index's consecutive-id fold (BitmapIndex.v:13-18)
-    as row_number(); plus a running aggregate — the moral analog of the
-    reference's incremental maintenance (§4.3) as a window. NOTE the
-    global ORDER BY window is a single-partition sort — fine for id
-    assignment parity, but at 100 TB use zipWithIndex-style
-    per-partition offsets or monotonically_increasing_id instead."""
+    plus a running aggregate — the moral analog of the reference's
+    incremental maintenance (§4.3) as a window. The global ids come from
+    ``global_row_number`` (quantile-bucketed two-pass numbering) rather
+    than a global ORDER BY window, so no stage ever collapses to a
+    single partition; the running sum is an ordinary partitioned window.
+    The oracle's ROW_NUMBER() OVER (ORDER BY …) checks the two-pass
+    scheme produces the exact same total ordering."""
     from pyspark.sql import Window as W
 
     o = tbl(spark, sf_dir, "orders")
-    return o.select(
+    numbered = R.global_row_number(o, "o_orderkey", id_name="rn")
+    return numbered.select(
         "o_orderkey",
-        F.row_number().over(W.orderBy("o_orderkey")).alias("rn"),
+        "rn",
         F.sum(dec2(F.col("o_totalprice")))
         .over(W.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(W.unboundedPreceding, 0))
         .cast("double")

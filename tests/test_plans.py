@@ -64,6 +64,35 @@ def test_candidate_joins_are_hash_joins(spark, name):
     assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian product"
 
 
+def test_global_rownum_never_single_partition(spark):
+    """global_row_number must not plan the single-partition global-window
+    shape (`Exchange SinglePartition` feeding a Window) — every stage of
+    the two-pass numbering stays parallel."""
+    p = plan_of(QUERIES["window_rownum"](spark, SF_SMOKE))
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_global_rownum_matches_window(spark):
+    from fiat2_spark.operators.relational import global_row_number
+    from fiat2_spark.workloads.util import tbl
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    o = tbl(spark, SF_SMOKE, "orders")
+    got = {
+        (r["o_orderkey"], r["rn"])
+        for r in global_row_number(o, "o_orderkey", n_buckets=7).select("o_orderkey", "rn").collect()
+    }
+    want = {
+        (r["o_orderkey"], r["rn"])
+        for r in o.select(
+            "o_orderkey", F.row_number().over(W.orderBy("o_orderkey")).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_semi_anti_join_physical(spark):
     assert "LeftSemi" in plan_of(QUERIES["semi_join"](spark, SF_SMOKE))
     assert "LeftAnti" in plan_of(QUERIES["anti_join"](spark, SF_SMOKE))

@@ -2,7 +2,7 @@
 """Replicate the driver's correctness gate locally: run every queries()
 entry at a given sf dir and compare with its oracle_sql() via DuckDB.
 
-Usage: python tools/run_gate.py [sf_dir]
+Usage: python tools/run_gate.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
@@ -20,10 +20,12 @@ from tests.oracle import compare, duck_conn
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     spark = get_spark(app_name="fiat2-gate")
     con = duck_conn(sf_dir)
     failures = []
-    for name in sorted(QUERIES):
+    names = [n for n in sorted(QUERIES) if not only or n in only]
+    for name in names:
         t0 = time.perf_counter()
         try:
             df = QUERIES[name](spark, sf_dir)
@@ -37,7 +39,7 @@ def main() -> None:
         print(f"{'PASS' if ok else 'FAIL'} {name:28s} {dt:6.1f}s  {detail}", flush=True)
         if not ok:
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed", flush=True)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed", flush=True)
     if failures:
         print("FAILURES:", ", ".join(failures), flush=True)
         sys.exit(1)
