@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",      # SimHash nibble-banded near-dup
     "ann_bruteforce",     # exact cosine top-k
     "ann_lsh",            # LSH-bucketed ANN
+    "ann_ivf",            # IVF inverted-list ANN
     "text_quality",       # text scoring (pure Catalyst)
     "dedup_exact",        # fingerprint hash-groupBy
     "stream_window_agg",  # tumbling-window aggregation

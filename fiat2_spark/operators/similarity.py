@@ -95,6 +95,62 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     return bucket
 
 
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    cid_col: str = "cent_id",
+    cvec_col: str = "cvec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a small centroid set coarse-quantizes the
+    corpus — every vector joins the inverted list of its nearest
+    centroid — and a query probes only its ``nprobe`` nearest lists,
+    reranking exactly inside them. The data-adaptive counterpart of
+    ``ann_lsh_topk``: buckets follow the corpus distribution, so a
+    skewed embedding space can't collapse into one hash bucket.
+
+    Both assignment and probing are broadcast joins against the tiny
+    centroid table followed by per-vector argmax windows (partitioned —
+    fully parallel). At 100 TB the assignment is a write-time partition
+    column (`PARTITIONED BY (cent_id)`): probing `nprobe` lists becomes
+    partition pruning and the rerank never touches the other
+    ``n_centroids - nprobe`` shards of the corpus. Centroids are
+    caller-supplied (production: k-means over a sample; any fixed choice
+    keeps the operator deterministic and oracle-checkable).
+    Output: (query_id, vec_id, cos, rank)."""
+    cents = F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col)))
+
+    def nearest(df: DataFrame, ident: str, vcol: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(cents).select(
+            df["*"], F.col(cid_col), cosine(F.col(vcol), F.col(cvec_col)).alias("__ccos")
+        )
+        w = W.partitionBy(ident).orderBy(F.col("__ccos").desc(), F.col(cid_col))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= keep)
+            .drop("__ccos", "__r", cvec_col)
+        )
+
+    lists = nearest(emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), "vec_id", "v", 1)
+    probes = nearest(
+        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")),
+        "query_id", "qv", nprobe,
+    )
+    scored = (
+        lists.join(F.broadcast(probes), cid_col)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

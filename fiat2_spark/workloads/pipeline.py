@@ -393,6 +393,68 @@ def ann_lsh(spark, sf_dir):
     return SIM.ann_lsh_topk(e, queries, k=5, n_planes=4, dims=64)
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two array expressions, as the same
+    sequential left-fold double arithmetic Spark's F.aggregate uses."""
+    return f"""list_reduce(list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, s) -> p + s)
+              / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, s) -> p + s))
+                 * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, s) -> p + s)))"""
+
+
+_IVF_ORACLE = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id BETWEEN 100 AND 107
+    ),
+    lists AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.embedding AS v, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings e, cents c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.vec_id AS query_id, q.embedding AS qv, c.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cent_id) AS r
+        FROM embeddings q, cents c WHERE q.vec_id < 3
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, l.vec_id, round({_cos_sql('l.v', 'p.qv')}, 6) AS cos
+      FROM lists l JOIN probes p USING (cent_id)
+      WHERE l.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """
+
+
+@q("ann_ivf", _IVF_ORACLE)
+def ann_ivf(spark, sf_dir):
+    """IVF ANN: 8 coarse centroids (embeddings 100-107 — a deterministic
+    stand-in for k-means) quantize the corpus into inverted lists; each
+    query probes its 2 nearest lists and reranks exactly. Data-adaptive
+    complement to ann_lsh: at 100 TB the list id is a write-time
+    partition column and probing is partition pruning. The oracle
+    recomputes the identical assignment, so the approximate path is
+    checked exactly."""
+    e = tbl(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cents = e.filter(F.col("vec_id").between(100, 107)).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cvec")
+    )
+    return SIM.ann_ivf_topk(e, queries, cents, k=5, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
