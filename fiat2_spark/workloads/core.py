@@ -270,6 +270,58 @@ def flatmap2_zip(spark, sf_dir):
     )
 
 
+@q(
+    "flatmap_cross",
+    """
+    SELECT r_name, n_name,
+           CAST(r_regionkey = n_regionkey AS BOOLEAN) AS in_region
+    FROM region, nation
+    """,
+)
+def flatmap_cross(spark, sf_dir):
+    """EFlatmap whose body is independent of the binder
+    (Interpret.v:273-299, the x-independent case) = cross product.
+    Spark plans BroadcastNestedLoopJoin when one side is tiny; at scale
+    a deliberate cross keeps the small side broadcast so the big side
+    never shuffles."""
+    r = tbl(spark, sf_dir, "region")
+    n = tbl(spark, sf_dir, "nation")
+    return R.flatmap_cross(r.select("r_name", "r_regionkey"), n.select("n_name", "n_regionkey")).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") == F.col("n_regionkey")).alias("in_region"),
+    )
+
+
+@q(
+    "pivot_wide",
+    """
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN n_name = 'ALGERIA' THEN 1 END) AS "ALGERIA",
+           COUNT(CASE WHEN n_name = 'BRAZIL' THEN 1 END) AS "BRAZIL",
+           COUNT(CASE WHEN n_name = 'CANADA' THEN 1 END) AS "CANADA"
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_wide(spark, sf_dir):
+    """Pivot (engine surface beyond the reference): long→wide with an
+    explicit value list — the list keeps the schema static and skips the
+    extra distinct-values job Spark otherwise runs; the plan is a single
+    partial+final aggregate, one shuffle of |groups| rows. Missing
+    (group, value) combos are 0, matching the oracle's conditional
+    counts."""
+    c = tbl(spark, sf_dir, "customer")
+    n = tbl(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("n_name", ["ALGERIA", "BRAZIL", "CANADA"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sorts / set-bag / union / cons / range / top-k
 # ---------------------------------------------------------------------------
