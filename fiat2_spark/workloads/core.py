@@ -895,6 +895,26 @@ def window_rownum(spark, sf_dir):
     )
 
 
+_SQL_TEXT = """
+    SELECT n_name,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """
+
+
+@q("sql_entrypoint", _SQL_TEXT)
+def sql_entrypoint(spark, sf_dir):
+    """The SQL entry point: the engine registers its store as temp views
+    and runs ANSI SQL text through spark.sql() — the same string IS the
+    oracle, executed by both engines (SURVEY §3: one logical surface,
+    Catalyst supplies the plan exactly as for the DataFrame API)."""
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    tbl(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_TEXT)
+
+
 @q(
     "distinct_agg",
     """

@@ -158,6 +158,63 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+_CMS_TOKENS = "'join', 'scan', 'window', 'zzz_absent'"
+
+
+def _cms_cell_sql(d_expr: str, val: str) -> str:
+    return (
+        f"('0x'||substr(md5(CAST({d_expr} AS VARCHAR)||'#'||{val}), 1, 8))::BIGINT % 64"
+    )
+
+
+@q(
+    "cms_tokens",
+    f"""
+    WITH toks AS ({{_TOKS}}),
+    tok AS (SELECT unnest(toks) AS t FROM toks),
+    tc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+    cells AS (
+      SELECT d, {_cms_cell_sql('d', 't')} AS cell, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM tc, unnest(generate_series(0, 3)) AS g(d)
+      GROUP BY 1, 2
+    ),
+    qs AS (SELECT unnest([{_CMS_TOKENS}]) AS tok),
+    qcells AS (
+      SELECT tok, d, {_cms_cell_sql('d', 'tok')} AS cell
+      FROM qs, unnest(generate_series(0, 3)) AS g(d)
+    ),
+    est AS (
+      SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+      FROM qcells LEFT JOIN cells USING (d, cell) GROUP BY tok
+    )
+    SELECT e.tok, e.est, COALESCE(tc.c, 0) AS true_cnt
+    FROM est e LEFT JOIN tc ON tc.t = e.tok
+    """.replace("{_TOKS}", _TOKS),
+)
+def cms_tokens(spark, sf_dir):
+    """Count-Min sketch (4×64, md5 hashes) over the document token
+    stream: word-count first (partial-agg shuffle of |vocab| rows),
+    build the mergeable sketch from the (token, count) pairs, then
+    point-estimate four tokens — including one absent from the corpus,
+    whose estimate is the deterministic CMS over-count — against their
+    true counts. The oracle rebuilds the identical sketch in SQL."""
+    from fiat2_spark.operators import sketches as SK
+    from fiat2_spark.operators.dedup import cpu_partitions
+
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.repartition(cpu_partitions(d)).select(F.explode(TX.tokens(F.col("text"))).alias("t"))
+    tc = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    sketch = SK.cms_build(tc, "t", weight_col="c")
+    queries = spark.createDataFrame(
+        [("join",), ("scan",), ("window",), ("zzz_absent",)], ["tok"]
+    )
+    est = SK.cms_estimate(sketch, queries, "tok")
+    return (
+        est.join(tc, est["tok"] == tc["t"], "left")
+        .select("tok", "est", F.coalesce(F.col("c"), F.lit(0).cast("long")).alias("true_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
