@@ -597,3 +597,65 @@ def pipeline_e2e(spark, sf_dir):
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.sum(F.col("quality").cast("decimal(18,6)")).cast("double").alias("sum_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + vocabulary
+# ---------------------------------------------------------------------------
+
+def _md5_threshold(num: int, den: int) -> str:
+    """Hex threshold t such that md5(x) < t keeps a num/den fraction of
+    uniformly-hashed rows. md5 is 32 lowercase hex chars in both Spark
+    and DuckDB, so lexicographic string comparison == numeric comparison
+    on the 128-bit digest. Exact integer arithmetic (no float rounding)
+    so both engines embed the identical literal."""
+    return format(16**32 * num // den, "032x")
+
+
+_THR_EN = _md5_threshold(1, 2)     # 50 % of English docs
+_THR_OTHER = _md5_threshold(1, 5)  # 20 % of everything else
+
+
+@q(
+    "sample_strata",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE md5('smp#' || CAST(doc_id AS VARCHAR)) <
+          CASE WHEN lang = 'en' THEN '{_THR_EN}' ELSE '{_THR_OTHER}' END
+    """,
+)
+def sample_strata(spark, sf_dir):
+    """Deterministic stratified sampling — the reproducible-subset
+    primitive a training-data pipeline needs (re-running the job on a
+    grown corpus keeps every previously-sampled doc). Rate per stratum:
+    50 % for 'en', 20 % otherwise, decided by an md5 threshold on the
+    salted key. Pure scan-side filter: no shuffle, no RNG state, and at
+    100 TB it's embarrassingly parallel with column pruning to two
+    columns."""
+    d = tbl(spark, sf_dir, "documents")
+    digest = F.md5(F.concat(F.lit("smp#"), F.col("doc_id").cast("string")))
+    thr = F.when(F.col("lang") == "en", F.lit(_THR_EN)).otherwise(F.lit(_THR_OTHER))
+    return d.filter(digest < thr).select("doc_id", "lang")
+
+
+@q(
+    "vocab_topn",
+    f"""
+    WITH toks AS ({_TOKS})
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(toks) AS tok FROM toks)
+    GROUP BY tok
+    ORDER BY cnt DESC, tok
+    LIMIT 50
+    """,
+)
+def vocab_topn(spark, sf_dir):
+    """Corpus vocabulary: explode tokens, count, top-50 by frequency
+    (token asc tie-break for determinism). The shuffle is over distinct
+    tokens only — partial (map-side) aggregation collapses the exploded
+    stream before exchange, and the top-k is TakeOrderedAndProject, not
+    a global sort."""
+    d = tbl(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(50)
