@@ -55,6 +55,8 @@ HEADLINE = [
     "json_extract",       # JVM-side JSON field extraction
     "rollup_multires",    # grouping-sets rollup
     "pipeline_e2e",       # composed prep pipeline
+    "sample_strata",      # deterministic md5-threshold sampling (scan-side)
+    "vocab_topn",         # explode + partial-agg word count, top-k
 ]
 
 
