@@ -639,6 +639,38 @@ def sample_strata(spark, sf_dir):
 
 
 @q(
+    "sample_group_k",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('rsv#' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 8
+    """,
+)
+def sample_group_k(spark, sf_dir):
+    """Fixed-size per-stratum sample: exactly k=8 docs per language,
+    chosen by smallest salted md5 — a deterministic reservoir (the
+    chosen set is a uniform draw, stable under re-runs). The rank<=k
+    filter triggers Catalyst's WindowGroupLimit rewrite, so each input
+    partition keeps only its local top-k BEFORE the shuffle — at 100 TB
+    the exchange carries k rows per partition per group, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("rsv#"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("doc_id", "lang")
+    )
+
+
+@q(
     "vocab_topn",
     f"""
     WITH toks AS ({_TOKS})
