@@ -115,3 +115,22 @@ def test_salted_join_matches_plain(spark):
     assert "__salt" in plan_of(
         salted_equi_join(c, n, "c_nationkey", "n_nationkey", salt=8)
     )
+
+
+def test_group_sample_prunes_before_shuffle(spark):
+    """The rank<=k per-stratum sample must hit Catalyst's
+    WindowGroupLimit rewrite: each input partition keeps only its local
+    top-k rows before the Exchange, so the shuffle volume is bounded by
+    k per (partition, group) instead of the corpus size."""
+    p = plan_of(QUERIES["sample_group_k"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in p
+
+
+def test_sample_strata_scan_side(spark):
+    """Deterministic md5-threshold sampling is a pure scan-side filter:
+    no Exchange anywhere in the plan, and the read schema is pruned to
+    the two output columns."""
+    p = plan_of(QUERIES["sample_strata"](spark, SF_SMOKE))
+    assert "Exchange" not in p
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "lang" in read and "text" not in read
