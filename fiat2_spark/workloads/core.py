@@ -744,7 +744,7 @@ def dict_ops_lookup(spark, sf_dir):
     """
     SELECT r.r_name,
            '|' || string_agg(n.n_name || '=' || n.n_nationkey, ';' ORDER BY n.n_name) AS folded,
-           SUM(n.n_nationkey) AS key_sum
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,

@@ -109,8 +109,8 @@ def dsl_filter_project(spark, sf_dir):
 @q(
     "dsl_orders_agg",
     """
-    SELECT SUM(o_custkey) AS sum_price,
-           MIN(o_custkey) AS min_price,
+    SELECT CAST(SUM(o_custkey) AS BIGINT) AS sum_price,
+           CAST(MIN(o_custkey) AS BIGINT) AS min_price,
            CASE WHEN SUM(o_custkey) < 300 THEN 'no discount' ELSE 'discount' END AS status
     FROM orders
     """,
@@ -226,7 +226,8 @@ def dsl_grandchildren(spark, sf_dir):
     WITH base AS (SELECT o_orderkey AS id, o_custkey AS price FROM orders),
     ins AS (SELECT * FROM (VALUES (9000001, 100), (9000002, 200), (9000003, 300)) t(id, price)),
     all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
-    SELECT SUM(price) AS sum_price, MIN(price) AS min_price,
+    SELECT CAST(SUM(price) AS BIGINT) AS sum_price,
+           CAST(MIN(price) AS BIGINT) AS min_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM all_rows
     """,
