@@ -346,6 +346,15 @@ def is_table_expr(e: A.Expr, env: dict, store) -> bool:
             return is_table_expr(l1, env, store) or is_table_expr(l2, env, store)
         case A.EFlatmap(_, e1, _, _):
             return is_table_expr(e1, env, store)
+        case A.ELet(e1, x, e2):
+            # `let t = <table> in …` is legal (Language.v:128-129); bind x
+            # at the right level, then ask about the body
+            kind = "df" if is_table_expr(e1, env, store) else "col"
+            return is_table_expr(e2, {**env, x: (kind, None)}, store)
+        case A.EIf(_, e1, e2):
+            # table-typed conditional (Interpret.v:268-272): table iff
+            # either branch is (the other may be an empty-collection atom)
+            return is_table_expr(e1, env, store) or is_table_expr(e2, env, store)
         case A.EBinop("OConcat", e1, e2):
             return is_table_expr(e1, env, store) or is_table_expr(e2, env, store)
         case A.EBinop("OCons", _, e2):

@@ -1048,7 +1048,7 @@ def quantile_disc(spark, sf_dir):
       GROUP BY r.r_name
     )
     SELECT r_name,
-           list_transform(list_filter(names, x -> length(x) > 5), x -> lower(x)) AS long_names,
+           array_to_string(list_transform(list_filter(names, x -> length(x) > 5), x -> lower(x)), ',') AS long_names,
            len(names) AS n_names,
            list_contains(names, 'CHINA') AS has_china
     FROM per_region
@@ -1058,7 +1058,10 @@ def nested_collections(spark, sf_dir):
     """Nested TList columns (§1.4: TList t → ArrayType) manipulated with
     higher-order functions — filter/transform/exists INSIDE a row, the
     nested-collection half of the fiat2 data model (flatmap over nested
-    lists without exploding). All JVM-side expressions."""
+    lists without exploding). All JVM-side expressions. The nested array
+    is rendered as a ','-joined string on BOTH sides so the driver's
+    pandas canonicalizer (which hashes rendered cells and cannot sort
+    list-valued columns) gets a stable scalar."""
     r = tbl(spark, sf_dir, "region")
     n = tbl(spark, sf_dir, "nation")
     per_region = (
@@ -1068,8 +1071,11 @@ def nested_collections(spark, sf_dir):
     )
     return per_region.select(
         "r_name",
-        F.transform(
-            F.filter(F.col("names"), lambda x: F.length(x) > 5), F.lower
+        F.array_join(
+            F.transform(
+                F.filter(F.col("names"), lambda x: F.length(x) > 5), F.lower
+            ),
+            ",",
         ).alias("long_names"),
         F.size(F.col("names")).cast("long").alias("n_names"),
         F.array_contains(F.col("names"), "CHINA").alias("has_china"),

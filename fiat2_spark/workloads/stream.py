@@ -215,7 +215,7 @@ def asof_join(spark, sf_dir):
     "json_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -235,11 +235,11 @@ def json_extract(spark, sf_dir):
 @q(
     "rollup_multires",
     """
-    SELECT date_trunc('day', ts) AS day, event_type,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM events
-    GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+    GROUP BY ROLLUP(strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
     """,
 )
 def rollup_multires(spark, sf_dir):
@@ -249,7 +249,11 @@ def rollup_multires(spark, sf_dir):
     aggregates generalize to at warehouse scale."""
     ev = tbl(spark, sf_dir, "events")
     return (
-        ev.rollup(F.date_trunc("day", F.col("ts")).cast("date").alias("day"), F.col("event_type"))
+        # day as 'yyyy-MM-dd' STRING on both sides: pandas renders a Spark
+        # date as '2024-01-01' but a DuckDB DATE/timestamp as
+        # '2024-01-01 00:00:00' — the driver canonicalizer compares
+        # rendered cells, so date-typed outputs are a portability trap
+        ev.rollup(F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
