@@ -331,3 +331,52 @@ def embedding_dedup_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def embedding_dedup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    dims: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs bounded to random-hyperplane LSH buckets
+    (Charikar 2002 sign-random-projection): each vector hashes to one of
+    2^n_planes buckets, pairs are compared only inside a bucket — the
+    self-join is an *equi*-join on the bucket id (hash join, never a
+    nested-loop), so comparisons scale as Σ|bucket|² ≈ n²/2^n_planes
+    instead of n². Recall is bounded by construction (a near-dup pair
+    split across buckets is missed — the standard LSH trade; raise
+    recall with more plane sets, i.e. band the buckets like MinHash).
+    The DuckDB oracle recomputes the identical md5-derived planes, so
+    the approximate operator is still checked exactly.
+
+    At 100 TB: the bucket id becomes a write-time partition column and
+    the self-join runs per-partition with no cross-bucket shuffle."""
+    from fiat2_spark.operators.similarity import cosine, lsh_bucket, lsh_planes
+
+    planes = lsh_planes(dims, n_planes)
+    base = df.repartition(cpu_partitions(df, rows_per_task=200)).select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    # persist + materialize: both join sides and the verify read this —
+    # without it the n_planes×dims bucket fold is recomputed per side
+    # (and racing stages each recompute the cache)
+    base = base.persist()
+    base.count()
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(
+            F.col("l.doc").alias("id_a"),
+            F.col("r.doc").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -331,20 +331,25 @@ def dedup_simhash(spark, sf_dir):
     "dedup_ngram_jaccard",
     f"""
     WITH toks AS ({_TOKS}),
-    sh AS (SELECT doc_id, list_distinct(toks) AS sh FROM toks)
+    sh AS (SELECT doc_id, lang, list_distinct(toks) AS sh FROM toks)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Direct n-gram Jaccard all-pairs (the exact baseline minhash
-    approximates); threshold 0.9 on token sets."""
+    """Direct n-gram Jaccard (the exact baseline minhash approximates),
+    threshold 0.9 on token sets, **blocked on language**: the self-join
+    carries the `lang` equality so Catalyst plans a hash join over
+    language blocks, not an O(n²) nested loop over the corpus. (A
+    near-dup pair at jac ≥ 0.9 shares its language by construction of
+    the tokenizer, so blocking is lossless here — at scale, block on a
+    length bucket too.)"""
     d = tbl(spark, sf_dir, "documents")
-    return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.9)
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.9, block_col="lang")
 
 
 _COS_SQL = """list_reduce(list_transform(a.e, (x, i) -> CAST(x AS DOUBLE) * CAST(b.e[i] AS DOUBLE)), (p, q) -> p + q)
@@ -352,22 +357,42 @@ _COS_SQL = """list_reduce(list_transform(a.e, (x, i) -> CAST(x AS DOUBLE) * CAST
                  * sqrt(list_reduce(list_transform(b.e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p, q) -> p + q)))"""
 
 
+_DEDUP_LSH_PLANE = (
+    "CASE WHEN substr(md5(p || '#' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+    "IN ('0','2','4','6','8','a','c','e') THEN 1.0 ELSE -1.0 END"
+)
+
 @q(
     "dedup_embedding",
     f"""
-    WITH e AS (SELECT vec_id, embedding AS e FROM embeddings)
+    WITH dots AS (
+      SELECT vec_id, embedding, p,
+             list_reduce(list_transform(embedding,
+               (x, i) -> CAST(x AS DOUBLE) * ({_DEDUP_LSH_PLANE})), (s, t) -> s + t) AS dp
+      FROM embeddings, unnest(generate_series(0, 3)) AS g(p)
+    ),
+    buckets AS (
+      SELECT vec_id, embedding AS e,
+             CAST(SUM(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id, embedding
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS_SQL}, 6) AS cos
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= 0.4
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact O(n²) baseline; the LSH
-    path prunes it at scale). Sequential-fold double math matches the
-    oracle bit-for-bit before the 6-decimal rounding."""
+    """Embedding-cosine near-dup pairs **bounded to LSH buckets**: 4
+    md5-derived random hyperplanes → 16 buckets, pairs compared only
+    within a bucket (equi self-join — a hash join, ~16× fewer
+    comparisons; the unblocked O(n²) form remains available as
+    `dedup.embedding_dedup_pairs` for exact-recall audits). The oracle
+    recomputes the identical planes and buckets in SQL, so the
+    approximate path is checked exactly. Sequential-fold double math
+    matches the oracle bit-for-bit before the 6-decimal rounding."""
     e = tbl(spark, sf_dir, "embeddings")
-    return D.embedding_dedup_pairs(e, "vec_id", "embedding", threshold=0.4)
+    return D.embedding_dedup_pairs_lsh(e, "vec_id", "embedding", threshold=0.4, n_planes=4, dims=64)
 
 
 # ---------------------------------------------------------------------------
