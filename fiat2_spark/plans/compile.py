@@ -53,6 +53,16 @@ class _ALit(A.Atom):
     v: Any
 
 
+@dataclass(frozen=True)
+class _AFoldVal(A.Atom):
+    """Internal: a value collected from a Spark fold result. Unlike
+    ``_ALit`` (whose dicts are fiat2 records), here the Python shapes
+    carry Spark's collect() conventions: ``dict`` IS a map (TDict),
+    ``Row`` is a struct, ``list`` is an array."""
+
+    v: Any
+
+
 # -- environment bindings ---------------------------------------------------
 # ("col", Column)            row/scalar value as a Column expression
 # ("row", prefix, [cols])    record binder over a table's columns
@@ -228,22 +238,70 @@ def _retag_array(arr: Column, tag: str) -> Column:
     return arr
 
 
+def _spark_type_str(ft) -> str:
+    """fiat2 type → Spark DDL type string (for typed empty literals)."""
+    from fiat2_spark.plans.typecheck import TDouble
+
+    m = {
+        A.TInt(): "bigint", A.TBool(): "boolean", A.TString(): "string",
+        A.TWord(): "bigint", TDouble(): "double",
+    }
+    if ft in m:
+        return m[ft]
+    if isinstance(ft, A.TRecord):
+        inner = ", ".join(f"{n}: {_spark_type_str(t2)}" for n, t2 in ft.fields)
+        return f"struct<{inner}>"
+    if isinstance(ft, (A.TList, A.TBag, A.TSet)):
+        return f"array<{_spark_type_str(ft.t)}>"
+    if isinstance(ft, A.TDict):
+        return f"map<{_spark_type_str(ft.kt)}, {_spark_type_str(ft.vt)}>"
+    if isinstance(ft, A.TOption):
+        return _spark_type_str(ft.t)
+    raise CompileError(f"cannot render Spark type for {ft}")
+
+
+def _collected_to_col(v: Any) -> Column:
+    """Collected Spark value → Column literal: Row = struct, dict = map
+    (keys sorted for the canonical dict order), list = array."""
+    if hasattr(v, "asDict"):  # pyspark Row
+        d = v.asDict()
+        return F.struct(*[_collected_to_col(d[k]).alias(k) for k in sorted(d)])
+    if isinstance(v, dict):
+        if not v:
+            return F.map_from_arrays(F.array(), F.array())
+        keys = sorted(v)
+        return F.map_from_arrays(
+            F.array(*[_collected_to_col(k) for k in keys]),
+            F.array(*[_collected_to_col(v[k]) for k in keys]),
+        )
+    if isinstance(v, (list, tuple)):
+        return F.array(*[_collected_to_col(x) for x in v])
+    return F.lit(v)
+
+
 def _atom_column(a: A.Atom) -> Column:
     match a:
         case _ALit(v):
             return _py_to_col(v)
+        case _AFoldVal(v):
+            return _collected_to_col(v)
         case A.AWord(n) | A.AInt(n):
             return F.lit(n).cast("long")
         case A.ABool(b):
             return F.lit(b)
         case A.AString(s):
             return F.lit(s)
-        case A.ANil(_) | A.AEmptyBag(_) | A.AEmptySet(_):
-            return F.array()
+        case A.ANil(t) | A.AEmptyBag(t) | A.AEmptySet(t):
+            arr = F.array()
+            return arr.cast(f"array<{_spark_type_str(t)}>") if t else arr
         case A.ANone(_):
             return F.lit(None)
-        case A.AEmptyDict(_):
-            return F.map_from_arrays(F.array(), F.array())
+        case A.AEmptyDict(t):
+            m = F.map_from_arrays(F.array(), F.array())
+            if t:
+                kt, vt = t
+                m = m.cast(f"map<{_spark_type_str(kt)}, {_spark_type_str(vt)}>")
+            return m
         case A.AUnit():
             return F.lit(None)
     raise CompileError(f"unknown atom {a!r}")
@@ -412,6 +470,19 @@ def compile_expr(e: A.Expr, env: dict, store, spark: SparkSession) -> DataFrame:
             return _retag_df(_project_record(joined, r, env2, spark), tag)
         case A.EFlatmap(tag, e1, x, e2):
             return _compile_flatmap(tag, e1, x, e2, env, store, spark)
+        case A.ELet(e1, x, e2):
+            # `let t = <table> in body` (Language.v:128-129): a
+            # table-typed binding enters the env as a DataFrame (the plan
+            # is shared, not re-derived per use — Catalyst sees one
+            # subtree it may reuse); scalar bindings evaluate driver-side
+            if is_table_expr(e1, env, store):
+                return ce(e2, {**env, x: ("df", ce(e1))})
+            return ce(e2, {**env, x: ("py", eval_value(e1, env, store, spark))})
+        case A.EIf(p, e1, e2):
+            # table-typed conditional (Interpret.v:268-272): the scalar
+            # condition is decided driver-side, then only the taken
+            # branch's plan is built — dead branches cost nothing
+            return ce(e1) if eval_value(p, env, store, spark) else ce(e2)
         case A.ESort(tag, l):
             df = ce(l)
             if tag == "LikeSet":
@@ -538,9 +609,52 @@ def scalar_frame(named: dict[str, A.Expr], env: dict, store, spark: SparkSession
     return spark.range(1).select(*cols)
 
 
+#: Row cap for the general-fold fallback: a non-AC fold is inherently
+#: sequential, so the table is collapsed to ONE array on one executor.
+#: The reference runs the same semantics on a single node
+#: (Interpret.v:313-319); at warehouse scale users should write
+#: AC-recognizable folds (sum/count/min/max, lifted to shuffles above)
+#: or group-bounded folds instead.
+FOLD_COLLECT_LIMIT = 1_000_000
+
+
+def _fold_table(e1, e2, v, acc, e3, env, store, spark) -> Any:
+    """General (non-AC) right fold over a table — the fallback realizing
+    ``EFold`` on tables verbatim (Interpret.v:313-319; the reference's
+    ``to_idx`` fold, DictIndexImpl.v:25-33, is the motivating program).
+    Rows enter the fold in canonical sorted order (DataFrames are bags;
+    sort_array fixes the order the way ESort's canonicalization does),
+    and the whole fold runs INSIDE Spark as one ``F.aggregate`` over a
+    ``collect_list`` array — the driver never loops row-at-a-time."""
+    df = compile_expr(e1, env, store, spark)
+    n = df.count()
+    if n > FOLD_COLLECT_LIMIT:
+        raise CompileError(
+            f"general table fold over {n} rows exceeds FOLD_COLLECT_LIMIT "
+            f"({FOLD_COLLECT_LIMIT}); rewrite as an AC fold or group-bounded fold"
+        )
+    if df.columns == ["value"]:
+        elem = F.col("value")
+    else:
+        elem = F.struct(*[F.col(c).alias(c) for c in sorted(df.columns)])
+    init = compile_column(e2, env)
+    folded = df.agg(F.sort_array(F.collect_list(elem)).alias("_arr")).select(
+        F.aggregate(
+            # right fold = left fold over the reversed (canonical) order
+            F.reverse(F.col("_arr")),
+            init,
+            lambda a, x: compile_column(e3, {**env, v: ("col", x), acc: ("col", a)}),
+        ).alias("v")
+    )
+    return folded.collect()[0]["v"]
+
+
 def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
     def lift(sub: A.Expr) -> A.Expr:
         match sub:
+            case A.EFold(e1, e2, v, acc, e3) if is_table_expr(e1, env, store):
+                val = _fold_table(e1, lift(e2), v, acc, e3, env, store, spark)
+                return A.EAtom(_AFoldVal(val))
             case A.EACFold(ag, t) if is_table_expr(t, env, store):
                 df = compile_expr(t, env, store, spark)
                 if ag == "AGCount":
@@ -566,6 +680,8 @@ def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
                 return A.EOptMatch(lift(e1), lift(en), x, lift(es))
             case A.ELet(e1, x, e2):
                 return A.ELet(lift(e1), x, lift(e2))
+            case A.EDictFold(d, e0, k, dv, dacc, body):
+                return A.EDictFold(lift(d), lift(e0), k, dv, dacc, body)
         return sub
 
     return lift(e)

@@ -51,26 +51,60 @@ def _eval(e: A.Expr, env: dict, store: Store, spark: SparkSession):
     return eval_value(e, env, store, spark)
 
 
-def run_command(c: A.Command, store: Store, env: dict, spark: SparkSession) -> Store:
+def _typecheck_entry(c: A.Command, store: Store, env: dict) -> None:
+    """Typecheck a command before execution (TypeSystem.v:1393-1420 via
+    typecheck_command): Gstore is derived from the live store (DataFrame
+    schemas / Python value shapes), Genv from the env bindings. Skipped
+    when the env carries Column bindings (an internal compile context —
+    no static type is recoverable)."""
+    from fiat2_spark.plans.typecheck import (
+        schema_type,
+        type_of_value,
+        typecheck_command,
+    )
+
+    genv = {}
+    for x, b in env.items():
+        if b[0] == "df":
+            genv[x] = schema_type(b[1])
+        elif b[0] == "py":
+            genv[x] = type_of_value(b[1])
+        else:  # ("col", …): no static type — bail out of checking
+            return
+    gstore = {
+        k: schema_type(v) if isinstance(v, DataFrame) else type_of_value(v)
+        for k, v in store.snapshot().items()
+    }
+    typecheck_command(c, gstore, genv)
+
+
+def run_command(
+    c: A.Command, store: Store, env: dict, spark: SparkSession, typecheck: bool = True
+) -> Store:
     """Big-step execution of a command against the store
-    (Interpret.v:501-524)."""
+    (Interpret.v:501-524). By default the whole command is statically
+    typechecked first — an ill-typed program raises TypeError2 before
+    any Spark job is launched (the reference's command typecheck,
+    TypeSystem.v:1393-1420)."""
+    if typecheck:
+        _typecheck_entry(c, store, env)
     match c:
         case A.CSkip():
             return store
         case A.CSeq(c1, c2):
-            run_command(c1, store, env, spark)
-            return run_command(c2, store, env, spark)
+            run_command(c1, store, env, spark, typecheck=False)
+            return run_command(c2, store, env, spark, typecheck=False)
         case A.CLet(e, x, body):
             v = _eval(e, env, store, spark)
             binding = ("df", v) if isinstance(v, DataFrame) else ("py", v)
-            return run_command(body, store, {**env, x: binding}, spark)
+            return run_command(body, store, {**env, x: binding}, spark, typecheck=False)
         case A.CLetMut(e, x, body):
             # bind x in the store for the extent of body, then restore
             # (Interpret.v:510-513)
             saved = store._m.get(x, _MISSING)
             store.assign(x, _eval(e, env, store, spark))
             try:
-                return run_command(body, store, env, spark)
+                return run_command(body, store, env, spark, typecheck=False)
             finally:
                 if saved is _MISSING:
                     del store._m[x]
@@ -81,7 +115,7 @@ def run_command(c: A.Command, store: Store, env: dict, spark: SparkSession) -> S
             return store
         case A.CIf(e, c1, c2):
             cond = eval_value(e, env, store, spark)
-            return run_command(c1 if cond else c2, store, env, spark)
+            return run_command(c1 if cond else c2, store, env, spark, typecheck=False)
         case A.CForeach(e, x, body):
             v = _eval(e, env, store, spark)
             if isinstance(v, DataFrame):
@@ -92,7 +126,7 @@ def run_command(c: A.Command, store: Store, env: dict, spark: SparkSession) -> S
             else:
                 rows = list(v)
             for row in rows:
-                run_command(body, store, {**env, x: ("py", row)}, spark)
+                run_command(body, store, {**env, x: ("py", row)}, spark, typecheck=False)
             return store
     raise TypeError(f"unknown command {c!r}")
 

@@ -58,6 +58,10 @@ def synthesize(e: A.Expr, gstore: dict, genv: dict) -> A.Type:
             td = syn(d)
             if not isinstance(td, A.TDict):
                 raise TypeError2("OInsert on non-dict")
+            if not compatible(syn(k), td.kt):
+                raise TypeError2(f"OInsert key type {syn(k)} vs dict key {td.kt}")
+            if not compatible(syn(v), td.vt):
+                raise TypeError2(f"OInsert value type {syn(v)} vs dict value {td.vt}")
             return td
         case A.EIf(p, e1, e2):
             if not isinstance(syn(p), A.TBool):
@@ -79,9 +83,19 @@ def synthesize(e: A.Expr, gstore: dict, genv: dict) -> A.Type:
             return synthesize(e3, gstore, {**genv, v: elem_type(t1), acc: t2})
         case A.EACFold(ag, e1):
             elem = elem_type(syn(e1))
-            return A.TInt() if ag == "AGCount" else elem
+            if ag == "AGCount":
+                return A.TInt()
+            # engine leniency matching the compiled behavior: summing a
+            # single-field-record table sums that field (compile.py lifts
+            # to df.agg(sum(df.columns[0])))
+            if isinstance(elem, A.TRecord) and len(elem.fields) == 1:
+                return elem.fields[0][1]
+            return elem
         case A.EACIFold(_, e1):
-            return A.TOption(elem_type(syn(e1)))
+            elem = elem_type(syn(e1))
+            if isinstance(elem, A.TRecord) and len(elem.fields) == 1:
+                elem = elem.fields[0][1]
+            return A.TOption(elem)
         case A.ERecord(fields):
             return A.TRecord(tuple(sorted((n, syn(fe)) for n, fe in fields)))
         case A.EAccess(r, s):
@@ -214,7 +228,9 @@ def _binop_type(op: str, t1: A.Type, t2: A.Type) -> A.Type:
         case "OWLessU" | "OWLessS" | "OLess" | "OEq":
             return _BOOL
         case "OCons":
-            if isinstance(t2, A.TList):
+            if isinstance(t2, (A.TList, A.TBag, A.TSet)):
+                # engine tables are bags (SURVEY §2.3); consing onto one
+                # still checks the head against the element type
                 return A.TList(_join_types(t1, t2.t))
             return A.TList(t1)
         case "ORange":
@@ -236,6 +252,159 @@ def _binop_type(op: str, t1: A.Type, t2: A.Type) -> A.Type:
 
 def is_table_type(t: A.Type) -> bool:
     return isinstance(t, (A.TList, A.TBag, A.TSet))
+
+
+def compatible(t1: A.Type, t2: A.Type) -> bool:
+    """Do two types unify (TUnit is the unannotated-empty wildcard,
+    TInt/TDouble join numerically)?"""
+    try:
+        _join_types(t1, t2)
+        return True
+    except TypeError2:
+        return False
+
+
+def store_compatible(t_new: A.Type, t_old: A.Type) -> bool:
+    """Assignment compatibility for store locations: engine tables are
+    bags, and list/bag/set ops re-tag freely (SURVEY §2.3), so only the
+    ELEMENT type is enforced across collection constructors."""
+    if is_table_type(t_new) and is_table_type(t_old):
+        return compatible(t_new.t, t_old.t)
+    return compatible(t_new, t_old)
+
+
+# -- checking mode (TypeSystem.v:718 analyze_expr) --------------------------
+
+def analyze(e: A.Expr, gstore: dict, genv: dict, expected: A.Type) -> A.Type:
+    """Check ``e`` against ``expected`` — the analysis direction of the
+    reference's bidirectional checker (TypeSystem.v:718). Checking adds
+    information synthesis lacks: unannotated empty collections/options
+    take the expected type, and expectations push structurally through
+    EIf/ELet/EOptMatch branches, record fields, OSome and OCons."""
+    match e:
+        case A.EAtom(A.ANil(None)) if is_table_type(expected):
+            return expected
+        case A.EAtom(A.AEmptyBag(None)) if is_table_type(expected):
+            return expected
+        case A.EAtom(A.AEmptySet(None)) if is_table_type(expected):
+            return expected
+        case A.EAtom(A.ANone(None)) if isinstance(expected, A.TOption):
+            return expected
+        case A.EAtom(A.AEmptyDict(None)) if isinstance(expected, A.TDict):
+            return expected
+        case A.EIf(p, e1, e2):
+            analyze(p, gstore, genv, A.TBool())
+            analyze(e1, gstore, genv, expected)
+            analyze(e2, gstore, genv, expected)
+            return expected
+        case A.ELet(e1, x, e2):
+            t1 = synthesize(e1, gstore, genv)
+            return analyze(e2, gstore, {**genv, x: t1}, expected)
+        case A.EOptMatch(e1, e_none, x, e_some):
+            t1 = synthesize(e1, gstore, genv)
+            if not isinstance(t1, A.TOption):
+                raise TypeError2("EOptMatch on non-option")
+            analyze(e_none, gstore, genv, expected)
+            analyze(e_some, gstore, {**genv, x: t1.t}, expected)
+            return expected
+        case A.ERecord(fields) if isinstance(expected, A.TRecord):
+            got = sorted(n for n, _ in fields)
+            want = sorted(n for n, _ in expected.fields)
+            if got != want:
+                raise TypeError2(f"record fields {got} vs expected {want}")
+            for n, fe in fields:
+                analyze(fe, gstore, genv, expected.field_type(n))
+            return expected
+        case A.EUnop("OSome", e1) if isinstance(expected, A.TOption):
+            analyze(e1, gstore, genv, expected.t)
+            return expected
+        case A.EBinop("OCons", h, t) if is_table_type(expected):
+            analyze(h, gstore, genv, expected.t)
+            analyze(t, gstore, genv, expected)
+            return expected
+    t = synthesize(e, gstore, genv)
+    if not compatible(t, expected):
+        raise TypeError2(f"expected {expected}, synthesized {t} for {e!r}")
+    return expected
+
+
+# -- value → type (for typing the dynamic store/env) ------------------------
+
+def type_of_value(v) -> A.Type:
+    import datetime
+    import decimal
+
+    if isinstance(v, bool):
+        return A.TBool()
+    if isinstance(v, int):
+        return A.TInt()
+    if isinstance(v, (float, decimal.Decimal)):
+        return TDouble()
+    if isinstance(v, str):
+        return A.TString()
+    if v is None:
+        return A.TUnit()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return A.TString()  # timestamps are opaque ordered scalars in the DSL
+    if hasattr(v, "asDict"):  # pyspark Row
+        d = v.asDict()
+        return A.TRecord(tuple(sorted((k, type_of_value(x)) for k, x in d.items())))
+    if isinstance(v, dict):
+        return A.TRecord(tuple(sorted((k, type_of_value(x)) for k, x in v.items())))
+    if isinstance(v, (list, tuple)):
+        return A.TList(type_of_value(v[0]) if v else A.TUnit())
+    raise TypeError2(f"untypeable store value {type(v).__name__}")
+
+
+# -- command typecheck (TypeSystem.v:1393-1420) -----------------------------
+
+def typecheck_command(c: A.Command, gstore: dict, genv: dict) -> dict:
+    """Static well-typedness of a command against (Gstore, Genv);
+    returns the resulting Gstore (CAssign to a fresh location declares
+    it — an engine extension over the reference, whose locations are
+    pre-declared; re-assignment must preserve the element type).
+    Ill-typed programs raise TypeError2 before any Spark job runs."""
+    match c:
+        case A.CSkip():
+            return gstore
+        case A.CSeq(c1, c2):
+            return typecheck_command(c2, typecheck_command(c1, gstore, genv), genv)
+        case A.CLet(e, x, body):
+            t = synthesize(e, gstore, genv)
+            return typecheck_command(body, gstore, {**genv, x: t})
+        case A.CLetMut(e, x, body):
+            t = synthesize(e, gstore, genv)
+            g = dict(typecheck_command(body, {**gstore, x: t}, genv))
+            # x's binding is scoped to body (Interpret.v:510-513)
+            g.pop(x, None)
+            if x in gstore:
+                g[x] = gstore[x]
+            return g
+        case A.CAssign(x, e):
+            t = synthesize(e, gstore, genv)
+            if x in gstore:
+                if not store_compatible(t, gstore[x]):
+                    raise TypeError2(
+                        f"CAssign {x}: {t} incompatible with declared {gstore[x]}"
+                    )
+                return gstore
+            return {**gstore, x: t}
+        case A.CIf(e, c1, c2):
+            analyze(e, gstore, genv, A.TBool())
+            g1 = typecheck_command(c1, gstore, genv)
+            g2 = typecheck_command(c2, gstore, genv)
+            merged = dict(g1)
+            for k, t2 in g2.items():
+                if k in merged:
+                    if not store_compatible(t2, merged[k]):
+                        raise TypeError2(f"CIf branches disagree on {k}: {merged[k]} vs {t2}")
+                else:
+                    merged[k] = t2
+            return merged
+        case A.CForeach(e, x, body):
+            t = synthesize(e, gstore, genv)
+            return typecheck_command(body, gstore, {**genv, x: elem_type(t)})
+    raise TypeError2(f"unknown command {c!r}")
 
 
 # -- Spark schema → fiat2 type ---------------------------------------------

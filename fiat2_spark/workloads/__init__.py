@@ -39,15 +39,15 @@ PRIORITY = (
     "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
     # server parity (2)
     "server_artist_filter", "server_album_join",
-    # dsl (5) + graphs (3)
+    # dsl (7) + graphs (3)
     "dsl_employee_join", "dsl_filter_project", "dsl_orders_agg",
-    "dsl_grandchildren", "dsl_command_pipeline",
+    "dsl_grandchildren", "dsl_command_pipeline", "dsl_fold_table",
+    "dsl_let_if_table",
     "triangle", "grandchildren", "bfs",
-    # core picks (12): rows without other in-window evidence + fresh fixes
+    # core picks (10): rows without other in-window evidence + fresh fixes
     "nested_collections", "dict_fold", "groupby_agg", "window_rownum",
     "coq_div_mod", "word_arith", "fold_right_concat", "theta_join_nonequi",
-    "flatmap_explode", "sql_entrypoint", "opt_match_coalesce",
-    "sort_canonical",
+    "flatmap_explode", "sql_entrypoint",
 )
 
 _queries = {}

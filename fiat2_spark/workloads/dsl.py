@@ -221,6 +221,148 @@ def dsl_grandchildren(spark, sf_dir):
 
 
 @q(
+    "dsl_fold_table",
+    """
+    WITH keys AS (SELECT list_sort(list(o_orderkey), 'DESC') AS xs FROM orders)
+    SELECT
+      CAST((SELECT list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                               (h, x) -> (h*31 + x) % 1000000007)
+            FROM keys) AS BIGINT) AS fold_hash,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_orderpriority = '1-URGENT') AS urgent_cnt,
+      (SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) FROM orders) AS n_prios
+    """,
+)
+def dsl_fold_table(spark, sf_dir):
+    """General (non-AC) ``EFold`` over tables — the fallback the
+    reference's interpreter supports verbatim (Interpret.v:313-319).
+    Two folds a user of the reference actually writes:
+
+    * the ``to_idx`` dict-building fold of DictIndexImpl.v:25-33 —
+      fold rows into a dict keyed by ``o_orderpriority`` via
+      OInsert/OLookup/EOptMatch, then read it back with OLookup and
+      EDictFold;
+    * an order-sensitive polynomial hash over the sorted key column —
+      non-commutative, so no AC rewrite applies.
+
+    Neither is sum/count/min/max, so the compiler's AC lifting can't
+    fire; the fold fallback collapses the table to one sorted array and
+    runs the whole fold inside a single ``F.aggregate`` expression."""
+    count_body = A.ELet(
+        A.EAccess(A.EVar("r"), "o_orderpriority"),
+        "k",
+        A.ETernop(
+            "OInsert",
+            A.EVar("d"),
+            A.EVar("k"),
+            A.EOptMatch(
+                A.EBinop("OLookup", A.EVar("d"), A.EVar("k")),
+                A.EAtom(A.AInt(1)),
+                "c",
+                A.EBinop("OPlus", A.EVar("c"), A.EAtom(A.AInt(1))),
+            ),
+        ),
+    )
+    to_idx = A.EFold(
+        A.ELoc("orders"),
+        A.EAtom(A.AEmptyDict((A.TString(), A.TInt()))),
+        "r",
+        "d",
+        count_body,
+    )
+    urgent = A.EOptMatch(
+        A.EBinop("OLookup", to_idx, A.EAtom(A.AString("1-URGENT"))),
+        A.EAtom(A.AInt(0)),
+        "c",
+        A.EVar("c"),
+    )
+    n_prios = A.EDictFold(
+        to_idx,
+        A.EAtom(A.AInt(0)),
+        "k", "v", "acc",
+        A.EBinop("OPlus", A.EVar("acc"), A.EAtom(A.AInt(1))),
+    )
+    key_proj = A.EProj("LikeList", A.ELoc("orders"), "o", A.EAccess(A.EVar("o"), "o_orderkey"))
+    hash_fold = A.EFold(
+        key_proj,
+        A.EAtom(A.AInt(0)),
+        "x", "h",
+        A.EBinop(
+            "OMod",
+            A.EBinop(
+                "OPlus",
+                A.EBinop("OTimes", A.EVar("h"), A.EAtom(A.AInt(31))),
+                A.EVar("x"),
+            ),
+            A.EAtom(A.AInt(1000000007)),
+        ),
+    )
+    return scalar_frame(
+        {"fold_hash": hash_fold, "urgent_cnt": urgent, "n_prios": n_prios},
+        {},
+        _store(spark, sf_dir, "orders"),
+        spark,
+    )
+
+
+@q(
+    "dsl_let_if_table",
+    """
+    WITH t AS (
+      SELECT c_custkey AS k, c_name AS nm FROM customer WHERE c_acctbal < 0.0
+    )
+    SELECT a.k AS k, b.nm AS nm FROM t a JOIN t b ON a.k = b.k
+    """,
+)
+def dsl_let_if_table(spark, sf_dir):
+    """Table-level ``ELet``/``EIf`` (Language.v:128-129,
+    Interpret.v:268-272): ``let t = filter customer (bal < 0) in
+    if 0 < length(t) then join t t else []``. The let-bound plan is
+    shared by both join sides; the conditional's scalar guard (a
+    table-rooted OLength, lifted to a count) is decided driver-side so
+    only the taken branch is ever planned."""
+    filt = A.EProj(
+        "LikeBag",
+        A.EFilter(
+            "LikeBag",
+            A.ELoc("customer"),
+            "c",
+            A.EBinop("OLess", A.EAccess(A.EVar("c"), "c_acctbal"), A.EAtom(A.AInt(0))),
+        ),
+        "c",
+        A.ERecord(
+            (
+                ("k", A.EAccess(A.EVar("c"), "c_custkey")),
+                ("nm", A.EAccess(A.EVar("c"), "c_name")),
+            )
+        ),
+    )
+    self_join = A.EJoin(
+        "LikeBag",
+        A.EVar("t"),
+        A.EVar("t"),
+        "a", "b",
+        A.EBinop("OEq", A.EAccess(A.EVar("a"), "k"), A.EAccess(A.EVar("b"), "k")),
+        A.ERecord(
+            (
+                ("k", A.EAccess(A.EVar("a"), "k")),
+                ("nm", A.EAccess(A.EVar("b"), "nm")),
+            )
+        ),
+    )
+    prog = A.ELet(
+        filt,
+        "t",
+        A.EIf(
+            A.EBinop("OLess", A.EAtom(A.AInt(0)), A.EUnop("OLength", A.EVar("t"))),
+            self_join,
+            A.EAtom(A.ANil(A.TRecord((("k", A.TInt()), ("nm", A.TString()))))),
+        ),
+    )
+    return compile_expr(prog, {}, _store(spark, sf_dir, "customer"), spark)
+
+
+@q(
     "dsl_command_pipeline",
     """
     WITH base AS (SELECT o_orderkey AS id, o_custkey AS price FROM orders),
