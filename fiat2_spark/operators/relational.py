@@ -169,15 +169,22 @@ def range_join_binned(
     """
     lb = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
     rb = F.floor(F.unix_timestamp(F.col(right_ts)) / window_seconds)
-    l_binned = left.withColumn("__bin", F.explode(F.array(lb - 1, lb)))
-    r_binned = right.withColumn("__bin", rb)
-    on = [l_binned[k] == r_binned[k] for k in keys] + [
-        l_binned["__bin"] == r_binned["__bin"]
-    ]
     assert left_ts != right_ts, "rename one timestamp column before joining"
+    # alias both sides: left/right often derive from the SAME scan (e.g.
+    # two filters of one events table), where bare l[k] == r[k] resolves
+    # both to one attribute id — Spark logs 'trivially true equals
+    # predicate' and has to self-disambiguate. Qualified names keep the
+    # join condition unambiguous by construction.
+    l_binned = left.withColumn("__bin", F.explode(F.array(lb - 1, lb))).alias("__rjl")
+    r_binned = right.withColumn("__bin", rb).alias("__rjr")
+    on = [F.col(f"__rjl.{k}") == F.col(f"__rjr.{k}") for k in keys] + [
+        F.col("__rjl.__bin") == F.col("__rjr.__bin")
+    ]
     joined = l_binned.join(r_binned, on=on)
-    for k in keys:
-        joined = joined.drop(r_binned[k])
+    keep = [F.col(f"__rjl.{c}") for c in left.columns] + [
+        F.col(f"__rjr.{c}") for c in right.columns if c not in keys
+    ]
+    joined = joined.select(*keep)
     in_range = (F.col(right_ts) <= F.col(left_ts)) & (
         F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECOND")
     )

@@ -16,10 +16,33 @@ from pyspark.sql import functions as F
 # language-ID. Deterministic and tiny by design (broadcastable as
 # literals into the plan, not a lookup table).
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
-    "es": ["el", "la", "de", "los", "las", "un", "una", "en", "y", "que"],
-    "de": ["der", "die", "das", "und", "ein", "eine", "zu", "mit", "von", "ist"],
-    "fr": ["le", "la", "les", "un", "une", "de", "des", "et", "en", "est"],
+    # ASCII-only by contract: the shared tokenizer splits on [^a-z0-9]+,
+    # so accented forms (für, más, été) never survive tokenization —
+    # including them would silently never match.
+    "en": [
+        "the", "a", "an", "of", "and", "to", "in", "is", "on", "for",
+        "with", "that", "it", "as", "was", "at", "by", "be", "this",
+        "are", "from", "or", "not", "but", "have", "they", "you", "we",
+        "his", "her",
+    ],
+    "es": [
+        "el", "la", "de", "los", "las", "un", "una", "en", "y", "que",
+        "es", "no", "por", "con", "para", "se", "su", "al", "lo", "como",
+        "mas", "pero", "sus", "le", "ha", "si", "este", "esta", "son",
+        "entre",
+    ],
+    "de": [
+        "der", "die", "das", "und", "ein", "eine", "zu", "mit", "von",
+        "ist", "den", "dem", "des", "nicht", "sich", "auf", "als",
+        "auch", "es", "an", "werden", "aus", "er", "hat", "bei", "wie",
+        "einer", "nach", "wird", "sind",
+    ],
+    "fr": [
+        "le", "la", "les", "un", "une", "de", "des", "et", "en", "est",
+        "que", "qui", "dans", "pour", "pas", "sur", "ne", "se", "ce",
+        "il", "au", "aux", "par", "plus", "avec", "son", "ses", "mais",
+        "nous", "vous",
+    ],
 }
 LANGS = sorted(STOPWORDS)  # deterministic argmax order
 
@@ -36,12 +59,24 @@ def token_count(toks: Column) -> Column:
 
 
 def bpe_ish_count(toks: Column) -> Column:
-    """BPE-ish subword estimate: ceil(len/4) pieces per token — a
-    deterministic stand-in for a real tokenizer's piece count."""
+    """BPE-ish subword estimate per token:
+    ``max(1, ceil(len/4), vowel_groups)`` — the chars/4 rule of thumb,
+    floored by the vowel-run (syllable) count so morpheme-dense words
+    cost more pieces, the way a real BPE splits them. Deterministic and
+    pure regex/arith, so the DuckDB oracle recomputes it exactly."""
+    def pieces(t: Column) -> Column:
+        # vowel runs: replace each run with one '#', count the '#'s as
+        # (len after run-collapse) - (len after run-delete)
+        collapsed = F.length(F.regexp_replace(t, "[aeiou]+", "#"))
+        deleted = F.length(F.regexp_replace(t, "[aeiou]+", ""))
+        return F.greatest(
+            F.ceil(F.length(t) / 4.0), (collapsed - deleted).cast("long"), F.lit(1)
+        ).cast("long")
+
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
-        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+        lambda acc, t: acc + pieces(t),
     )
 
 

@@ -1039,6 +1039,51 @@ def quantile_disc(spark, sf_dir):
 
 
 @q(
+    "partition_pruned_lookup",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+)
+def partition_pruned_lookup(spark, sf_dir):
+    """The bitmap-index story (BitmapIndex.v:331-335,811-831) realized
+    the Spark way: the 'index' is write-time layout. Events are written
+    partitioned by ``event_type`` (sources.io.write_table partition_by),
+    then a point query on one type reads ONLY that partition's directory
+    — `.explain` shows a `PartitionFilters` entry and the scan never
+    touches the other types' files. At 100 TB this is the difference
+    between scanning one shard and scanning the corpus; the oracle
+    recomputes the same aggregate from the unpartitioned table.
+    tests/test_plans.py asserts the PartitionFilters plan shape."""
+    import os
+
+    from fiat2_spark.sources.io import read_table, write_table
+
+    out = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "..", "spark-warehouse",
+        f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    out = os.path.normpath(out)
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_table(ev, out, partition_by=("event_type",))
+    part = read_table(spark, out)
+    return (
+        part.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
     "nested_collections",
     """
     WITH per_region AS (

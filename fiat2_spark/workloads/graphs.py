@@ -134,7 +134,12 @@ def bfs(spark, sf_dir):
     (UNION-dedup, depth-capped) — min depth = BFS depth for any graph of
     diameter < 15; the derived 30-node graph is far denser than that."""
     e = _edges(spark, sf_dir).persist()
-    visited = spark.createDataFrame([(0, 0)], "node long, depth long").persist()
+    # localCheckpoint (eager) per level truncates lineage: without it the
+    # visited plan grows by one join+union per level and iteration k
+    # re-derives all k-1 predecessors (unbounded plan depth — the classic
+    # iterative-algorithm failure at scale). Retired frontiers/visited
+    # snapshots are unpersisted as soon as superseded.
+    visited = spark.createDataFrame([(0, 0)], "node long, depth long").localCheckpoint()
     frontier = visited
     depth = 0
     while depth < 15:
@@ -145,10 +150,15 @@ def bfs(spark, sf_dir):
             .distinct()
             .join(visited, "node", "left_anti")
             .withColumn("depth", F.lit(depth).cast("long"))
-            .persist()
+            .localCheckpoint()
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).persist()
+        retired = (visited, frontier)
+        visited = visited.unionByName(nxt).localCheckpoint()
+        for d in retired:
+            d.unpersist()
         frontier = nxt
-    return visited.select("node", "depth")
+    out = visited.select("node", "depth")
+    e.unpersist()
+    return out

@@ -50,7 +50,11 @@ _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TX.STOPWORDS.items()}
     SELECT doc_id,
            CAST(len(toks) AS INTEGER) AS n_tokens,
            CAST(COALESCE(list_sum(list_transform(toks,
-                t -> CAST(ceil(length(t)/4.0) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
+                t -> CAST(greatest(
+                       ceil(length(t)/4.0),
+                       length(regexp_replace(t, '[aeiou]+', '#', 'g'))
+                         - length(regexp_replace(t, '[aeiou]+', '', 'g')),
+                       1) AS BIGINT))), 0) AS BIGINT) AS n_subwords,
            CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
              / greatest(len(toks), 1) AS mean_len
     FROM toks

@@ -117,6 +117,17 @@ def test_salted_join_matches_plain(spark):
     )
 
 
+def test_partition_pruned_lookup_prunes(spark):
+    """The partitioned-layout point query must push the partition-column
+    equality into `PartitionFilters` (directory pruning — the Spark
+    realization of the reference's bitmap index, BitmapIndex.v:811-831),
+    leaving no pushed data filter on event_type and no full scan."""
+    p = plan_of(QUERIES["partition_pruned_lookup"](spark, SF_SMOKE))
+    pf = [l for l in p.splitlines() if "PartitionFilters" in l]
+    assert pf, "no PartitionFilters entry — scan is not partition-pruned"
+    assert "event_type" in pf[0]
+
+
 def test_group_sample_prunes_before_shuffle(spark):
     """The rank<=k per-stratum sample must hit Catalyst's
     WindowGroupLimit rewrite: each input partition keeps only its local
