@@ -341,11 +341,27 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc"),
         shingles(toks, shingle_n).alias("sh"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
-    )
+    ).withColumn("sz", F.size(F.col("sh")).cast("long"))
+    # persist + materialize: both join sides read the shingle pass
+    base = base.persist()
+    base.count()
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l.doc") < F.col("r.doc")
     if block_col:
         cond = cond & (F.col("l.blk") == F.col("r.blk"))
+    # lossless size-ratio prefilter: jac(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so jac >= t forces the set sizes within a factor t of each other.
+    # Stated as exact integer arithmetic (den*min >= num*max) and applied
+    # as a join conjunct, it prunes size-incompatible pairs BEFORE the
+    # per-pair intersect/union — the expensive part of the verify.
+    # truncation keeps num/den <= threshold, so the prefilter is never
+    # stricter than the exact ratio (stays lossless); magnitudes stay
+    # far from long overflow (1e6 · |shingles|)
+    num, den = int(threshold * 1_000_000), 1_000_000
+    cond = cond & (
+        den * F.least(F.col("l.sz"), F.col("r.sz"))
+        >= num * F.greatest(F.col("l.sz"), F.col("r.sz"))
+    )
     return (
         l.join(r, cond)
         .select(

@@ -45,9 +45,9 @@ PRIORITY = (
     "dsl_let_if_table",
     "triangle", "grandchildren", "bfs",
     # core picks (10): rows without other in-window evidence + fresh fixes
-    "nested_collections", "partition_pruned_lookup", "dict_fold",
-    "groupby_agg", "window_rownum", "coq_div_mod", "word_arith",
-    "fold_right_concat", "theta_join_nonequi", "sql_entrypoint",
+    "nested_collections", "partition_pruned_lookup", "bucketed_join",
+    "dict_fold", "groupby_agg", "window_rownum", "coq_div_mod",
+    "word_arith", "fold_right_concat", "sql_entrypoint",
 )
 
 _queries = {}

@@ -9,6 +9,8 @@ sorts columns by name before hashing.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from fiat2_spark.functions import scalars as S
@@ -1059,8 +1061,6 @@ def partition_pruned_lookup(spark, sf_dir):
     between scanning one shard and scanning the corpus; the oracle
     recomputes the same aggregate from the unpartitioned table.
     tests/test_plans.py asserts the PartitionFilters plan shape."""
-    import os
-
     from fiat2_spark.sources.io import read_table, write_table
 
     out = os.path.join(
@@ -1080,6 +1080,54 @@ def partition_pruned_lookup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
         )
+    )
+
+
+@q(
+    "bucketed_join",
+    """
+    SELECT o_orderkey, c_name
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def bucketed_join(spark, sf_dir):
+    """The persisted-hash-index story (DictIndexImpl.v to_idx: build the
+    keyed index once, every lookup after is O(1)) realized the Spark
+    way: both tables are written BUCKETED by the join key
+    (sources.io.write_bucketed), so the join reads pre-shuffled,
+    pre-sorted buckets and the plan has **no Exchange at all** — the
+    shuffle was paid once at write time and every subsequent join on
+    the key is free. tests/test_plans.py asserts the no-Exchange shape.
+    At 100 TB this is the difference between re-shuffling the fact
+    table per query and never shuffling it again."""
+    import shutil
+
+    from fiat2_spark.sources.io import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, ct = f"orders_bkt_{tag}", f"customer_bkt_{tag}"
+
+    def ensure(name, df, col):
+        if spark.catalog.tableExists(name):
+            return
+        # bucketing metadata lives in the (session-scoped, in-memory)
+        # catalog; a stale warehouse directory from a previous session
+        # has no catalog entry and blocks saveAsTable — rebuild it
+        wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        loc = os.path.join(wh.removeprefix("file:"), name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        write_bucketed(df, name, col, n_buckets=16)
+
+    ensure(ot, tbl(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"), "o_custkey")
+    ensure(ct, tbl(spark, sf_dir, "customer").select("c_custkey", "c_name"), "c_custkey")
+    o, c = spark.table(ot), spark.table(ct)
+    # hint('merge'): force the sort-merge path so the bucketed layout is
+    # what serves the join (a broadcast join would mask the story)
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("o_orderkey", "c_name")
     )
 
 

@@ -128,6 +128,16 @@ def test_partition_pruned_lookup_prunes(spark):
     assert "event_type" in pf[0]
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Both sides bucketed by the join key: the sort-merge join must
+    read the buckets directly — no Exchange anywhere in the plan (the
+    shuffle was paid once at write time; DictIndexImpl.v's persisted
+    index economics)."""
+    p = plan_of(QUERIES["bucketed_join"](spark, SF_SMOKE))
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p
+
+
 def test_group_sample_prunes_before_shuffle(spark):
     """The rank<=k per-stratum sample must hit Catalyst's
     WindowGroupLimit rewrite: each input partition keeps only its local
