@@ -1,5 +1,5 @@
-"""Count-Min sketch over a value column — the mergeable-summary pattern
-for approximate frequency at scale.
+"""Mergeable sketches over a value column — Count-Min for approximate
+frequency, HyperLogLog for approximate distinct counts at scale.
 
 The reference maintains exact materialized aggregates (SumAgg.v,
 MinAgg.v); a CMS is the sublinear cousin for frequency queries over
@@ -84,4 +84,59 @@ def cms_estimate(
     joined = qcells.join(F.broadcast(sketch), ["d", "cell"], "left")
     return joined.groupBy(q_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est")
+    )
+
+
+# -- HyperLogLog ------------------------------------------------------------
+
+HLL_M = 64          # 2^6 buckets
+HLL_ALPHA = 0.709   # alpha_64 from the original HLL paper (Flajolet 2007)
+
+
+def hll_bucket_rho(val: Column) -> tuple[Column, Column]:
+    """(bucket, rho) for one value: bucket = first hex byte of md5 mod m;
+    rho = 1 + leading zeros of the next 32 bits, computed as
+    33 - bit_length(w) with bit_length as a chain of exact integer
+    comparisons — no floating-point log, so any md5-capable engine
+    reproduces it bit-for-bit."""
+    h = F.md5(val)
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+    w = F.conv(F.substring(h, 3, 8), 16, 10).cast("long")
+    bit_length = sum((w >= F.lit(1 << i)).cast("int") for i in range(32))
+    rho = (F.lit(33) - bit_length).cast("long")
+    return bucket, rho
+
+
+def hll_build(df: DataFrame, val_col: str) -> DataFrame:
+    """Sketch table (bucket, mj): max rho per bucket, ≤ m rows. The
+    aggregate is max — distributive, so partial (map-side) aggregation
+    merges per-partition sub-sketches for free and the shuffle carries
+    ≤ m rows per partition regardless of input size. Two HLL sketches
+    over different inputs merge by the same bucket-wise max (union
+    semantics) — the mergeable-summary property that matters at 100 TB."""
+    bucket, rho = hll_bucket_rho(F.col(val_col).cast("string"))
+    return (
+        df.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate(sketch: DataFrame) -> DataFrame:
+    """Raw HLL estimate alpha_m · m² / Σ_j 2^(-M_j) (empty buckets
+    contribute 2⁰ = 1). Every 2^(-M_j) term is an exact dyadic double
+    (computed as 1.0 / (1 << M_j), no pow()), the sum of ≤ m exact terms
+    is exact in any order, and the final multiply/divide are IEEE
+    correctly-rounded — the estimate is deterministic and engine-
+    portable. Bias corrections that need ln() are deliberately omitted
+    (floating-point log is not reproducible across engines)."""
+    return sketch.agg(
+        F.round(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            / (
+                (F.lit(HLL_M) - F.count(F.lit(1))).cast("double")
+                + F.sum(F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), CAST(mj AS INT)) AS DOUBLE)"))
+            ),
+            6,
+        ).alias("est_distinct")
     )

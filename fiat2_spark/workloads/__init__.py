@@ -39,15 +39,17 @@ PRIORITY = (
     "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
     # server parity (2)
     "server_artist_filter", "server_album_join",
-    # dsl (7) + graphs (3)
-    "dsl_employee_join", "dsl_filter_project", "dsl_orders_agg",
-    "dsl_grandchildren", "dsl_command_pipeline", "dsl_fold_table",
-    "dsl_let_if_table",
-    "triangle", "grandchildren", "bfs",
+    # sketches + salient terms (round-3 additions)
+    "hll_users", "text_salient",
+    # dsl (6) + graphs (2): rotated-out entries keep their green
+    # CORRECTNESS_r01/r02 rows as prior evidence
+    "dsl_employee_join", "dsl_orders_agg", "dsl_command_pipeline",
+    "dsl_fold_table", "dsl_let_if_table", "dsl_grandchildren",
+    "triangle", "bfs",
     # core picks (10): rows without other in-window evidence + fresh fixes
     "nested_collections", "partition_pruned_lookup", "bucketed_join",
-    "dict_fold", "groupby_agg", "window_rownum", "coq_div_mod",
-    "word_arith", "fold_right_concat", "sql_entrypoint",
+    "sink_roundtrip", "dict_fold", "groupby_agg", "window_rownum",
+    "coq_div_mod", "fold_right_concat", "sql_entrypoint",
 )
 
 _queries = {}

@@ -1084,6 +1084,45 @@ def partition_pruned_lookup(spark, sf_dir):
 
 
 @q(
+    "sink_roundtrip",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_roundtrip(spark, sf_dir):
+    """The CAssign-sink / file-format surface under the driver gate
+    (SURVEY §2.1: the reference's data leaves via CAssign + the server's
+    JSON serialization, Extracted.hs:3035-3038): write orders as
+    line-JSON records, read them back with an explicit schema (no
+    inference pass — mandatory at 100 TB), and aggregate. The oracle
+    aggregates the ORIGINAL parquet, so the round-trip must be exact —
+    Spark's JSON writer emits shortest-round-trip doubles, which is the
+    property this checks."""
+    from fiat2_spark.sources.io import read_table, write_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "spark-warehouse", f"orders_json_{tag}",
+        )
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    write_table(o, out, fmt="json")
+    back = read_table(
+        spark, out, fmt="json",
+        schema="o_orderkey bigint, o_orderpriority string, o_totalprice double",
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+    )
+
+
+@q(
     "bucketed_join",
     """
     SELECT o_orderkey, c_name

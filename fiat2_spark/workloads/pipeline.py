@@ -219,6 +219,95 @@ def cms_tokens(spark, sf_dir):
     )
 
 
+def _hll_oracle() -> str:
+    bl = " + ".join(f"(CASE WHEN w >= {1 << i} THEN 1 ELSE 0 END)" for i in range(32))
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT % 64 AS bucket,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 8))::BIGINT AS w
+      FROM events
+    ),
+    r AS (SELECT bucket, 33 - ({bl}) AS rho FROM h),
+    b AS (SELECT bucket, MAX(rho) AS mj FROM r GROUP BY bucket),
+    s AS (
+      SELECT CAST(64 - COUNT(*) AS DOUBLE)
+             + SUM(1.0 / CAST(1::BIGINT << mj AS DOUBLE)) AS harm
+      FROM b
+    )
+    SELECT round(0.709 * 64 * 64 / harm, 6) AS est_distinct,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
+    FROM s
+    """
+
+
+@q("hll_users", _hll_oracle())
+def hll_users(spark, sf_dir):
+    """HyperLogLog distinct-user estimate over the event stream, next to
+    the exact count. The sketch is 64 bucket-max rows (mergeable:
+    bucket-wise max = union), built with one partial+final aggregate —
+    at 100 TB the shuffle carries ≤ 64 rows per partition where
+    COUNT(DISTINCT) shuffles every key. All arithmetic is exact-dyadic
+    (no log/pow), so the DuckDB oracle reproduces the estimate
+    bit-for-bit — the approximate operator is checked exactly."""
+    from fiat2_spark.operators import sketches as SK
+
+    ev = tbl(spark, sf_dir, "events")
+    est = SK.hll_estimate(SK.hll_build(ev, "user_id"))
+    true = ev.agg(F.countDistinct("user_id").cast("long").alias("true_distinct"))
+    return est.crossJoin(true)
+
+
+@q(
+    "text_salient",
+    f"""
+    WITH toks AS ({_TOKS}),
+    tf AS (
+      SELECT doc_id, unnest(toks) AS tok FROM toks
+    ),
+    tfc AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tf GROUP BY doc_id, tok
+    ),
+    dfc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tfc GROUP BY tok
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.tok, t.tf, d.df_docs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                  ORDER BY t.tf DESC, d.df_docs ASC, t.tok) AS BIGINT) AS rank
+      FROM tfc t JOIN dfc d USING (tok)
+      WHERE t.doc_id < 50
+    )
+    SELECT * FROM ranked WHERE rank <= 3
+    """,
+)
+def text_salient(spark, sf_dir):
+    """Salient terms per document — the tf-idf family computed with
+    exact integer ordering: rank tokens by (tf DESC, document-frequency
+    ASC, token), i.e. frequent-here and rare-elsewhere, without the
+    floating-point ln() whose last-ulp behavior differs between engines.
+    Document frequency aggregates over the FULL corpus (the expensive,
+    shuffle-bearing part — one |vocab|-sized exchange thanks to partial
+    aggregation); the per-doc restriction only trims the ranked output."""
+    d = tbl(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    tfc = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("tok").agg(F.count(F.lit(1)).alias("df_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df_docs"), F.asc("tok"))
+    return (
+        tfc.filter(F.col("doc_id") < 50)
+        .join(dfc, "tok")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "tok", "tf", "df_docs", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
