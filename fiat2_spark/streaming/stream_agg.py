@@ -60,6 +60,8 @@ def run_streaming_window_smoke(spark: SparkSession, parquet_path: str) -> list:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = windowed_agg(stream)
     q = (
         agg.writeStream.outputMode("complete")
@@ -150,6 +152,8 @@ def _staged_stream(spark: SparkSession, parquet_path: str):
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000").cast("long"))
         )
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

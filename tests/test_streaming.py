@@ -73,6 +73,8 @@ def test_streaming_dedup(spark):
     stream = stream_from_parquet(spark, stage, static.schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     q = (
         streaming_dedup(stream, ["event_id"])
         .writeStream.outputMode("append")
