@@ -384,11 +384,14 @@ def embedding_dedup_pairs(
     """Exact cosine near-dup pairs (id_a < id_b, cos >= threshold).
     This is the O(n²) baseline the LSH path (similarity.ann_lsh) prunes;
     at 100 TB run it only inside LSH buckets."""
-    from fiat2_spark.operators.similarity import cosine
+    from fiat2_spark.operators.similarity import cosine_pre, norm
 
-    # spread the O(n²) comparison across all cores (see ngram_jaccard_pairs)
+    # spread the O(n²) comparison across all cores (see ngram_jaccard_pairs);
+    # norms are hoisted per vector so each pair pays one dot-product fold
     base = df.repartition(cpu_partitions(df, rows_per_task=200)).select(
-        F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
     )
     l, r = base.alias("l"), base.alias("r")
     return (
@@ -396,7 +399,9 @@ def embedding_dedup_pairs(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+            F.round(
+                cosine_pre(F.col("l.v"), F.col("r.v"), F.col("l.nv"), F.col("r.nv")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -423,17 +428,18 @@ def embedding_dedup_pairs_lsh(
 
     At 100 TB: the bucket id becomes a write-time partition column and
     the self-join runs per-partition with no cross-bucket shuffle."""
-    from fiat2_spark.operators.similarity import cosine, lsh_bucket, lsh_planes
+    from fiat2_spark.operators.similarity import cosine_pre, lsh_bucket, lsh_planes, norm
 
     planes = lsh_planes(dims, n_planes)
     base = df.repartition(cpu_partitions(df, rows_per_task=200)).select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("nv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     # persist + materialize: both join sides and the verify read this —
-    # without it the n_planes×dims bucket fold is recomputed per side
-    # (and racing stages each recompute the cache)
+    # without it the n_planes×dims bucket fold (and the hoisted norm) is
+    # recomputed per side (and racing stages each recompute the cache)
     base = base.persist()
     base.count()
     l, r = base.alias("l"), base.alias("r")
@@ -445,7 +451,9 @@ def embedding_dedup_pairs_lsh(
         .select(
             F.col("l.doc").alias("id_a"),
             F.col("r.doc").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+            F.round(
+                cosine_pre(F.col("l.v"), F.col("r.v"), F.col("l.nv"), F.col("r.nv")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

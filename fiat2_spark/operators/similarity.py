@@ -34,6 +34,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with per-row precomputed norms. The pair-join operators
+    below hoist ``norm()`` to a per-vector projection BEFORE the join:
+    the fold runs n times instead of once per candidate pair (~3× less
+    per-pair work at n²/buckets pairs), and the double result is
+    bit-identical — same expression, same evaluation order, just
+    computed once."""
+    return dot(a, b) / (na * nb)
+
+
 # -- brute-force top-k ------------------------------------------------------
 
 def cosine_topk(
@@ -51,10 +61,22 @@ def cosine_topk(
     scored rows, and at scale you cut that with a per-partition
     pre-top-k (AQE) or the LSH path below.
     Output: (query_id, vec_id, cos, rank)."""
-    scored = emb.crossJoin(F.broadcast(queries)).select(
-        F.col(qid_col).alias("query_id"),
+    corpus = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(F.col(vec_col), F.col(qvec_col)), 6).alias("cos"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__nv"),
+    )
+    qs = queries.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qvec_col).alias("__qv"),
+        norm(F.col(qvec_col)).alias("__nq"),
+    )
+    scored = corpus.crossJoin(F.broadcast(qs)).select(
+        "query_id",
+        "vec_id",
+        F.round(
+            cosine_pre(F.col("__v"), F.col("__qv"), F.col("__nv"), F.col("__nq")), 6
+        ).alias("cos"),
     ).filter(F.col("vec_id") != F.col("query_id"))
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -124,28 +146,53 @@ def ann_ivf_topk(
     caller-supplied (production: k-means over a sample; any fixed choice
     keeps the operator deterministic and oracle-checkable).
     Output: (query_id, vec_id, cos, rank)."""
-    cents = F.broadcast(centroids.select(F.col(cid_col), F.col(cvec_col)))
+    cents = F.broadcast(
+        centroids.select(
+            F.col(cid_col), F.col(cvec_col), norm(F.col(cvec_col)).alias("__nc")
+        )
+    )
 
-    def nearest(df: DataFrame, ident: str, vcol: str, keep: int) -> DataFrame:
+    def nearest(df: DataFrame, ident: str, vcol: str, nvcol: str, keep: int) -> DataFrame:
         scored = df.crossJoin(cents).select(
-            df["*"], F.col(cid_col), cosine(F.col(vcol), F.col(cvec_col)).alias("__ccos")
+            df["*"],
+            F.col(cid_col),
+            cosine_pre(
+                F.col(vcol), F.col(cvec_col), F.col(nvcol), F.col("__nc")
+            ).alias("__ccos"),
         )
         w = W.partitionBy(ident).orderBy(F.col("__ccos").desc(), F.col(cid_col))
         return (
             scored.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= keep)
-            .drop("__ccos", "__r", cvec_col)
+            .drop("__ccos", "__r", cvec_col, "__nc")
         )
 
-    lists = nearest(emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), "vec_id", "v", 1)
+    lists = nearest(
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col)).alias("__nv"),
+        ),
+        "vec_id", "v", "__nv", 1,
+    )
     probes = nearest(
-        queries.select(F.col(qid_col).alias("query_id"), F.col(qvec_col).alias("qv")),
-        "query_id", "qv", nprobe,
+        queries.select(
+            F.col(qid_col).alias("query_id"),
+            F.col(qvec_col).alias("qv"),
+            norm(F.col(qvec_col)).alias("__nq"),
+        ),
+        "query_id", "qv", "__nq", nprobe,
     )
     scored = (
         lists.join(F.broadcast(probes), cid_col)
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_pre(F.col("v"), F.col("qv"), F.col("__nv"), F.col("__nq")), 6
+            ).alias("cos"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -173,11 +220,13 @@ def ann_lsh_topk(
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),
+        norm(F.col(vec_col)).alias("__nv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     qs = queries.select(
         F.col(qid_col).alias("query_id"),
         F.col(qvec_col).alias("qv"),
+        norm(F.col(qvec_col)).alias("__nq"),
         lsh_bucket(F.col(qvec_col), planes).alias("qbucket"),
     )
     scored = (
@@ -186,7 +235,9 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos"),
+            F.round(
+                cosine_pre(F.col("v"), F.col("qv"), F.col("__nv"), F.col("__nq")), 6
+            ).alias("cos"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
