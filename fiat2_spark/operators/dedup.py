@@ -216,6 +216,66 @@ def minhash_dedup_pairs(
     return verified
 
 
+# -- duplicate clusters (connected components) ------------------------------
+
+def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list: every document in
+    a component gets the component's minimum doc id as its cluster label
+    — the "keep one canonical doc per duplicate cluster" step that
+    follows pair generation in a training-data dedup pipeline.
+
+    Min-label propagation, level-synchronous like ``workloads.graphs.bfs``:
+    each iteration is one equi-join (neighbor labels) + one group-min +
+    one left join (keep own label when no neighbor improves it), all
+    distributed; the driver reads only a has-anything-changed boolean.
+    ``localCheckpoint`` per iteration truncates lineage (plan depth would
+    otherwise grow per round), and retired label snapshots unpersist
+    immediately. Iterations needed = component diameter; near-dup
+    clusters are shallow (dozens of docs), so this converges in a few
+    rounds. At 100 TB-scale graphs with long chains, switch to the
+    large-star/small-star contraction (Kiveris et al. 2014), which runs
+    in O(log²) rounds of the same join+min primitive.
+
+    Input: (id_a, id_b) pairs (directionless). Output: (doc, cluster).
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("lbl", F.col("doc"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new = (
+            labels.join(nbr, labels.doc == nbr.dst, "left")
+            .select(
+                F.col("doc"),
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        improved = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+        )
+        done = improved.isEmpty()
+        labels.unpersist()
+        labels = new
+        if done:
+            break
+    edges.unpersist()
+    return labels.select("doc", F.col("lbl").alias("cluster"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 _HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]

@@ -103,6 +103,53 @@ RUNNING_STATE_SCHEMA = "total double, n bigint"
 RUNNING_OUT_SCHEMA = "event_type string, total double, n bigint"
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    max_gap_minutes: int = 10,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time bound: pair each left
+    row with the right rows sharing ``key`` whose ``ts`` falls in
+    (left.ts, left.ts + max_gap_minutes] — e.g. click→purchase
+    attribution. The same plan runs batch and streaming: on streams,
+    both sides carry watermarks and the two-sided time bound lets Spark
+    expire join state (the canonical bounded stream-stream join; without
+    the bound, state grows forever). Batch planning is a hash join on
+    the key with the range as a post-join conjunct — one shuffle per
+    side, no nested loop. Column names are prefixed l_/r_ to keep the
+    self-join unambiguous.
+    Output: (key, l_event_id, r_event_id, l_ts, r_ts, gap_sec)."""
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+        r = r.withWatermark("r_ts", watermark)
+    joined = l.join(
+        r,
+        (F.col("k") == F.col("rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_gap_minutes} MINUTES")),
+    )
+    return joined.select(
+        F.col("k").alias(key),
+        "l_event_id",
+        "r_event_id",
+        "l_ts",
+        "r_ts",
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("gap_sec"),
+    )
+
+
 def _running_totals_fn(key, pdf_iter, state):
     """applyInPandasWithState body: fold each micro-batch's rows into
     (total, n) state; emit the updated running totals per key."""

@@ -33,10 +33,11 @@ PRIORITY = (
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
     "ann_ivf", "multimodal_bytes", "pipeline_e2e", "sample_strata",
     "sample_group_k", "vocab_topn",
-    # stream (10): incremental maintenance / event-time
+    # stream (11): incremental maintenance / event-time
     "incremental_sum", "incremental_min_orders", "incremental_groupby",
     "stream_window_agg", "sessionize", "asof_join", "json_extract",
     "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
+    "stream_stream_join",
     # server parity (2)
     "server_artist_filter", "server_album_join",
     # sketches + salient terms (round-3 additions)
@@ -46,10 +47,14 @@ PRIORITY = (
     "dsl_employee_join", "dsl_orders_agg", "dsl_command_pipeline",
     "dsl_fold_table", "dsl_let_if_table", "dsl_grandchildren",
     "triangle", "bfs",
-    # core picks (10): rows without other in-window evidence + fresh fixes
+    # round-3 pipeline/window additions: dup clustering, edit-distance
+    # dedup, interpolated percentiles, lag/lead frames
+    "dedup_clusters", "dedup_editdist", "percentile_cont", "window_frames",
+    # core picks (5): rows without other in-window evidence + fresh
+    # fixes; rotated-out picks (dict_fold, window_rownum, coq_div_mod,
+    # fold_right_concat, sql_entrypoint) hold green CORRECTNESS_r02 rows
     "nested_collections", "partition_pruned_lookup", "bucketed_join",
-    "sink_roundtrip", "dict_fold", "groupby_agg", "window_rownum",
-    "coq_div_mod", "fold_right_concat", "sql_entrypoint",
+    "sink_roundtrip", "groupby_agg",
 )
 
 _queries = {}

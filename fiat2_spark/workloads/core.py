@@ -1041,6 +1041,101 @@ def quantile_disc(spark, sf_dir):
 
 
 @q(
+    "percentile_cont",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS prio,
+             list_sort(list(o_totalprice)) AS vals,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority
+    ), h AS (
+      SELECT prio, vals, n,
+             0.5 * CAST(n - 1 AS DOUBLE) AS h50,
+             0.9 * CAST(n - 1 AS DOUBLE) AS h90
+      FROM g
+    )
+    SELECT prio,
+           vals[CAST(floor(h50) AS BIGINT) + 1]
+             + (h50 - floor(h50))
+               * (vals[least(CAST(floor(h50) AS BIGINT) + 2, n)]
+                  - vals[CAST(floor(h50) AS BIGINT) + 1]) AS p50,
+           vals[CAST(floor(h90) AS BIGINT) + 1]
+             + (h90 - floor(h90))
+               * (vals[least(CAST(floor(h90) AS BIGINT) + 2, n)]
+                  - vals[CAST(floor(h90) AS BIGINT) + 1]) AS p90,
+           n
+    FROM h
+    """,
+)
+def percentile_cont(spark, sf_dir):
+    """Continuous (interpolated) quantiles per group — percentile_cont
+    semantics (index h = q·(n−1), linear interpolation between the two
+    bracketing order statistics), spelled as the explicit sorted-array
+    formula on BOTH engines so the double arithmetic runs in the same
+    operation order and matches bit-for-bit (native `percentile` /
+    `quantile_cont` implementations agree only up to last-ulp rounding;
+    test_workloads asserts the explicit form ≈ Spark's native percentile).
+    Complements `quantile_disc` (no interpolation). At 100 TB prefer
+    approx_percentile (mergeable t-digest, one pass)."""
+    o = tbl(spark, sf_dir, "orders")
+    grouped = o.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def cont(qf):
+        h = F.lit(qf) * (F.col("n") - 1).cast("double")
+        lo = F.floor(h).cast("long")
+        v_lo = F.element_at(F.col("vals"), (lo + 1).cast("int"))
+        v_hi = F.element_at(
+            F.col("vals"), F.least(lo + 2, F.col("n")).cast("int")
+        )
+        return v_lo + (h - F.floor(h)) * (v_hi - v_lo)
+
+    return grouped.select("prio", cont(0.5).alias("p50"), cont(0.9).alias("p90"), "n")
+
+
+@q(
+    "window_frames",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           lag(o_totalprice) OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_frames(spark, sf_dir):
+    """Window frames beyond ranking: lag/lead offsets and a 3-row moving
+    average over ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, per customer
+    in order-date order (total order via the o_orderkey tiebreak — frame
+    contents are deterministic). The frame sum runs in DECIMAL then casts
+    back, because sliding-frame double summation order differs between
+    engines (Spark re-adds in frame order, DuckDB uses segment trees).
+    One shuffle on the partition key; frames evaluate within partitions,
+    no global sort."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(-2, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame)
+        ).alias("ma3"),
+    )
+
+
+@q(
     "partition_pruned_lookup",
     """
     SELECT event_type,

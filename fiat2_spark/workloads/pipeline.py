@@ -390,6 +390,85 @@ def dedup_minhash(spark, sf_dir):
     return D.minhash_dedup_pairs(d, "doc_id", "text", n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7)
 
 
+@q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Duplicate clusters: connected components over the MinHash near-dup
+    pairs (min-label propagation; `dedup.dup_clusters`) — every doc in a
+    component labeled with the component's min doc id, i.e. the canonical
+    keeper. The oracle computes the same components as a recursive-CTE
+    transitive closure (UNION-dedup; closure size is Σ|component|², fine
+    for shallow near-dup clusters) and takes the min reachable id."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7
+    )
+    return D.dup_clusters(pairs)
+
+
+@q(
+    "dedup_editdist",
+    """
+    WITH docs AS (
+      SELECT doc_id, lang, length(text) AS n, substr(text, 1, 64) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS dist
+    FROM docs a JOIN docs b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n - b.n) <= 16
+    WHERE levenshtein(a.pfx, b.pfx) <= 8
+    """,
+)
+def dedup_editdist(spark, sf_dir):
+    """Edit-distance near-dup pairs on 64-char prefixes, blocked on
+    (language, |length delta| ≤ 16): length blocking is lossless for the
+    full-text distance (edit distance ≥ length difference) and the fixed
+    prefix caps per-pair cost at 64×64 cell updates. The cheap integer
+    length conjunct is evaluated before the levenshtein in the join
+    condition (And short-circuits in codegen), so most pairs never pay
+    the DP. At 100 TB: block on a coarse fingerprint (simhash band)
+    instead of length alone."""
+    d = tbl(spark, sf_dir, "documents")
+    docs = d.select(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.length("text").alias("n"),
+        F.substring("text", 1, 64).alias("pfx"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n") - F.col("b.n")) <= 16),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 8)
+    )
+
+
 _SIMHASH_ORACLE = f"""
     WITH toks AS ({_TOKS}),
     h AS (SELECT doc_id, md5(unnest(toks)) AS h FROM toks),

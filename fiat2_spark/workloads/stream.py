@@ -308,3 +308,36 @@ def keyed_agg_maintenance(spark, sf_dir):
     from fiat2_spark.streaming.stream_agg import keyed_agg
 
     return keyed_agg(tbl(spark, sf_dir, "events"))
+
+
+@q(
+    "stream_stream_join",
+    """
+    SELECT l.user_id,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.ts AS l_ts, r.ts AS r_ts,
+           date_diff('second', l.ts, r.ts) AS gap_sec
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.event_type = 'click' AND r.event_type = 'purchase'
+     AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Click→purchase attribution: pair each click with same-user
+    purchases inside a 10-minute event-time window — the canonical
+    bounded stream-stream join (`stream_agg.interval_join`). The exact
+    same plan runs as a watermarked streaming join (both sides expire
+    state past watermark + gap; agreement tested in test_streaming.py);
+    batch planning is one hash join on user_id with the time bound as a
+    conjunct. At scale the join key is the shuffle partition key and
+    state per key is bounded by the 10-minute gap."""
+    from fiat2_spark.streaming.stream_agg import interval_join
+
+    ev = tbl(spark, sf_dir, "events")
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "user_id",
+        max_gap_minutes=10,
+    )

@@ -1,0 +1,56 @@
+"""Unit tests for duplicate clustering and interpolated percentiles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators.dedup import dup_clusters
+
+
+def test_dup_clusters_chain_multi_iteration(spark):
+    """A 6-node chain needs several propagation rounds: min label must
+    travel the full diameter. Second component + a self-contained pair
+    check isolation."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_dup_clusters_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters(pairs).count() == 0
+
+
+def test_percentile_cont_matches_native(spark):
+    """The explicit sorted-array interpolation in the percentile_cont
+    workload equals Spark's native `percentile` to 1e-9 (same
+    percentile_cont semantics, different evaluation)."""
+    from fiat2_spark.workloads.core import percentile_cont
+    from tests.conftest import SF_SMOKE
+    from fiat2_spark.workloads.util import tbl
+
+    ours = {
+        r["prio"]: (r["p50"], r["p90"])
+        for r in percentile_cont(spark, SF_SMOKE).collect()
+    }
+    native = {
+        r["prio"]: (r["p50"], r["p90"])
+        for r in tbl(spark, SF_SMOKE, "orders")
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    assert ours.keys() == native.keys() and len(ours) > 0
+    for k in ours:
+        assert abs(ours[k][0] - native[k][0]) < 1e-9
+        assert abs(ours[k][1] - native[k][1]) < 1e-9

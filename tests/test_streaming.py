@@ -90,6 +90,56 @@ def test_streaming_dedup(spark):
     assert got["n"] == got["d"] == static.select("event_id").distinct().count()
 
 
+def test_streaming_interval_join_matches_batch(spark):
+    """Stream-stream interval join (click→purchase attribution): the
+    watermarked two-stream join emits exactly the batch join's pairs."""
+    from fiat2_spark.streaming.stream_agg import interval_join, stream_from_parquet
+
+    ev = tbl(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    batch = {
+        (r["user_id"], r["l_event_id"], r["r_event_id"])
+        for r in interval_join(clicks, purchases, "user_id").collect()
+    }
+
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{SF_SMOKE}/events.parquet"
+    static = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="fiat2_ssj_")
+    os.symlink(os.path.abspath(src), os.path.join(stage, "a.parquet"))
+
+    def staged():
+        s = stream_from_parquet(spark, stage, static.schema)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000").cast("long")))
+        elif dict(s.dtypes).get("ts") == "timestamp_ntz":
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s
+
+    joined = interval_join(
+        staged().filter(F.col("event_type") == "click"),
+        staged().filter(F.col("event_type") == "purchase"),
+        "user_id",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj_smoke").collect()
+    finally:
+        q.stop()
+    stream = {(r["user_id"], r["l_event_id"], r["r_event_id"]) for r in rows}
+    assert stream == batch and len(batch) > 0
+
+
 def test_sessionize_matches_native_session_window(spark):
     """Our gap+lag sessionization must agree with Spark's native
     session_window (window merging) on session starts, event counts,
