@@ -58,6 +58,10 @@ HEADLINE = [
     "pipeline_e2e",       # composed prep pipeline
     "sample_strata",      # deterministic md5-threshold sampling (scan-side)
     "vocab_topn",         # explode + partial-agg word count, top-k
+    "dedup_clusters",     # connected components over near-dup pairs
+    "dedup_editdist",     # length-blocked prefix edit distance
+    "stream_stream_join", # watermarked interval join (batch form)
+    "window_frames",      # lag/lead + ROWS-frame moving average
 ]
 
 

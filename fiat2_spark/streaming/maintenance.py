@@ -140,6 +140,58 @@ class GroupIndex:
         return self.state
 
 
+class JoinAggView:
+    """Incrementally maintained join-aggregate view — the delta-join
+    generalization of the reference's single-table index maintenance
+    (SumAgg/MinAgg maintain Σ over one table; a join view maintains Σ
+    over A ⋈ B under insert-only batches on either side).
+
+    Bilinearity of the join: Δ(A ⋈ B) = ΔA ⋈ B_seen  (left insert)
+                                      ∪ A_seen ⋈ ΔB  (right insert),
+    where X_seen includes every prior batch but NOT the incoming delta —
+    applying the delta-join *before* folding the batch into the seen
+    side covers each joined pair exactly once. Per batch the work is
+    O(|Δ| ⋈ seen) + a |groups|-sized merge, never a recompute of the
+    full join; the maintained state is the |groups|-row aggregate, not
+    the join result. At 100 TB the seen sides are the base parquet
+    (co-partitioned or broadcast against the delta) and only the group
+    aggregate is stateful — exactly Structured Streaming's stream-stream
+    join + update-mode agg, expressed at the driver layer.
+
+    Insert-only, sum/count/min/max aggregates (the mergeable set — the
+    same restriction the reference's OCons-only proofs carry).
+    """
+
+    def __init__(
+        self,
+        left: DataFrame,
+        right: DataFrame,
+        on: list[str],
+        group: GroupIndex,
+    ):
+        self.on = on
+        self.group = group
+        # localCheckpoint bounds the union lineage of the seen sides as
+        # batches accumulate (same hygiene as workloads.graphs.bfs)
+        self.left = left.localCheckpoint()
+        self.right = right.localCheckpoint()
+        self.group.init(self.left.join(self.right, on))
+
+    def _fold(self, joined_delta: DataFrame) -> None:
+        self.group.insert(joined_delta)
+
+    def insert_left(self, batch: DataFrame) -> None:
+        self._fold(batch.join(self.right, self.on))
+        self.left = self.left.unionByName(batch).localCheckpoint()
+
+    def insert_right(self, batch: DataFrame) -> None:
+        self._fold(self.left.join(batch, self.on))
+        self.right = self.right.unionByName(batch).localCheckpoint()
+
+    def read(self) -> DataFrame:
+        return self.group.read()
+
+
 class MaterializedView:
     """The store record {base, aux indexes} of IndexTransf.v:797-803:
     reads hit maintained aggregates; inserts update base + every index.

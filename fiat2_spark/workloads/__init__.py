@@ -50,11 +50,14 @@ PRIORITY = (
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames
     "dedup_clusters", "dedup_editdist", "percentile_cont", "window_frames",
-    # core picks (5): rows without other in-window evidence + fresh
-    # fixes; rotated-out picks (dict_fold, window_rownum, coq_div_mod,
-    # fold_right_concat, sql_entrypoint) hold green CORRECTNESS_r02 rows
+    # incremental join-aggregate maintenance (delta joins)
+    "incremental_join",
+    # core picks (4): rows without other in-window evidence + fresh
+    # fixes; rotated-out picks (dict_fold, groupby_agg, window_rownum,
+    # coq_div_mod, fold_right_concat, sql_entrypoint) hold green
+    # CORRECTNESS_r02 rows
     "nested_collections", "partition_pruned_lookup", "bucketed_join",
-    "sink_roundtrip", "groupby_agg",
+    "sink_roundtrip",
 )
 
 _queries = {}

