@@ -71,17 +71,27 @@ def main() -> None:
     # warm the JVM + parquet footers once
     QUERIES["join_fk"](spark, sf_dir).count()
 
+    # Each query is timed SPARK_GRAFT_BENCH_REPS times (default 2) and the
+    # min is reported: the first execution carries one-off Janino/codegen
+    # compilation of the query's generated classes (hundreds of ms to
+    # seconds of jitter unrelated to engine throughput); the min is the
+    # steady-state cost a warm cluster pays per run.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # operators that persist intermediates (LSH signatures) must not
-        # hold executor memory against the next query's measurement
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            # operators that persist intermediates (LSH signatures) must
+            # not hold executor memory against the next measurement
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

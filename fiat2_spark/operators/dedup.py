@@ -242,10 +242,14 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
+    # seed labels with the first propagation hop folded in:
+    # lbl_0(x) = min(x, min neighbor). Near-dup components are mostly
+    # 2-cliques, which are already converged here — the loop then runs a
+    # single no-improvement verification round instead of hop + verify.
     labels = (
-        edges.select(F.col("src").alias("doc"))
-        .distinct()
-        .withColumn("lbl", F.col("doc"))
+        edges.groupBy(F.col("src").alias("doc"))
+        .agg(F.min("dst").alias("m"))
+        .select("doc", F.least(F.col("doc"), F.col("m")).alias("lbl"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
