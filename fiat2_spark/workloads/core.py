@@ -1218,6 +1218,79 @@ def sink_roundtrip(spark, sf_dir):
 
 
 @q(
+    "csv_roundtrip",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def csv_roundtrip(spark, sf_dir):
+    """CSV leg of the file-format surface (SURVEY §2.1): write customer
+    as headered CSV, read back with an explicit schema (no inference
+    pass), aggregate; the oracle aggregates the ORIGINAL parquet so the
+    text round-trip must preserve doubles exactly (shortest-round-trip
+    rendering both ways). CSV is the interchange format the reference's
+    Python benchmark backend consumes (ToPython.v extraction harness)."""
+    from fiat2_spark.sources.io import read_table, write_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "spark-warehouse", f"customer_csv_{tag}",
+        )
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    write_table(c, out, fmt="csv")
+    back = read_table(
+        spark, out, fmt="csv",
+        schema="c_custkey bigint, c_mktsegment string, c_acctbal double",
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_bal"),
+    )
+
+
+@q(
+    "cube_agg",
+    """
+    SELECT o_orderpriority AS prio, o_orderstatus AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(GROUPING(o_orderpriority) AS INTEGER)
+             + 2 * CAST(GROUPING(o_orderstatus) AS INTEGER) AS gid
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """CUBE over (priority, status): all four grouping sets in one
+    partial-aggregated pass (Expand feeds a single shuffle — one scan,
+    not four). GROUPING() bits disambiguate the NULL-key subtotal rows
+    from genuine NULL values, composed into a grouping id matching the
+    oracle. Complements rollup_multires (hierarchical sets)."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+            (
+                F.grouping("o_orderpriority").cast("int")
+                + F.lit(2) * F.grouping("o_orderstatus").cast("int")
+            ).alias("gid"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+            "n", "total", "gid",
+        )
+    )
+
+
+@q(
     "bucketed_join",
     """
     SELECT o_orderkey, c_name
