@@ -1291,6 +1291,33 @@ def cube_agg(spark, sf_dir):
 
 
 @q(
+    "salted_join",
+    """
+    SELECT o_orderpriority AS prio, COUNT(*) AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_join(spark, sf_dir):
+    """The skew knob through the gate: `relational.salted_equi_join`
+    spreads each left key across `salt` shuffle partitions (right side
+    replicated per salt value), so one pathological hot key cannot
+    serialize a join the way it would inside a single hash partition —
+    the explicit fix when AQE's runtime skew split isn't enough and the
+    right side is too big to broadcast. Salting must be semantically
+    invisible: the oracle is the PLAIN join aggregate."""
+    from fiat2_spark.operators.relational import salted_equi_join
+
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = tbl(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        salted_equi_join(o, c, "o_custkey", "c_custkey", salt=8)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
     "bucketed_join",
     """
     SELECT o_orderkey, c_name
