@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, checksum bigint, head_hex string"
+FRAME_SCHEMA = "doc_id bigint, frame_idx bigint, frame_bytes bigint, frame_checksum bigint"
+RESIZE_SCHEMA = "doc_id bigint, n_bytes bigint, ds_bytes bigint, ds_checksum bigint"
 
 
 def to_binary_table(df: DataFrame, id_col: str, payload_col: str, kind: str) -> DataFrame:
@@ -93,3 +95,83 @@ def extract_byte_features(binary_df: DataFrame, n_partitions: int | None = None)
     if n_partitions is not None:
         slim = slim.repartition(n_partitions)
     return slim.mapInPandas(fe, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    frame_size: int = 256,
+    every: int = 4,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Frame sampling over 'video' payloads: split each payload into
+    fixed ``frame_size``-byte frames and keep every ``every``-th one —
+    the 1→N mapInPandas shape a real frame sampler has (one input row
+    fans out to many frame rows; the last frame may be short). Real
+    video decode is stubbed (`decode_media`); the frame arithmetic,
+    fan-out schema, and batching are the production plumbing. Frame
+    'features' are the deterministic byte checksum so the fan-out is
+    oracle-checkable. Output: (doc_id, frame_idx, frame_bytes,
+    frame_checksum)."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, sizes, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = -(-len(buf) // frame_size)
+                for f in range(0, n_frames, every):
+                    frame = buf[f * frame_size:(f + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    sizes.append(len(frame))
+                    sums.append(int(frame.sum(dtype="int64")) % 997)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes,
+                 "frame_checksum": sums}
+            )
+
+    slim = binary_df.select("doc_id", "payload")
+    if n_partitions is not None:
+        slim = slim.repartition(n_partitions)
+    return slim.mapInPandas(fs, FRAME_SCHEMA)
+
+
+def resize_grid(
+    binary_df: DataFrame,
+    width: int = 64,
+    stride: int = 2,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """'Resize' over grid payloads: view each payload as scanlines of
+    ``width`` bytes and keep every ``stride``-th byte of every
+    ``stride``-th row — strided decimation, the index arithmetic of a
+    nearest-neighbor image downsample, expressed purely on byte
+    positions (position p kept ⟺ (p÷width) mod stride = 0 ∧
+    (p mod width) mod stride = 0, so the oracle can recompute it in
+    SQL). Real pixel decode is stubbed; swapping in a real resampler
+    changes only the per-payload body. Output: (doc_id, n_bytes,
+    ds_bytes, ds_checksum)."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n_bytes, ds_bytes, ds_sums = [], [], []
+            for payload in pdf["payload"]:
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8)
+                idx = np.arange(len(buf))
+                kept = buf[((idx // width) % stride == 0) & ((idx % width) % stride == 0)]
+                n_bytes.append(len(buf))
+                ds_bytes.append(len(kept))
+                ds_sums.append(int(kept.sum(dtype="int64")) % 997)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": n_bytes,
+                 "ds_bytes": ds_bytes, "ds_checksum": ds_sums}
+            )
+
+    slim = binary_df.select("doc_id", "payload")
+    if n_partitions is not None:
+        slim = slim.repartition(n_partitions)
+    return slim.mapInPandas(rs, RESIZE_SCHEMA)

@@ -751,6 +751,56 @@ def multimodal_bytes(spark, sf_dir):
 
 
 @q(
+    "multimodal_frames",
+    """
+    SELECT doc_id, f AS frame_idx,
+           CAST(length(substr(text, CAST(f*256+1 AS INTEGER), 256)) AS BIGINT) AS frame_bytes,
+           CAST(COALESCE(list_sum(list_transform(
+                  generate_series(1, length(substr(text, CAST(f*256+1 AS INTEGER), 256))),
+                  i -> ascii(substr(substr(text, CAST(f*256+1 AS INTEGER), 256), i, 1)))), 0)
+                % 997 AS BIGINT) AS frame_checksum
+    FROM documents,
+         unnest(generate_series(0, CAST(ceil(length(text)/256.0) AS BIGINT) - 1)) AS g(f)
+    WHERE f % 4 = 0
+    """,
+)
+def multimodal_frames(spark, sf_dir):
+    """Frame sampling (`multimodal.sample_frames`): payloads split into
+    256-byte frames, every 4th kept — the 1→N fan-out shape of a video
+    frame sampler, with deterministic byte checksums standing in for the
+    stubbed decode. The oracle lateral-unnests the same frame indices
+    and recomputes each frame's byte sum (documents are ASCII, so
+    chars == bytes)."""
+    d = tbl(spark, sf_dir, "documents")
+    bin_tbl = M.to_binary_table(d, "doc_id", "text", "text")
+    return M.sample_frames(bin_tbl, frame_size=256, every=4)
+
+
+@q(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(len(list_filter(generate_series(1, length(text)),
+                i -> ((i-1)//64) % 2 = 0 AND ((i-1)%64) % 2 = 0)) AS BIGINT) AS ds_bytes,
+           CAST(COALESCE(list_sum(list_transform(
+                  list_filter(generate_series(1, length(text)),
+                              i -> ((i-1)//64) % 2 = 0 AND ((i-1)%64) % 2 = 0),
+                  i -> ascii(substr(text, i, 1)))), 0) % 997 AS BIGINT) AS ds_checksum
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Strided 'resize' (`multimodal.resize_grid`): payloads viewed as
+    64-byte scanlines, every 2nd byte of every 2nd row kept — the index
+    arithmetic of nearest-neighbor downsampling, oracle-recomputed from
+    pure byte positions."""
+    d = tbl(spark, sf_dir, "documents")
+    bin_tbl = M.to_binary_table(d, "doc_id", "text", "text")
+    return M.resize_grid(bin_tbl, width=64, stride=2)
+
+
+@q(
     "pipeline_e2e",
     f"""
     WITH toks AS ({_TOKS}), comp AS (
