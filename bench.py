@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_editdist",     # length-blocked prefix edit distance
     "stream_stream_join", # watermarked interval join (batch form)
     "window_frames",      # lag/lead + ROWS-frame moving average
+    "tpch_q3_shape",      # composed flagship: pushdown+broadcast+agg+topk
 ]
 
 

@@ -64,6 +64,17 @@ def test_candidate_joins_are_hash_joins(spark, name):
     assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian product"
 
 
+def test_tpch_q3_shape_composed_plan(spark):
+    """The flagship composition: all three filters pushed to their
+    scans, broadcast on the dimension, partial aggregation, and top-10
+    via TakeOrderedAndProject — in one plan."""
+    p = plan_of(QUERIES["tpch_q3_shape"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(c_mktsegment,BUILDING)" in p
+    assert "partial_sum" in p
+
+
 def test_global_rownum_never_single_partition(spark):
     """global_row_number must not plan the single-partition global-window
     shape (`Exchange SinglePartition` feeding a Window) — every stage of
