@@ -16,9 +16,11 @@ from fiat2_spark.workloads import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (the Ex_Employee FK join, SURVEY §7 Phase 0) on
-    /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["join_fk"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    tpch_q3_shape composes the optimization stack (pushdown to all three
+    scans + broadcast dimension + DECIMAL partial agg + top-k) in one
+    plan — the engine's showcase."""
+    return QUERIES["tpch_q3_shape"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
