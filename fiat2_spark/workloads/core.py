@@ -324,6 +324,36 @@ def pivot_wide(spark, sf_dir):
     )
 
 
+@q(
+    "unpivot_long",
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_orderkey < 100
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_orderkey < 100
+    )
+    """,
+)
+def unpivot_long(spark, sf_dir):
+    """Unpivot (wide→long, the inverse of `pivot_wide`): four measure
+    columns melt into (metric, value) rows via the native `unpivot` —
+    one Expand node, a 4× row fan-out with NO shuffle and no join (the
+    UNION-ALL oracle re-reads the table four times; Expand reads it
+    once, the difference that matters when the table is 100 TB). Values
+    pass through untouched, so doubles stay bit-identical."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.7 sorts / set-bag / union / cons / range / top-k
 # ---------------------------------------------------------------------------
