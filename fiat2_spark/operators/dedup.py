@@ -307,11 +307,20 @@ def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # one-bit counts ride in 16-bit lanes of a single long (codegen for
     # 60 separate sums took seconds to Janino-compile). Lane capacity
     # caps documents at 65535 tokens — split longer docs upstream.
-    digs = h.select(
+    # ONE conv of the 15-digit prefix (60 bits < 2^63) replaces 15
+    # per-digit convs; digits re-derived with exact integer shifts, so
+    # the oracle's per-digit view is unchanged.
+    ndig = SIMHASH_BITS // 4
+    hv = h.select(
+        "doc", F.conv(F.substring(F.col("h"), 1, ndig), 16, 10).cast("long").alias("hv")
+    )
+    digs = hv.select(
         "doc",
         *[
-            F.conv(F.substring(F.col("h"), d + 1, 1), 16, 10).cast("long").alias(f"v{d}")
-            for d in range(SIMHASH_BITS // 4)
+            F.shiftright(F.col("hv"), 4 * (ndig - 1 - d))
+            .bitwiseAND(F.lit(15))
+            .alias(f"v{d}")
+            for d in range(ndig)
         ],
     )
 
