@@ -325,6 +325,40 @@ def pivot_wide(spark, sf_dir):
 
 
 @q(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The ranking-function family beyond row_number: rank (gaps),
+    dense_rank (no gaps), percent_rank ((rank−1)/(n−1), identical
+    double formula in both engines), and ntile(4) quartile assignment —
+    all over one window, one shuffle on the partition key, evaluated in
+    a single Window node. The o_orderkey tiebreak keeps the frame order
+    total so every rank value is deterministic."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@q(
     "unpivot_long",
     """
     SELECT l_orderkey, l_linenumber, metric, value FROM (
