@@ -343,7 +343,14 @@ def window_rank_family(spark, sf_dir):
     double formula in both engines), and ntile(4) quartile assignment —
     all over one window, one shuffle on the partition key, evaluated in
     a single Window node. The o_orderkey tiebreak keeps the frame order
-    total so every rank value is deterministic."""
+    total so every rank value is deterministic.
+
+    Scale note: the partition key has 5 values, so at 100 TB this exact
+    ask runs 5 tasks — inherent to per-priority ranking with Spark's
+    Window (a partition must be co-resident). When only row numbers or
+    quantiles are needed per low-cardinality group, use the
+    quantile-bucketed two-pass scheme (`relational.global_row_number`)
+    per group instead of a Window."""
     from pyspark.sql import Window as W
 
     o = tbl(spark, sf_dir, "orders")
@@ -355,6 +362,35 @@ def window_rank_family(spark, sf_dir):
         F.dense_rank().over(w).cast("long").alias("drnk"),
         F.percent_rank().over(w).alias("prnk"),
         F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@q(
+    "group_concat",
+    """
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def group_concat(spark, sf_dir):
+    """Ordered grouped string aggregation (LISTAGG): nations per region,
+    comma-joined in name order. Spark realization is
+    array_join(array_sort(collect_list(...))) — the collect_list is a
+    partial-aggregated shuffle of the group's values and the sort makes
+    the output order-deterministic, matching string_agg's ORDER BY.
+    Bounded group sizes only (the list materializes per group)."""
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
