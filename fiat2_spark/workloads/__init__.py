@@ -42,11 +42,15 @@ PRIORITY = (
     "server_artist_filter", "server_album_join",
     # sketches + salient terms (round-3 additions)
     "hll_users", "text_salient",
-    # dsl (6) + graphs (2): rotated-out entries keep their green
-    # CORRECTNESS_r01/r02 rows as prior evidence
-    "dsl_employee_join", "dsl_orders_agg", "dsl_command_pipeline",
-    "dsl_fold_table", "dsl_let_if_table", "dsl_grandchildren",
-    "triangle", "bfs",
+    # dsl: the round-3 compiler features (table folds, table let/if);
+    # dsl_employee_join / dsl_orders_agg / dsl_command_pipeline /
+    # dsl_grandchildren / triangle / bfs rotated out on their green
+    # CORRECTNESS_r01+r02 rows
+    "dsl_fold_table", "dsl_let_if_table",
+    # round-3 second wave: flagship composition, multimodal fan-out /
+    # resize, OLAP breadth
+    "tpch_q3_shape", "multimodal_frames", "multimodal_resize",
+    "cube_agg", "window_rank_family", "csv_roundtrip",
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames
     "dedup_clusters", "dedup_editdist", "percentile_cont", "window_frames",
