@@ -48,20 +48,23 @@ PRIORITY = (
     # CORRECTNESS_r01+r02 rows
     "dsl_fold_table", "dsl_let_if_table",
     # round-3 second wave: flagship composition, multimodal fan-out /
-    # resize, OLAP breadth
+    # resize, OLAP breadth (csv_roundtrip / cube_agg / sink_roundtrip
+    # rotated out on their green CORRECTNESS_r03 rows)
     "tpch_q3_shape", "multimodal_frames", "multimodal_resize",
-    "cube_agg", "window_rank_family", "csv_roundtrip",
+    "window_rank_family",
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames
     "dedup_clusters", "dedup_editdist", "percentile_cont", "window_frames",
     # incremental join-aggregate maintenance (delta joins)
     "incremental_join",
-    # core picks (4): rows without other in-window evidence + fresh
+    # core picks: rows without other in-window evidence + fresh
     # fixes; rotated-out picks (dict_fold, groupby_agg, window_rownum,
     # coq_div_mod, fold_right_concat, sql_entrypoint) hold green
     # CORRECTNESS_r02 rows
     "nested_collections", "partition_pruned_lookup", "bucketed_join",
-    "sink_roundtrip",
+    # round-4 rotation: the three queries registered late in round 3
+    # with no driver row yet (ADVICE r3) — first driver check this round
+    "group_concat", "salted_join", "unpivot_long",
 )
 
 _queries = {}
