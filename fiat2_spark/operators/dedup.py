@@ -402,11 +402,30 @@ def ngram_jaccard_pairs(
     threshold: float = 0.9,
     block_col: str | None = None,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold, optionally blocked on a
-    column (language, length bucket) to bound the quadratic join. The
-    un-blocked form is the oracle-checkable baseline; production use
-    should block or prefer minhash_dedup_pairs."""
+    """All-pairs n-gram Jaccard >= threshold, blocked on an optional
+    column (language) AND a **lossless length bucket** that is part of
+    the equi-join key — within-bucket cost is bounded by the bucket
+    width, never by the block's row count, so the plan survives a
+    100× scale-up where a lang-only block is still ~n²/|langs|.
+
+    The bucket: jac(A,B) >= t forces max(|A|,|B|)/min(|A|,|B|) <= 1/t,
+    so with bucket = floor(ln|sh| / ln(1/t)) a qualifying pair lands in
+    the same or an adjacent bucket. The left side probes {bkt, bkt+1}
+    (a 2× explode, not a widened join), the hash-join key is
+    (block, bucket), and an orientation conjunct — bucket order, doc
+    order within a bucket — keeps each unordered pair exactly once;
+    output ids are re-canonicalized with least/greatest."""
+    import math
+
     toks = tokens(F.col(text_col))
+    # num/den: the threshold as exact integer arithmetic (truncation keeps
+    # num/den <= threshold, so both the ratio prefilter and the bucket base
+    # derived from it are never stricter than the exact bound — lossless)
+    num, den = int(threshold * 1_000_000), 1_000_000
+    # bucket base = the size-ratio bound 1/t exactly (tightest lossless
+    # width); the +1e-9 widens buckets a hair so a ratio of exactly 1/t
+    # can never straddle two bucket boundaries through fp rounding
+    ln_base = math.log(den / num) + 1e-9
     # all-pairs parallelism = left-side partition count; a single-row-group
     # scan would put every comparison on one core (O(n) rows per task here,
     # so size tasks smaller than the linear-pass operators)
@@ -415,11 +434,24 @@ def ngram_jaccard_pairs(
         shingles(toks, shingle_n).alias("sh"),
         *( [F.col(block_col).alias("blk")] if block_col else [] ),
     ).withColumn("sz", F.size(F.col("sh")).cast("long"))
+    base = base.withColumn(
+        "bkt",
+        F.floor(F.log(F.greatest(F.col("sz"), F.lit(1)).cast("double")) / F.lit(ln_base)),
+    )
     # persist + materialize: both join sides read the shingle pass
     base = base.persist()
     base.count()
-    l, r = base.alias("l"), base.alias("r")
-    cond = F.col("l.doc") < F.col("r.doc")
+    r = base.alias("r")
+    l = base.withColumn(
+        "probe", F.explode(F.array(F.col("bkt"), F.col("bkt") + F.lit(1)))
+    ).alias("l")
+    # equi-key: (block,) bucket — drives the hash join; the orientation
+    # conjunct admits each unordered pair once (lower bucket as build
+    # side, doc order inside a bucket)
+    cond = (F.col("l.probe") == F.col("r.bkt")) & (
+        (F.col("l.bkt") < F.col("r.bkt"))
+        | ((F.col("l.bkt") == F.col("r.bkt")) & (F.col("l.doc") < F.col("r.doc")))
+    )
     if block_col:
         cond = cond & (F.col("l.blk") == F.col("r.blk"))
     # lossless size-ratio prefilter: jac(A,B) <= min(|A|,|B|)/max(|A|,|B|),
@@ -427,10 +459,7 @@ def ngram_jaccard_pairs(
     # Stated as exact integer arithmetic (den*min >= num*max) and applied
     # as a join conjunct, it prunes size-incompatible pairs BEFORE the
     # per-pair intersect/union — the expensive part of the verify.
-    # truncation keeps num/den <= threshold, so the prefilter is never
-    # stricter than the exact ratio (stays lossless); magnitudes stay
-    # far from long overflow (1e6 · |shingles|)
-    num, den = int(threshold * 1_000_000), 1_000_000
+    # Magnitudes stay far from long overflow (1e6 · |shingles|).
     cond = cond & (
         den * F.least(F.col("l.sz"), F.col("r.sz"))
         >= num * F.greatest(F.col("l.sz"), F.col("r.sz"))
@@ -438,8 +467,8 @@ def ngram_jaccard_pairs(
     return (
         l.join(r, cond)
         .select(
-            F.col("l.doc").alias("id_a"),
-            F.col("r.doc").alias("id_b"),
+            F.least(F.col("l.doc"), F.col("r.doc")).alias("id_a"),
+            F.greatest(F.col("l.doc"), F.col("r.doc")).alias("id_b"),
             F.round(jaccard(F.col("l.sh"), F.col("r.sh")), 6).alias("jac"),
         )
         .filter(F.col("jac") >= threshold)

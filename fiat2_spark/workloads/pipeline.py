@@ -527,12 +527,13 @@ def dedup_simhash(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Direct n-gram Jaccard (the exact baseline minhash approximates),
-    threshold 0.9 on token sets, **blocked on language**: the self-join
-    carries the `lang` equality so Catalyst plans a hash join over
-    language blocks, not an O(n²) nested loop over the corpus. (A
-    near-dup pair at jac ≥ 0.9 shares its language by construction of
-    the tokenizer, so blocking is lossless here — at scale, block on a
-    length bucket too.)"""
+    threshold 0.9 on token sets, **blocked on language × a lossless
+    length bucket**: the self-join's hash key is (lang, ⌊ln|sh|/ln(1/t)⌋)
+    with the left side probing its own and the next bucket, so
+    within-key cost is bounded by the bucket width — not ~n²/|langs| as
+    a lang-only block would be. (A near-dup pair at jac ≥ 0.9 shares
+    its language by construction of the tokenizer, and its set sizes
+    within a factor 1/t, so both conjuncts are lossless.)"""
     d = tbl(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", shingle_n=1, threshold=0.9, block_col="lang")
 
