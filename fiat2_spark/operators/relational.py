@@ -337,6 +337,73 @@ def global_row_number(
     ).drop("__bucket")
 
 
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    id_name: str = "rn",
+    descending: bool = False,
+    tiebreak: Sequence[Column] = (),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group consecutive 1-based row numbers in ``(order_col,
+    *tiebreak)`` order WITHOUT partitioning the heavy window on the
+    group key — the composite-key extension of ``global_row_number``
+    for **low-cardinality groups**, where ``ROW_NUMBER() OVER
+    (PARTITION BY grp ORDER BY k)`` plans |groups| tasks at any scale
+    (5 order priorities = 5 tasks on a 1000-executor cluster).
+
+    Scheme (three parallel passes + one tiny window):
+
+    1. range-bucket every row on ``n_buckets``-1 approximate quantile
+       cut points of ``order_col`` (group-agnostic cuts; the bucket is
+       a pure function of the VALUE, so duplicate order values can
+       never straddle a bucket — ties are resolved by ``tiebreak``
+       inside a bucket, exactly as in the plain window);
+    2. count rows per (group, bucket) — a |groups|×|buckets|-row
+       aggregate — and prefix-sum counts into per-(group, bucket)
+       offsets with a window over that tiny aggregate (the only
+       group-partitioned window, trivially cheap);
+    3. broadcast the offsets back onto the data and ``row_number``
+       within each (group, bucket) partition — |groups|×|buckets|
+       parallel partition-local windows — plus the bucket's offset.
+
+    For high-cardinality groups the plain group-partitioned window is
+    already parallel and cheaper — use this only when |groups| is far
+    below the cluster's core count. The offset broadcast is
+    |groups|×|buckets| rows; keep that product small."""
+    from pyspark.sql import Window as W
+
+    b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        if descending:
+            bucket = F.size(F.filter(cut_arr, lambda c: c > F.col(order_col)))
+        else:
+            bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+    counts = bucketed.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long")
+    ).drop("__cnt")
+    joined = bucketed.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+    ord0 = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = W.partitionBy(*group_cols, "__bucket").orderBy(ord0, *tiebreak)
+    return joined.withColumn(
+        id_name, F.row_number().over(w).cast("long") + F.col("__off")
+    ).drop("__bucket", "__off")
+
+
 # -- limit / top-k (absent in reference; engine surface) -------------------
 
 def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:

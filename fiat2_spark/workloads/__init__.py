@@ -54,7 +54,10 @@ PRIORITY = (
     "window_rank_family",
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames
-    "dedup_clusters", "dedup_editdist", "percentile_cont", "window_frames",
+    "dedup_clusters", "dedup_editdist", "window_frames",
+    # round-4: scalable per-group ranking (percentile_cont rotated out
+    # on its green CORRECTNESS_r03 row)
+    "grouped_rownum_scalable",
     # incremental join-aggregate maintenance (delta joins)
     "incremental_join",
     # core picks: rows without other in-window evidence + fresh

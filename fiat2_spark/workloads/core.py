@@ -366,6 +366,35 @@ def window_rank_family(spark, sf_dir):
 
 
 @q(
+    "grouped_rownum_scalable",
+    """
+    SELECT o_orderkey, o_orderpriority AS prio,
+           CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    """,
+)
+def grouped_rownum_scalable(spark, sf_dir):
+    """Per-priority row numbering WITHOUT the 5-task window: the
+    scalable alternative `window_rank_family`'s scale note promises.
+    `relational.grouped_row_number` quantile-buckets on o_totalprice,
+    prefix-sums per-(group, bucket) counts over a tiny aggregate, and
+    runs the heavy window partitioned by (group, bucket) — ~|groups|×
+    |buckets| parallel tasks instead of |groups|. Same answer as the
+    plain PARTITION BY window (the oracle IS that window)."""
+    o = tbl(spark, sf_dir, "orders")
+    return R.grouped_row_number(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        descending=True,
+        tiebreak=[F.col("o_orderkey").asc()],
+    ).select(
+        "o_orderkey", F.col("o_orderpriority").alias("prio"), "rn"
+    )
+
+
+@q(
     "group_concat",
     """
     SELECT r_name,

@@ -104,6 +104,44 @@ def test_global_rownum_matches_window(spark):
     assert got == want
 
 
+def test_grouped_rownum_window_is_bucketed(spark):
+    """grouped_row_number's heavy window must partition on (group,
+    __bucket), never on the low-cardinality group alone — the plan's
+    Window-over-the-data shows the bucket in its partition spec, and
+    nothing runs SinglePartition."""
+    p = plan_of(QUERIES["grouped_rownum_scalable"](spark, SF_SMOKE))
+    assert "SinglePartition" not in p
+    assert "__bucket" in p  # the composite partition key reached the plan
+
+
+def test_grouped_rownum_matches_window(spark):
+    from fiat2_spark.operators.relational import grouped_row_number
+    from fiat2_spark.workloads.util import tbl
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    o = tbl(spark, SF_SMOKE, "orders")
+    got = {
+        (r["o_orderkey"], r["rn"])
+        for r in grouped_row_number(
+            o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            ["o_orderpriority"],
+            "o_totalprice",
+            descending=True,
+            tiebreak=[F.col("o_orderkey").asc()],
+            n_buckets=7,
+        ).select("o_orderkey", "rn").collect()
+    }
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    want = {
+        (r["o_orderkey"], r["rn"])
+        for r in o.select(
+            "o_orderkey", F.row_number().over(w).cast("long").alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
 def test_semi_anti_join_physical(spark):
     assert "LeftSemi" in plan_of(QUERIES["semi_join"](spark, SF_SMOKE))
     assert "LeftAnti" in plan_of(QUERIES["anti_join"](spark, SF_SMOKE))
