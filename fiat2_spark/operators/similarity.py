@@ -57,9 +57,15 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: broadcast the (small) query set
     against the embedding table — the fact side streams, no shuffle of
-    the corpus; per-query ranking shuffles only (n_queries × corpus)
-    scored rows, and at scale you cut that with a per-partition
-    pre-top-k (AQE) or the LSH path below.
+    the corpus. The per-query ranking is written as the canonical
+    ``row_number() ≤ k`` shape (rank column + filter DIRECTLY above the
+    window) so Spark's grouped-limit rewrite plans a **partial
+    WindowGroupLimit below the Exchange**: each input partition keeps
+    only its local top-k per query before anything shuffles, so the
+    exchange carries ≤ k × partitions rows per query — never the full
+    n_queries × corpus scored set (plan-asserted in
+    tests/test_plans.py). Don't interpose a projection between the
+    filter and the window: the rewrite pattern-matches that exact shape.
     Output: (query_id, vec_id, cos, rank)."""
     corpus = emb.select(
         F.col(id_col).alias("vec_id"),

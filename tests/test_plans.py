@@ -104,6 +104,22 @@ def test_global_rownum_matches_window(spark):
     assert got == want
 
 
+def test_ann_bruteforce_partial_window_group_limit(spark):
+    """The brute-force ANN ranking must keep its map-side prune: a
+    partial WindowGroupLimit BELOW the exchange, so the shuffle carries
+    at most k rows per query per input partition instead of the full
+    n_queries × corpus scored set."""
+    df = QUERIES["ann_bruteforce"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    partial_line = next(
+        (ln for ln in p.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln), None
+    )
+    assert partial_line is not None, "grouped-limit rewrite did not fire"
+    # plan text is top-down: the partial node printing AFTER the exchange
+    # means it executes BELOW it (map-side, pre-shuffle)
+    assert p.index("Exchange hashpartitioning") < p.index(partial_line)
+
+
 def test_grouped_rownum_window_is_bucketed(spark):
     """grouped_row_number's heavy window must partition on (group,
     __bucket), never on the low-cardinality group alone — the plan's
