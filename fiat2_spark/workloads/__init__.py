@@ -50,7 +50,7 @@ PRIORITY = (
     # round-3 second wave: flagship composition, multimodal fan-out /
     # resize, OLAP breadth (csv_roundtrip / cube_agg / sink_roundtrip
     # rotated out on their green CORRECTNESS_r03 rows)
-    "tpch_q3_shape", "multimodal_frames", "multimodal_resize",
+    "tpch_q3_shape", "multimodal_frames",
     "window_rank_family",
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames
@@ -58,8 +58,10 @@ PRIORITY = (
     # round-4: scalable per-group ranking (percentile_cont rotated out
     # on its green CORRECTNESS_r03 row)
     "grouped_rownum_scalable",
-    # incremental join-aggregate maintenance (delta joins)
-    "incremental_join",
+    # incremental join-aggregate maintenance (delta joins) + round-4
+    # compo_idx multi-index maintenance (multimodal_resize rotated out
+    # on its green CORRECTNESS_r03 row)
+    "incremental_join", "incremental_multi_index",
     # core picks: rows without other in-window evidence + fresh
     # fixes; rotated-out picks (dict_fold, groupby_agg, window_rownum,
     # coq_div_mod, fold_right_concat, sql_entrypoint) hold green

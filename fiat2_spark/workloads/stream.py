@@ -311,6 +311,69 @@ def keyed_agg_maintenance(spark, sf_dir):
 
 
 @q(
+    "incremental_multi_index",
+    """
+    WITH grand AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS grand_total,
+             MIN(o_totalprice) AS grand_min
+      FROM orders
+    )
+    SELECT o_orderpriority AS prio,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           grand_total, grand_min
+    FROM orders, grand
+    GROUP BY o_orderpriority, grand_total, grand_min
+    """,
+)
+def incremental_multi_index(spark, sf_dir):
+    """Several indexes composed on ONE table and maintained together
+    under a single insert loop — the reference's `compo_idx`
+    (IndexTransf.v:20-49: a record of per-index states whose to_idx is
+    the record of each index's to_idx, maintained componentwise),
+    instantiated exactly as CombIdxEx.v composes a SumAgg with a
+    DictIdx over one table. Here: a scalar SumIndex + MinIndex (SumAgg/
+    MinAgg) and a per-priority GroupIndex (DictIdx's key → folded bag)
+    share one MaterializedView; every insert updates all three, every
+    read is answered from maintained state (the base is never
+    rescanned). The oracle recomputes everything from the final table —
+    the observational-equivalence statement compo_idx_ok proves."""
+    from fiat2_spark.streaming.maintenance import (
+        GroupIndex, MaterializedView, MinIndex, SumIndex,
+    )
+
+    o = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    b0, b1, b2, b3 = _batches(o, "o_orderkey")
+    view = (
+        MaterializedView(b0)
+        .with_index("grand", SumIndex(F.col("o_totalprice").cast("decimal(18,2)")))
+        .with_index("grand_min", MinIndex(F.col("o_totalprice")))
+        .with_index(
+            "by_prio",
+            GroupIndex(
+                ["o_orderpriority"],
+                {
+                    "n": ("count", F.lit(1)),
+                    "sum_price": ("sum", F.col("o_totalprice").cast("decimal(18,2)")),
+                },
+            ),
+        )
+    )
+    for batch in (b1, b2, b3):
+        view.insert(batch)
+        view.read("grand")  # interleaved reads, as in the reference loop
+    return view.read("by_prio").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_price").cast("double").alias("sum_price"),
+        F.lit(float(view.read("grand"))).alias("grand_total"),
+        F.lit(view.read("grand_min")).alias("grand_min"),
+    )
+
+
+@q(
     "incremental_join",
     """
     SELECT c_nationkey,
