@@ -252,6 +252,7 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .select("doc", F.least(F.col("doc"), F.col("m")).alias("lbl"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.src == labels.doc)
@@ -271,12 +272,22 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .join(labels.alias("o"), "doc")
             .filter(F.col("n.lbl") < F.col("o.lbl"))
         )
-        done = improved.isEmpty()
+        converged = improved.isEmpty()
         labels.unpersist()
         labels = new
-        if done:
+        if converged:
             break
     edges.unpersist()
+    if not converged:
+        # the "shallow clusters" assumption is data-dependent: a component
+        # whose diameter exceeds max_iter would silently disagree with the
+        # transitive-closure oracle — fail loudly instead
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} "
+            "iterations (a duplicate component's diameter exceeds the "
+            "budget); raise max_iter or switch to large-star/small-star "
+            "contraction (Kiveris et al. 2014) for long-chain graphs"
+        )
     return labels.select("doc", F.col("lbl").alias("cluster"))
 
 

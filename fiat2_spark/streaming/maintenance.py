@@ -192,6 +192,28 @@ class JoinAggView:
         return self.group.read()
 
 
+def join_agg_foreach_batch(stream: DataFrame, view: JoinAggView, side: str = "right"):
+    """Drive a ``JoinAggView`` from a real Structured Streaming source:
+    every micro-batch flows through the same delta-join insert path the
+    batch loop uses (``insert_left``/``insert_right``), so the
+    maintained aggregate is updated with O(|Δ| ⋈ seen) work per
+    trigger. ``foreachBatch`` is Structured Streaming's documented
+    escape hatch for custom incremental maintenance the built-in
+    stateful operators can't express — here, a two-sided join view
+    whose seen sides live outside the streaming state store.
+
+    Returns the started StreamingQuery; callers own ``stop()``. The
+    batch DataFrame handed to foreachBatch is only valid inside the
+    callback, but ``insert_*`` localCheckpoints the union immediately,
+    snapshotting the delta before the callback returns."""
+    insert = view.insert_right if side == "right" else view.insert_left
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        insert(batch_df)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
+
+
 class MaterializedView:
     """The store record {base, aux indexes} of IndexTransf.v:797-803:
     reads hit maintained aggregates; inserts update base + every index.

@@ -131,8 +131,14 @@ def interval_join(
         F.col("event_id").alias("r_event_id"),
         F.col("ts").alias("r_ts"),
     )
+    # each watermark is gated on ITS OWN side's isStreaming: an
+    # asymmetric call (stream ⋈ batch) must still watermark the
+    # streaming side — gating both on the left would leave a streaming
+    # right side unwatermarked, so Spark either rejects the plan or
+    # keeps its join state forever
     if left.isStreaming:
         l = l.withWatermark("l_ts", watermark)
+    if right.isStreaming:
         r = r.withWatermark("r_ts", watermark)
     joined = l.join(
         r,

@@ -1362,15 +1362,13 @@ def csv_roundtrip(spark, sf_dir):
     text round-trip must preserve doubles exactly (shortest-round-trip
     rendering both ways). CSV is the interchange format the reference's
     Python benchmark backend consumes (ToPython.v extraction harness)."""
+    import tempfile
+
     from fiat2_spark.sources.io import read_table, write_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.normpath(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "..", "..", "spark-warehouse", f"customer_csv_{tag}",
-        )
-    )
+    # per-run temp dir: a fixed shared path would race under two
+    # concurrent runs at the same scale factor (overwrite vs read)
+    out = os.path.join(tempfile.mkdtemp(prefix="fiat2_csv_rt_"), "customer_csv")
     c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
     write_table(c, out, fmt="csv")
     back = read_table(

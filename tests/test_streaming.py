@@ -173,6 +173,55 @@ def test_join_agg_view_matches_scratch(spark):
     assert got == want and len(want) == 3
 
 
+def test_join_agg_view_streaming_matches_scratch(spark):
+    """JoinAggView driven by a REAL streaming source: fact batches
+    arrive as files through readStream + foreachBatch, each micro-batch
+    applied via the delta-join insert path; the final maintained
+    aggregate equals the from-scratch join-aggregate."""
+    import os
+    import tempfile
+
+    from fiat2_spark.streaming.maintenance import (
+        GroupIndex, JoinAggView, join_agg_foreach_batch,
+    )
+
+    dim = spark.createDataFrame([(k, k % 3) for k in range(10)], "k long, g long")
+    fact = spark.createDataFrame(
+        [(i, i % 10, float(i)) for i in range(40)], "i long, k long, v double"
+    )
+    stage = tempfile.mkdtemp(prefix="fiat2_javstream_")
+    for p in range(4):
+        fact.filter((F.col("i") % 4) == p).coalesce(1).write.parquet(
+            os.path.join(stage, f"b{p}")
+        )
+    view = JoinAggView(
+        dim,
+        spark.createDataFrame([], fact.schema),
+        ["k"],
+        GroupIndex(["g"], {"n": ("count", F.lit(1)), "s": ("sum", F.col("v"))}),
+    )
+    stream = (
+        spark.readStream.schema(fact.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = join_agg_foreach_batch(stream, view, side="right")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["g"]: (r["n"], r["s"]) for r in view.read().collect()}
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in dim.join(fact, "k")
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and len(want) == 3
+
+
 def test_sessionize_matches_native_session_window(spark):
     """Our gap+lag sessionization must agree with Spark's native
     session_window (window merging) on session starts, event counts,
