@@ -7,6 +7,20 @@ reference would have checked against) over a Gstore/Genv of fiat2 types.
 One engine extension: ``TDouble`` — the driver's parquet has double
 columns, which the reference language lacks; arithmetic/comparison
 rules treat it like TInt (documented departure, SURVEY §1.4).
+
+One documented RESTRICTION vs Language.v: **no nested options**.
+The compiler encodes ``TOption t`` as a nullable column (Some =
+injection, None = null — compile.py), which Spark SQL evaluates
+natively but which collapses ``Some None`` and ``None`` at the outer
+level: SQL nullability has one null, not one per nesting depth. The
+reference's ``TOption (TOption t)`` is therefore rejected HERE, at
+type-formation time, rather than silently mis-evaluated at runtime.
+(The faithful encoding — wrap each inner option in a 1-field struct,
+SURVEY §1.4 — costs a struct per level on every touch of the value;
+no reference example program nests options, so we take the restriction
+and keep option columns flat/fast. ``_no_nested_option`` is the gate;
+tests/test_typecheck.py pins both the rejection and the flat
+round-trip.)
 """
 
 from __future__ import annotations
@@ -33,6 +47,19 @@ def elem_type(t):
     if isinstance(t, (A.TList, A.TBag, A.TSet)):
         return t.t
     raise TypeError2(f"expected collection, got {t}")
+
+
+def _no_nested_option(t: A.Type) -> A.Type:
+    """Reject TOption(TOption _) at formation (see module docstring:
+    the nullable-column encoding has one null per column, not one per
+    option level, so nesting would conflate Some None with None)."""
+    if isinstance(t, A.TOption):
+        raise TypeError2(
+            "nested option types are not supported by the nullable-column "
+            "encoding (Some None would be indistinguishable from None); "
+            "wrap the inner option in a 1-field record instead"
+        )
+    return t
 
 
 def synthesize(e: A.Expr, gstore: dict, genv: dict) -> A.Type:
@@ -178,7 +205,7 @@ def _atom_type(a: A.Atom) -> A.Type:
         case A.ANil(t):
             return A.TList(t if t else A.TUnit())
         case A.ANone(t):
-            return A.TOption(t if t else A.TUnit())
+            return A.TOption(_no_nested_option(t) if t else A.TUnit())
         case A.AEmptyDict(t):
             return A.TDict(*(t if t else (A.TUnit(), A.TUnit())))
         case A.AEmptyBag(t):
@@ -209,7 +236,7 @@ def _unop_type(op: str, t: A.Type) -> A.Type:
         case "OIntToString":
             return _STR
         case "OSome":
-            return A.TOption(t)
+            return A.TOption(_no_nested_option(t))
     raise TypeError2(f"unknown unop {op}")
 
 
@@ -316,7 +343,7 @@ def analyze(e: A.Expr, gstore: dict, genv: dict, expected: A.Type) -> A.Type:
                 analyze(fe, gstore, genv, expected.field_type(n))
             return expected
         case A.EUnop("OSome", e1) if isinstance(expected, A.TOption):
-            analyze(e1, gstore, genv, expected.t)
+            analyze(e1, gstore, genv, _no_nested_option(expected.t))
             return expected
         case A.EBinop("OCons", h, t) if is_table_type(expected):
             analyze(h, gstore, genv, expected.t)

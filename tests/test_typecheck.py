@@ -123,3 +123,28 @@ def test_run_command_checks_foreach_binder(spark):
     with pytest.raises(TypeError2):
         run_command(prog_bad, st, {}, spark)
     del prog  # silence lint; the OConcatString form is intentionally lax
+
+
+def test_nested_option_rejected_at_formation():
+    """Documented restriction (typecheck.py module docstring): the
+    nullable-column encoding collapses Some None with None, so
+    TOption(TOption t) is rejected wherever an option type forms —
+    synthesis of OSome over an option, an ANone annotated with an
+    option element, and checking OSome against a nested expectation."""
+    some_none = A.EUnop("OSome", A.EAtom(A.ANone(A.TInt())))
+    with pytest.raises(TypeError2, match="nested option"):
+        synthesize(some_none, {}, {})
+    with pytest.raises(TypeError2, match="nested option"):
+        synthesize(A.EAtom(A.ANone(A.TOption(A.TInt()))), {}, {})
+    with pytest.raises(TypeError2, match="nested option"):
+        analyze(some_none, {}, {}, A.TOption(A.TOption(A.TInt())))
+
+
+def test_flat_option_roundtrip_still_typechecks():
+    """The flat (single-level) option surface is untouched by the
+    nested-option gate: Some 7 synthesizes TOption(TInt) and an
+    EOptMatch eliminates it back to TInt."""
+    some7 = A.EUnop("OSome", A.EAtom(A.AInt(7)))
+    assert synthesize(some7, {}, {}) == A.TOption(A.TInt())
+    e = A.EOptMatch(some7, A.EAtom(A.AInt(0)), "x", A.EVar("x"))
+    assert synthesize(e, {}, {}) == A.TInt()
