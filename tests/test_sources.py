@@ -94,3 +94,47 @@ def test_catalog_store_and_let_mut_scoping(spark):
             assert "scratch" in cat
         assert "scratch" not in cat
     assert cat.get("region").count() == 5
+
+
+def test_tbl_adapts_all_historical_events_ts_encodings(spark):
+    """Driver testdata has shipped events.ts under three parquet
+    encodings across rounds: TIMESTAMP(NANOS) (Spark surfaces long
+    nanos under nanosAsLong), TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (surfaces TIMESTAMP_NTZ), and UTC-adjusted
+    micros (plain TIMESTAMP). `tbl` must normalize all three to the
+    same TIMESTAMP values so every downstream query is
+    encoding-invariant."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = datetime.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    stamps = [base + datetime.timedelta(seconds=i) for i in range(5)]
+    ids = list(range(5))
+
+    def write(d, ts_type, version):
+        t = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(stamps, ts_type),
+            }
+        )
+        os.makedirs(d)
+        pq.write_table(t, os.path.join(d, "part-0.parquet"), version=version)
+
+    with tempfile.TemporaryDirectory() as root:
+        dirs = {
+            "nanos": pa.timestamp("ns"),
+            "micros_ntz": pa.timestamp("us"),
+            "micros_utc": pa.timestamp("us", tz="UTC"),
+        }
+        got = {}
+        for tag, ts_type in dirs.items():
+            d = os.path.join(root, tag, "events.parquet")
+            write(d, ts_type, "2.6" if tag == "nanos" else "2.4")
+            df = tbl(spark, os.path.join(root, tag), "events")
+            assert dict(df.dtypes)["ts"] == "timestamp", (tag, df.dtypes)
+            got[tag] = sorted((r["event_id"], r["ts"]) for r in df.collect())
+        assert got["nanos"] == got["micros_ntz"] == got["micros_utc"]
+        assert len(got["nanos"]) == 5
