@@ -24,6 +24,28 @@ def q(name: str, oracle: str | None = None):
     return reg
 
 
+def artist_less_than(spark, sf_dir, n: int):
+    """The :n-parameterized body behind GET /get_artist_less_than/:n —
+    shared by the registered parity query (n=10) and the HTTP shim
+    (`fiat2_spark.serving`)."""
+    nat = tbl(spark, sf_dir, "nation")
+    return nat.filter(F.col("n_nationkey") < n).select(
+        F.col("n_nationkey").cast("long").alias("artist_id"),
+        F.col("n_name").alias("name"),
+    )
+
+
+def album_and_artist(spark, sf_dir, n: int):
+    """The :n-parameterized body behind GET /get_album_and_artist/:n."""
+    s = tbl(spark, sf_dir, "supplier")
+    nat = tbl(spark, sf_dir, "nation").filter(F.col("n_nationkey") < n)
+    return s.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")).select(
+        F.col("s_suppkey").alias("album_id"),
+        F.col("s_name").alias("title"),
+        F.col("n_name").alias("artist"),
+    )
+
+
 @q(
     "server_artist_filter",
     """
@@ -34,11 +56,7 @@ def q(name: str, oracle: str | None = None):
 def server_artist_filter(spark, sf_dir):
     """GET /get_artist_less_than/:n (Lib.hs:28-30): filter artists by
     id < n — exported_get_artist (Extracted.hs:3035-3048)."""
-    n = tbl(spark, sf_dir, "nation")
-    return n.filter(F.col("n_nationkey") < 10).select(
-        F.col("n_nationkey").cast("long").alias("artist_id"),
-        F.col("n_name").alias("name"),
-    )
+    return artist_less_than(spark, sf_dir, 10)
 
 
 @q(
@@ -52,10 +70,4 @@ def server_artist_filter(spark, sf_dir):
 def server_album_join(spark, sf_dir):
     """GET /get_album_and_artist/:n: albums⋈artists on artist_id
     (exported_get_album_and_artist, Extracted.hs:3050-3074)."""
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 10)
-    return s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")).select(
-        F.col("s_suppkey").alias("album_id"),
-        F.col("s_name").alias("title"),
-        F.col("n_name").alias("artist"),
-    )
+    return album_and_artist(spark, sf_dir, 10)

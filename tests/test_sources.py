@@ -138,3 +138,35 @@ def test_tbl_adapts_all_historical_events_ts_encodings(spark):
             got[tag] = sorted((r["event_id"], r["ts"]) for r in df.collect())
         assert got["nanos"] == got["micros_ntz"] == got["micros_utc"]
         assert len(got["nanos"]) == 5
+
+
+def test_http_serving_shim_matches_query(spark):
+    """The HTTP process boundary (serving.py, mirroring Lib.hs:28-46):
+    both routes answer over a real socket with the same JSON records
+    the parity queries produce, and :n reaches the plan (n=3 returns
+    strictly fewer artists than n=10)."""
+    import threading
+    import urllib.request
+
+    from fiat2_spark.serving import make_server
+    from fiat2_spark.sources.io import to_json_records
+    from fiat2_spark.workloads.server import artist_less_than
+
+    srv = make_server(spark, SF_SMOKE, port=0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+                return json.loads(r.read().decode())
+
+        want10 = [json.loads(s) for s in to_json_records(artist_less_than(spark, SF_SMOKE, 10))]
+        got10 = get("/get_artist_less_than/10")
+        key = lambda d: d["artist_id"]  # noqa: E731
+        assert sorted(got10, key=key) == sorted(want10, key=key) and len(got10) > 0
+        assert len(get("/get_artist_less_than/3")) < len(got10)
+        albums = get("/get_album_and_artist/10")
+        assert albums and {"album_id", "title", "artist"} <= set(albums[0])
+    finally:
+        srv.shutdown()
