@@ -43,8 +43,70 @@ STOPWORDS = {
         "il", "au", "aux", "par", "plus", "avec", "son", "ses", "mais",
         "nous", "vous",
     ],
+    # round-4 widening to ~10 languages; every word below survives the
+    # ASCII tokenizer (languages whose function words need diacritics —
+    # e.g. Romanian și, Polish się — contribute only their genuinely
+    # ASCII function words, or were passed over for ASCII-orthography
+    # languages like Indonesian)
+    "it": [
+        "di", "che", "la", "il", "un", "una", "per", "con", "non",
+        "del", "della", "sono", "come", "anche", "ma", "le", "si",
+        "nel", "alla", "piu", "questo", "questa", "gli", "dei",
+        "delle", "era", "essere", "ha", "hanno", "tra",
+    ],
+    "pt": [
+        "de", "que", "nao", "uma", "para", "com", "por", "mais", "dos",
+        "das", "como", "mas", "foi", "ele", "ela", "seu", "sua", "ou",
+        "quando", "muito", "nos", "ja", "eu", "tambem", "pelo", "pela",
+        "isso", "entre", "depois", "sem",
+    ],
+    "nl": [
+        "de", "het", "een", "en", "van", "ik", "te", "dat", "die",
+        "in", "is", "niet", "op", "aan", "met", "als", "voor", "er",
+        "maar", "om", "hij", "dan", "zou", "of", "wat", "mijn", "men",
+        "dit", "zo", "door",
+    ],
+    "sv": [
+        "och", "det", "att", "i", "en", "jag", "hon", "som", "han",
+        "den", "med", "var", "sig", "till", "men", "ett", "om", "hade",
+        "de", "av", "mig", "du", "henne", "sin", "nu", "har", "inte",
+        "hans", "honom", "skulle",
+    ],
+    "pl": [
+        "nie", "na", "do", "to", "jest", "jak", "co", "tak", "ale",
+        "po", "za", "od", "ma", "przez", "przy", "tego", "tym", "jego",
+        "ich", "oraz", "dla", "czy", "gdy", "tylko", "bardzo", "ten",
+        "ta", "te", "z", "w",
+    ],
+    "id": [
+        "yang", "dan", "di", "ini", "itu", "dengan", "untuk", "tidak",
+        "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena",
+        "tersebut", "bisa", "ada", "mereka", "lebih", "tahun", "sudah",
+        "saat", "oleh", "menjadi", "orang", "ia", "telah", "kita",
+    ],
 }
 LANGS = sorted(STOPWORDS)  # deterministic argmax order
+
+
+def _trigram_profile(lang: str) -> list[str]:
+    """Language profile = the sorted set of char trigrams of the
+    language's space-padded stopwords (' the ' → ' th', 'the', 'he ').
+    Deterministic, derived from the same public function-word lists as
+    the stopword scorer — no external corpus, so both engines can carry
+    the profile as literals. A Cavnar–Trenkle-style rank profile
+    trained on real text would be more accurate; this binary-membership
+    variant is the oracle-recomputable middle ground (accuracy note:
+    good separation on function-word-rich prose, weak on short or
+    technical strings — same contract as the stopword scorer)."""
+    tris = set()
+    for w in STOPWORDS[lang]:
+        padded = f" {w} "
+        for i in range(len(padded) - 2):
+            tris.add(padded[i : i + 3])
+    return sorted(tris)
+
+
+TRIGRAM_PROFILES = {lang: _trigram_profile(lang) for lang in LANGS}
 
 
 def tokens(text: Column) -> Column:
@@ -94,19 +156,142 @@ def lang_scores(toks: Column) -> dict[str, Column]:
     }
 
 
+def lang_argmax_vector(vec: Column) -> Column:
+    """Deterministic argmax over a |LANGS|-length score vector: 'und'
+    when every score is zero, earliest sorted language wins ties.
+    ONE array_max over (score, -rank) structs — lexicographic struct
+    comparison picks the max score and, among equals, the largest
+    -rank = smallest rank. ``vec`` is embedded twice (array_max result
+    read for both fields); crucially NOT once per language — a
+    when-chain fold that threads a running best references it twice
+    per language, doubling the Catalyst tree each step (~2^|LANGS|
+    subtrees: at 10 languages Catalyst ground for minutes before any
+    task ran)."""
+    idx = F.sequence(F.lit(0), F.lit(len(LANGS) - 1))
+    entries = F.zip_with(
+        vec, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("r"))
+    )
+    m = F.array_max(entries)
+    names = F.array(*[F.lit(lang) for lang in LANGS])
+    return F.when(m["s"] == 0, F.lit("und")).otherwise(
+        F.element_at(names, (-m["r"] + 1).cast("int"))
+    )
+
+
+def _lang_argmax(scores: dict[str, Column]) -> Column:
+    return lang_argmax_vector(F.array(*[scores[lang] for lang in LANGS]))
+
+
 def lang_id(toks: Column) -> Column:
     """Argmax of stopword hits in fixed language order; 'und'
     (undetermined) when no stopword fires. Ties go to the first language
     in sorted order — deterministic by construction."""
-    scores = lang_scores(toks)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in LANGS:  # later languages must strictly beat earlier ones
-        s = scores[lang]
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    return _lang_argmax(lang_scores(toks))
+
+
+def char_trigrams(text: Column) -> Column:
+    """Char trigrams of the whitespace-normalized, space-padded lowercase
+    text (' the cat ' → [' th','the','he ','e c',' ca','cat','at ']),
+    with multiplicity. Built from three shifted slices of the char
+    array zipped with concat — NOT ``transform(sequence(1, n-2), i ->
+    substring(norm, i, 3))``: higher-order functions evaluate outside
+    whole-stage codegen and re-evaluate captured outer expressions per
+    ELEMENT, so the substring form recomputes the O(len) ``norm``
+    concat for every trigram — O(len²) per document (measured: the
+    dominant cost of the first trigram scorer). Slices reference
+    ``norm`` a constant number of times per ROW; short strings fall out
+    naturally (length-0 slices → empty zip)."""
+    norm = F.concat(F.lit(" "), F.concat_ws(" ", tokens(text)), F.lit(" "))
+    chars = F.split(norm, "")
+    n = F.greatest(F.size(chars) - 2, F.lit(0))
+    pair_suffix = F.zip_with(
+        F.slice(chars, 2, n), F.slice(chars, 3, n), lambda b, c: F.concat(b, c)
+    )
+    return F.zip_with(
+        F.slice(chars, 1, n), pair_suffix, lambda a, bc: F.concat(a, bc)
+    )
+
+
+def trigram_score_vector(text: Column) -> Column:
+    """|LANGS|-length trigram score vector in ONE pass over the
+    document's trigrams: a literal map trigram → one-hot membership
+    vector (an entry per trigram appearing in ANY profile), folded
+    with element-wise adds. One hash lookup per trigram instead of
+    |LANGS| separate set-membership passes, and the trigram extraction
+    itself runs once — the naive per-language formulation re-embedded
+    the whole extraction in each score (10× work per row and a
+    multi-MiB codegen unit)."""
+    onehot: dict[str, list[int]] = {}
+    for i, lang in enumerate(LANGS):
+        for t in TRIGRAM_PROFILES[lang]:
+            onehot.setdefault(t, [0] * len(LANGS))[i] = 1
+    keys = sorted(onehot)
+    mm = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in keys]),
+        F.array(*[F.array(*[F.lit(b) for b in onehot[k]]) for k in keys]),
+    )
+    zeros = F.array_repeat(F.lit(0), len(LANGS))
+    return F.aggregate(
+        char_trigrams(text),
+        zeros,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.coalesce(F.element_at(mm, t), F.array_repeat(F.lit(0), len(LANGS))),
+            lambda a, b: a + b,
+        ),
+    )
+
+
+def lang_id_trigram(text: Column) -> Column:
+    """Language ID by char-trigram profile membership: score(lang) =
+    number of the document's trigrams (with multiplicity) found in the
+    language's profile; argmax with the same deterministic tie rule as
+    ``lang_id`` ('und' when nothing matches, earliest sorted language
+    wins ties). Catches inflected forms whole-token stopword matching
+    misses ('walking' scores 'ing'/'ng ').
+
+    This is the EXPRESSION form — self-contained, composable inside any
+    projection, but it carries the ~900-entry profile map in the task
+    binary (measured: binary deserialization beat the actual scoring at
+    50 tasks). For table-scale scoring use ``trigram_scores_table``,
+    which ships the profiles once as a broadcast relation."""
+    return lang_argmax_vector(trigram_score_vector(text))
+
+
+def trigram_scores_table(df, text_col: str, keys: list[str]):
+    """Relational trigram scorer — the table-scale path: explode the
+    documents' trigrams, broadcast-join the (≈900-row) profile relation,
+    and partial-aggregate per-language hit sums back to one row per
+    document. Explode preserves partitioning, so the map-side partial
+    aggregate collapses each document's trigrams within its partition
+    and the shuffle carries |docs| × |LANGS| ints — while the profile
+    ships ONCE per executor as a broadcast, not once per task inside a
+    codegen'd literal (the expression form's cost). ``explode_outer``
+    keeps trigram-less documents (they score all-zero → 'und').
+
+    Returns ``keys`` + ``__sv`` (the |LANGS| score vector for
+    ``lang_argmax_vector``)."""
+    onehot: dict[str, list[int]] = {}
+    for i, lang in enumerate(LANGS):
+        for t in TRIGRAM_PROFILES[lang]:
+            onehot.setdefault(t, [0] * len(LANGS))[i] = 1
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(t, *onehot[t]) for t in sorted(onehot)],
+        "t string, " + ", ".join(f"b_{i} int" for i in range(len(LANGS))),
+    )
+    ex = df.select(
+        *keys, F.explode_outer(char_trigrams(F.col(text_col))).alias("t")
+    )
+    agg = ex.join(F.broadcast(prof), "t", "left").groupBy(*keys).agg(
+        *[
+            F.coalesce(F.sum(f"b_{i}"), F.lit(0)).cast("int").alias(f"__s_{i}")
+            for i in range(len(LANGS))
+        ]
+    )
+    return agg.select(
+        *keys, F.array(*[F.col(f"__s_{i}") for i in range(len(LANGS))]).alias("__sv")
+    )
 
 
 def punct_ratio(text: Column) -> Column:

@@ -42,6 +42,9 @@ PRIORITY = (
     "server_artist_filter", "server_album_join",
     # sketches + salient terms (round-3 additions)
     "hll_users", "text_salient",
+    # round-4: char-trigram language ID (multimodal_frames rotated out
+    # on its green CORRECTNESS_r03 row)
+    "text_langid_trigram",
     # dsl: the round-3 compiler features (table folds, table let/if);
     # dsl_employee_join / dsl_orders_agg / dsl_command_pipeline /
     # dsl_grandchildren / triangle / bfs rotated out on their green
@@ -50,7 +53,7 @@ PRIORITY = (
     # round-3 second wave: flagship composition, multimodal fan-out /
     # resize, OLAP breadth (csv_roundtrip / cube_agg / sink_roundtrip
     # rotated out on their green CORRECTNESS_r03 rows)
-    "tpch_q3_shape", "multimodal_frames",
+    "tpch_q3_shape",
     "window_rank_family",
     # round-3 pipeline/window additions: dup clustering, edit-distance
     # dedup, interpolated percentiles, lag/lead frames

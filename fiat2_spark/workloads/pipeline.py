@@ -39,6 +39,37 @@ _TOKS = """
 _SW = {k: ", ".join(f"'{w}'" for w in v) for k, v in TX.STOPWORDS.items()}
 
 
+def _trigram_profile_values() -> str:
+    """The union of every language's trigram profile as a VALUES table
+    (trigram, one 0/1 membership column per language) — the relational
+    mirror of the Spark side's literal one-hot map, so the oracle
+    scores with one hash join instead of |LANGS| list scans."""
+    onehot: dict[str, list[int]] = {}
+    for i, lang in enumerate(TX.LANGS):
+        for t in TX.TRIGRAM_PROFILES[lang]:
+            onehot.setdefault(t, [0] * len(TX.LANGS))[i] = 1
+    rows = ", ".join(
+        "('" + t + "', " + ", ".join(str(b) for b in onehot[t]) + ")"
+        for t in sorted(onehot)
+    )
+    return rows
+
+
+def _langid_argmax_sql() -> str:
+    """The deterministic argmax CASE over s_<lang> score columns —
+    generated from TX.LANGS so the oracle can never drift from the
+    Spark scorer's language set (both say: 'und' on all-zero, earliest
+    sorted language wins ties)."""
+    great = "greatest(" + ", ".join(f"s_{l}" for l in TX.LANGS) + ")"
+    whens = "\n                ".join(
+        f"WHEN s_{l} = {great} THEN '{l}'" for l in TX.LANGS[:-1]
+    )
+    return (
+        f"CASE WHEN {great} = 0 THEN 'und'\n                {whens}\n"
+        f"                ELSE '{TX.LANGS[-1]}' END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -78,30 +109,81 @@ def text_tokens(spark, sf_dir):
     f"""
     WITH toks AS ({_TOKS}), scores AS (
       SELECT doc_id, lang,
-             len(list_filter(toks, t -> list_contains([{_SW['de']}], t))) AS s_de,
-             len(list_filter(toks, t -> list_contains([{_SW['en']}], t))) AS s_en,
-             len(list_filter(toks, t -> list_contains([{_SW['es']}], t))) AS s_es,
-             len(list_filter(toks, t -> list_contains([{_SW['fr']}], t))) AS s_fr
+             {", ".join(f"len(list_filter(toks, t -> list_contains([{_SW[l]}], t))) AS s_{l}" for l in TX.LANGS)}
       FROM toks
     )
     SELECT doc_id, lang AS labeled_lang,
-           CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
-                WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
-                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
-                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
-                ELSE 'fr' END AS pred_lang
+           {_langid_argmax_sql()} AS pred_lang
     FROM scores
     """,
 )
 def text_langid(spark, sf_dir):
-    """Language ID via stopword-hit argmax (first-in-sorted-order wins
-    ties) — the n-gram heuristic family, deterministic."""
+    """Language ID via stopword-hit argmax over the {len(TX.LANGS)}
+    ASCII-contract languages (first-in-sorted-order wins ties) — the
+    n-gram heuristic family, deterministic; the oracle's score columns
+    and argmax CASE are generated from the same LANGS list."""
     d = tbl(spark, sf_dir, "documents")
+    # single-row-group scan = one task; spread the per-row scoring
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=100))
     t = TX.tokens(F.col("text"))
     return d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         TX.lang_id(t).alias("pred_lang"),
+    )
+
+
+@q(
+    "text_langid_trigram",
+    f"""
+    WITH toks AS ({_TOKS}), tri AS (
+      SELECT doc_id, ' ' || array_to_string(toks, ' ') || ' ' AS norm
+      FROM toks
+    ), tg AS (
+      SELECT doc_id,
+             CASE WHEN length(norm) >= 3
+                  THEN list_transform(generate_series(1, length(norm) - 2),
+                                      i -> substr(norm, CAST(i AS INTEGER), 3))
+                  ELSE [] END AS tg
+      FROM tri
+    ), tt AS (
+      SELECT doc_id, unnest(tg) AS t FROM tg
+    ), prof (t, {", ".join(f"b_{l}" for l in TX.LANGS)}) AS (
+      VALUES {_trigram_profile_values()}
+    ), sc AS (
+      SELECT tt.doc_id,
+             {", ".join(f"COALESCE(SUM(b_{l}), 0) AS s_{l}" for l in TX.LANGS)}
+      FROM tt LEFT JOIN prof ON tt.t = prof.t
+      GROUP BY tt.doc_id
+    ), scores AS (
+      SELECT d.doc_id, d.lang,
+             {", ".join(f"COALESCE(s_{l}, 0) AS s_{l}" for l in TX.LANGS)}
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           {_langid_argmax_sql()} AS pred_lang
+    FROM scores
+    """,
+)
+def text_langid_trigram(spark, sf_dir):
+    """Char-trigram-profile language ID (the richer model behind the
+    stopword scorer): profiles are the trigram sets of each language's
+    padded stopwords, scores count the document's trigrams found in
+    each profile, argmax as in `text_langid`. Catches inflected forms
+    whole-token matching misses; deterministic and fully
+    oracle-recomputable (profiles are the literal VALUES relation in
+    the oracle and a broadcast relation here — `trigram_scores_table`,
+    the explode → broadcast-join → partial-agg plan that scales where
+    the expression form's per-task literal map does not)."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"), "text"
+    )
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=100))
+    scored = TX.trigram_scores_table(d, "text", ["doc_id", "labeled_lang"])
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        TX.lang_argmax_vector(F.col("__sv")).alias("pred_lang"),
     )
 
 
