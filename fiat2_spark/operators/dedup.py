@@ -291,6 +291,89 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select("doc", F.col("lbl").alias("cluster"))
 
 
+def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al. 2014, "Connected Components in
+    MapReduce and Beyond") — the long-chain scale path `dup_clusters`'s
+    docstring names: min-label propagation needs diameter rounds, star
+    contraction converges in O(log² n) rounds of the same
+    groupBy-min + join primitives, so a 100 TB graph with chain-shaped
+    components (near-dup chains of successive edits) stays tractable.
+
+    One round:
+      large-star: every node v computes m = min(Γ(v) ∪ {v}) and
+        re-points its STRICTLY LARGER neighbors at m — flattens tall
+        subtrees without ever creating an upward edge;
+      small-star: v re-points its ≤ neighbors and itself at m —
+        collapses the remaining short hops.
+    Both are one symmetric-neighbor expansion, one groupBy-min, one
+    join — all distributed, no driver-side state beyond the converged
+    flag. Convergence = the edge set reaches the fixpoint where every
+    edge is (node → component-min); checked with exceptAll/isEmpty.
+    ``localCheckpoint`` per round truncates lineage exactly as in
+    `dup_clusters`.
+
+    Input: (id_a, id_b) pairs (directionless). Output: (doc, cluster),
+    identical to `dup_clusters` — the same transitive-closure oracle
+    checks both.
+    """
+    nodes = (
+        pairs.select(F.col("id_a").alias("doc"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc")))
+        .distinct()
+        .persist()
+    )
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        sym = e.select(F.col("u").alias("c"), F.col("v").alias("n")).unionByName(
+            e.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        )
+        mins = sym.groupBy("c").agg(F.min("n").alias("mn"))
+        m = F.least(F.col("c"), F.col("mn"))
+        joined = sym.join(mins, "c")
+        if large:
+            out = joined.filter(F.col("n") > F.col("c")).select(
+                F.col("n").alias("u"), m.alias("v")
+            )
+        else:
+            out = joined.filter(F.col("n") < F.col("c")).select(
+                F.col("n").alias("u"), m.alias("v")
+            ).unionByName(
+                mins.select(
+                    F.col("c").alias("u"), F.least(F.col("c"), F.col("mn")).alias("v")
+                )
+            )
+        return out.filter(F.col("u") != F.col("v")).distinct()
+
+    converged = False
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        new = star(star(edges, large=True), large=False).localCheckpoint()
+        # both sides are distinct sets, so equal counts + empty one-way
+        # difference ⇒ set equality (count is a cheap metadata-ish job;
+        # saves the second exceptAll scan per round)
+        n_new = new.count()
+        converged = n_new == n_edges and new.exceptAll(edges).isEmpty()
+        edges, n_edges = new, n_new
+        if converged:
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge within max_iter={max_iter} "
+            "rounds — pathological for an O(log²)-round algorithm; check the "
+            "input for self-loops or raise max_iter"
+        )
+    return nodes.join(
+        edges.select(F.col("u").alias("doc"), F.col("v").alias("lbl")), "doc", "left"
+    ).select("doc", F.coalesce(F.col("lbl"), F.col("doc")).alias("cluster"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 _HIGH_HEX = ["8", "9", "a", "b", "c", "d", "e", "f"]

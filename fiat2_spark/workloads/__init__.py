@@ -55,9 +55,10 @@ PRIORITY = (
     # rotated out on their green CORRECTNESS_r03 rows)
     "tpch_q3_shape",
     "window_rank_family",
-    # round-3 pipeline/window additions: dup clustering, edit-distance
-    # dedup, interpolated percentiles, lag/lead frames
-    "dedup_clusters", "dedup_editdist", "window_frames",
+    # round-3 pipeline additions (dup clustering, edit-distance dedup)
+    # + round-4 star-contraction clustering (window_frames /
+    # percentile_cont rotated out on their green CORRECTNESS_r03 rows)
+    "dedup_clusters", "dedup_clusters_star", "dedup_editdist",
     # round-4: scalable per-group ranking (percentile_cont rotated out
     # on its green CORRECTNESS_r03 row)
     "grouped_rownum_scalable",

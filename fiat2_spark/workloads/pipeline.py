@@ -504,6 +504,37 @@ def dedup_clusters(spark, sf_dir):
 
 
 @q(
+    "dedup_clusters_star",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
+    )
+    SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """The same duplicate-cluster labels as `dedup_clusters`, computed
+    by large-star/small-star contraction (`dedup.dup_clusters_star`) —
+    the O(log²)-round algorithm min-label propagation's docstring
+    promises for long-chain components at 100 TB. Same MinHash pair
+    input, same transitive-closure oracle: two algorithms, one
+    semantics, both driver-checked."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7
+    )
+    return D.dup_clusters_star(pairs)
+
+
+@q(
     "dedup_editdist",
     """
     WITH docs AS (

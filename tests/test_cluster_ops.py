@@ -54,3 +54,51 @@ def test_percentile_cont_matches_native(spark):
     for k in ours:
         assert abs(ours[k][0] - native[k][0]) < 1e-9
         assert abs(ours[k][1] - native[k][1]) < 1e-9
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dup_clusters_star_long_chain_and_random(spark):
+    """Star contraction (Kiveris et al. 2014) must label a 60-node
+    chain — diameter far beyond its O(log²) round budget — plus a
+    random graph, identically to a union-find ground truth AND to the
+    propagation-based dup_clusters."""
+    import random
+
+    from fiat2_spark.operators.dedup import dup_clusters_star
+
+    rng = random.Random(7)
+    chain = [(i, i + 1) for i in range(100, 160)]
+    blob = [(rng.randrange(0, 40), rng.randrange(0, 40)) for _ in range(60)]
+    blob = [(a, b) for a, b in blob if a != b]
+    edges = chain + blob
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    want = _uf_components(edges)
+    got = {r["doc"]: r["cluster"] for r in dup_clusters_star(pairs).collect()}
+    assert got == want
+    prop = {r["doc"]: r["cluster"] for r in dup_clusters(pairs, max_iter=100).collect()}
+    assert got == prop
+
+
+def test_dup_clusters_star_empty(spark):
+    from fiat2_spark.operators.dedup import dup_clusters_star
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dup_clusters_star(pairs).count() == 0
