@@ -337,6 +337,27 @@ def global_row_number(
     ).drop("__bucket")
 
 
+def _value_buckets(
+    df: DataFrame, order_col: str, descending: bool, n_buckets: int | None
+) -> DataFrame:
+    """Range-bucket rows on approximate quantile cut points of
+    ``order_col`` (a tiny driver-side list). The bucket is a pure
+    function of the VALUE — duplicate order values always share a
+    bucket, so value-deterministic rank computations can never be
+    split by a cut."""
+    b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
+    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
+    if cuts:
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        if descending:
+            bucket = F.size(F.filter(cut_arr, lambda c: c > F.col(order_col)))
+        else:
+            bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
+    else:
+        bucket = F.lit(0)
+    return df.withColumn("__bucket", bucket)
+
+
 def grouped_row_number(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -374,17 +395,7 @@ def grouped_row_number(
     |groups|×|buckets| rows; keep that product small."""
     from pyspark.sql import Window as W
 
-    b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
-    if cuts:
-        cut_arr = F.array(*[F.lit(c) for c in cuts])
-        if descending:
-            bucket = F.size(F.filter(cut_arr, lambda c: c > F.col(order_col)))
-        else:
-            bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
-    else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn("__bucket", bucket)
+    bucketed = _value_buckets(df, order_col, descending, n_buckets)
     counts = bucketed.groupBy(*group_cols, "__bucket").agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -402,6 +413,89 @@ def grouped_row_number(
     return joined.withColumn(
         id_name, F.row_number().over(w).cast("long") + F.col("__off")
     ).drop("__bucket", "__off")
+
+
+def grouped_rank_family(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    descending: bool = False,
+    tiebreak: Sequence[Column] = (),
+    n_buckets: int | None = None,
+    ntile_k: int = 4,
+) -> DataFrame:
+    """The ENTIRE ranking family — row_number, rank, dense_rank,
+    percent_rank, ntile(k) — per group, without partitioning any heavy
+    window on the low-cardinality group key (the `grouped_row_number`
+    scheme extended with the tie- and total-dependent functions):
+
+    The window order is (order_col, *tiebreak) — ``tiebreak`` is plain
+    ascending columns, part of the RANKING ORDER itself, exactly as in
+    ``... ORDER BY price DESC, orderkey``. Rank/dense_rank tie groups
+    are rows equal on the WHOLE composite; since the bucket is a pure
+    function of the leading order VALUE, a tie group can never straddle
+    a bucket, so:
+
+    * rank = bucket row-count offset + within-bucket rank over the
+      composite order;
+    * dense_rank = offset counting DISTINCT composite keys in earlier
+      buckets (countDistinct rides the same tiny aggregate);
+    * percent_rank: (rank−1)/(n−1) computed from the per-group total n
+      (a window-free arithmetic rewrite of the same double division
+      Spark and DuckDB evaluate — bit-identical);
+    * ntile(k): Spark's remainder-to-first-tiles split, arithmetically
+      from (row_number, n): the first n%k tiles get ⌈n/k⌉ rows.
+
+    Output: input columns + rn, rnk, drnk, prnk, quartile (long, long,
+    long, double, int). Same low-cardinality-group contract as
+    `grouped_row_number`."""
+    from pyspark.sql import Window as W
+
+    bucketed = _value_buckets(df, order_col, descending, n_buckets)
+    counts = bucketed.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.countDistinct(F.col(order_col), *tiebreak).alias("__dcnt"),
+    )
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*group_cols)
+    offsets = counts.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.coalesce(F.sum("__dcnt").over(w_off), F.lit(0)).cast("long").alias("__doff"),
+        F.sum("__cnt").over(w_tot).cast("long").alias("__n"),
+    )
+    joined = bucketed.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+    ord0 = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_ord = W.partitionBy(*group_cols, "__bucket").orderBy(
+        ord0, *[c.asc() for c in tiebreak]
+    )
+    rn = F.row_number().over(w_ord).cast("long") + F.col("__off")
+    rnk = F.rank().over(w_ord).cast("long") + F.col("__off")
+    drnk = F.dense_rank().over(w_ord).cast("long") + F.col("__doff")
+    n = F.col("__n")
+    prnk = F.when(
+        n > 1, (rnk - 1).cast("double") / (n - 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    k = F.lit(ntile_k).cast("long")
+    # floor(double) division is exact while counts stay below 2^53 —
+    # far beyond any per-group row count
+    q, r = F.floor(n / k).cast("long"), n % k
+    # guard q=0 (n < k): the when-branch covers every row (rn <= r), so
+    # the otherwise-branch's divisor never evaluates on those groups —
+    # greatest(q, 1) keeps ANSI division happy anyway
+    q1 = F.greatest(q, F.lit(1))
+    tile = F.when(
+        rn <= r * (q + 1), F.floor((rn + q) / (q + 1)).cast("long")
+    ).otherwise(r + F.floor((rn - r * (q + 1) + q1 - 1) / q1).cast("long"))
+    out = joined.withColumn("rn", rn).withColumn("rnk", rnk)
+    out = out.withColumn("drnk", drnk).withColumn("prnk", prnk)
+    out = out.withColumn("quartile", tile.cast("int"))
+    return out.drop("__bucket", "__off", "__doff", "__n")
 
 
 # -- limit / top-k (absent in reference; engine surface) -------------------

@@ -50,18 +50,17 @@ PRIORITY = (
     # dsl_grandchildren / triangle / bfs rotated out on their green
     # CORRECTNESS_r01+r02 rows
     "dsl_fold_table", "dsl_let_if_table",
-    # round-3 second wave: flagship composition, multimodal fan-out /
-    # resize, OLAP breadth (csv_roundtrip / cube_agg / sink_roundtrip
-    # rotated out on their green CORRECTNESS_r03 rows)
-    "tpch_q3_shape",
+    # round-3 second wave: OLAP breadth (csv_roundtrip / cube_agg /
+    # sink_roundtrip rotated out on their green CORRECTNESS_r03 rows)
     "window_rank_family",
     # round-3 pipeline additions (dup clustering, edit-distance dedup)
     # + round-4 star-contraction clustering (window_frames /
     # percentile_cont rotated out on their green CORRECTNESS_r03 rows)
     "dedup_clusters", "dedup_clusters_star", "dedup_editdist",
-    # round-4: scalable per-group ranking (percentile_cont rotated out
-    # on its green CORRECTNESS_r03 row)
-    "grouped_rownum_scalable",
+    # round-4: scalable per-group ranking — row numbers and the full
+    # rank family (percentile_cont / tpch_q3_shape rotated out on their
+    # green CORRECTNESS_r03 rows)
+    "grouped_rownum_scalable", "grouped_rank_family_scalable",
     # incremental join-aggregate maintenance (delta joins) + round-4
     # compo_idx multi-index maintenance (multimodal_resize rotated out
     # on its green CORRECTNESS_r03 row)

@@ -366,6 +366,40 @@ def window_rank_family(spark, sf_dir):
 
 
 @q(
+    "grouped_rank_family_scalable",
+    """
+    SELECT o_orderkey,
+           o_orderpriority AS prio,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def grouped_rank_family_scalable(spark, sf_dir):
+    """`window_rank_family`'s EXACT output — rank, dense_rank,
+    percent_rank, ntile(4) per priority — via the quantile-bucketed
+    scheme (`relational.grouped_rank_family`), so the whole ranking
+    family has a plan that runs |groups|×|buckets| tasks instead of 5.
+    The oracle is the plain PARTITION BY window: two plans, one
+    semantics, driver-checked."""
+    o = tbl(spark, sf_dir, "orders")
+    return R.grouped_rank_family(
+        o.select("o_orderkey", "o_orderpriority", "o_totalprice"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        descending=True,
+        tiebreak=[F.col("o_orderkey")],
+    ).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        "rnk", "drnk", "prnk", "quartile",
+    )
+
+
+@q(
     "grouped_rownum_scalable",
     """
     SELECT o_orderkey, o_orderpriority AS prio,

@@ -158,6 +158,33 @@ def test_grouped_rownum_matches_window(spark):
     assert got == want
 
 
+def test_grouped_rank_family_tie_semantics(spark):
+    """With NO tiebreak and duplicated order values, the bucketed rank
+    family must reproduce shared ranks (rank gaps, dense_rank no-gaps,
+    percent_rank from shared rank) exactly as the plain group window."""
+    from fiat2_spark.operators.relational import grouped_rank_family
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"g{i % 3}", float((i * 7) % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    got = {
+        (r["id"]): (r["rnk"], r["drnk"], round(r["prnk"], 9))
+        for r in grouped_rank_family(df, ["g"], "v", n_buckets=4).collect()
+    }
+    w = W.partitionBy("g").orderBy("v")
+    want = {
+        (r["id"]): (r["rnk"], r["drnk"], round(r["prnk"], 9))
+        for r in df.select(
+            "id",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("prnk"),
+        ).collect()
+    }
+    assert got == want and len(got) == 200
+
+
 def test_semi_anti_join_physical(spark):
     assert "LeftSemi" in plan_of(QUERIES["semi_join"](spark, SF_SMOKE))
     assert "LeftAnti" in plan_of(QUERIES["anti_join"](spark, SF_SMOKE))
