@@ -63,6 +63,11 @@ HEADLINE = [
     "stream_stream_join", # watermarked interval join (batch form)
     "window_frames",      # lag/lead + ROWS-frame moving average
     "tpch_q3_shape",      # composed flagship: pushdown+broadcast+agg+topk
+    # round-4 additions
+    "grouped_rownum_scalable",      # per-group numbering, no 5-task window
+    "grouped_rank_family_scalable", # full rank family over quantile buckets
+    "text_langid",                  # stopword argmax, 10 languages
+    "text_langid_trigram",          # trigram profiles via broadcast relation
 ]
 
 
