@@ -498,6 +498,55 @@ def grouped_rank_family(
     return out.drop("__bucket", "__off", "__doff", "__n")
 
 
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: Column,
+    out_name: str = "cum",
+    descending: bool = False,
+    tiebreak: Sequence[Column] = (),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group INCLUSIVE running sum of ``value_col`` in
+    ``(order_col, *tiebreak)`` order, without a |groups|-task window —
+    the prefix-sum member of the quantile-bucket family
+    (`grouped_row_number` / `grouped_rank_family`): bucket rows on the
+    order value, aggregate per-(group, bucket) value sums on a tiny
+    relation, prefix-sum those into bucket offsets, then run the heavy
+    cumulative window inside each (group, bucket) partition and add the
+    offset. Associativity of + is what makes the split exact; for
+    doubles, pass a DECIMAL-cast ``value_col`` so bucket-order
+    re-association cannot change the result (the repo's standard float
+    discipline)."""
+    from pyspark.sql import Window as W
+
+    bucketed = _value_buckets(df, order_col, descending, n_buckets)
+    vals = bucketed.withColumn("__v", value_col)
+    counts = vals.groupBy(*group_cols, "__bucket").agg(F.sum("__v").alias("__bsum"))
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast(dict(vals.select(F.col("__v")).dtypes)["__v"])
+    offsets = counts.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(w_off), zero).alias("__off"),
+    )
+    joined = vals.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+    ord0 = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w_cum = (
+        W.partitionBy(*group_cols, "__bucket")
+        .orderBy(ord0, *[c.asc() for c in tiebreak])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return joined.withColumn(
+        out_name, F.sum("__v").over(w_cum) + F.col("__off")
+    ).drop("__bucket", "__v", "__off")
+
+
 # -- limit / top-k (absent in reference; engine surface) -------------------
 
 def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:

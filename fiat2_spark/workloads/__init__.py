@@ -31,8 +31,10 @@ PRIORITY = (
     "text_tokens", "text_langid", "text_quality", "text_fingerprint",
     "cms_tokens", "dedup_exact", "dedup_minhash", "dedup_simhash",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
-    "ann_ivf", "multimodal_bytes", "pipeline_e2e", "sample_strata",
-    "sample_group_k", "vocab_topn",
+    "ann_ivf", "multimodal_bytes", "pipeline_e2e", "vocab_topn",
+    # round-4 sampling/packing additions (sample_strata / sample_group_k
+    # rotated out on their green CORRECTNESS_r03 rows, code unchanged)
+    "sample_weighted", "pack_sequences",
     # stream (11): incremental maintenance / event-time
     "incremental_sum", "incremental_min_orders", "incremental_groupby",
     "stream_window_agg", "sessionize", "asof_join", "json_extract",

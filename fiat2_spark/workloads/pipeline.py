@@ -1045,6 +1045,91 @@ def sample_group_k(spark, sf_dir):
 
 
 @q(
+    "sample_weighted",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(ln(
+                 (CAST(('0x' || substr(md5('wrs#' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                 / 4503599627370496.0
+               ) / greatest(n_chars, 1), 9), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 8
+    """,
+)
+def sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement, k=8 per language, weight =
+    document length (n_chars): the Efraimidis–Spirakis A-Res scheme —
+    key = ln(u)/w with u uniform in (0,1], keep the k LARGEST keys
+    (equivalently smallest of the negated key; here we order ascending
+    by ln(u)/w, which is negative, so the most negative-per-unit-weight
+    lose and heavy docs win proportionally). u derives from 52 md5 bits
+    of the salted doc id — deterministic, identical in both engines, no
+    RNG state. The sort key is rounded to 9 decimals so a last-ulp
+    libm-ln difference between engines cannot reorder near-equal keys
+    (the doc_id tiebreak then resolves identically). The rank ≤ k
+    filter keeps the WindowGroupLimit map-side prune, so the exchange
+    never carries the corpus."""
+    from pyspark.sql import Window
+
+    d = tbl(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("wrs#"), F.col("doc_id").cast("string"))), 1, 13), 16, 10
+        ).cast("double") + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    key = F.round(F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)), 9)
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select("doc_id", "lang")
+    )
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH toks AS ({_TOKS}),
+    t AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok FROM toks),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Sequence packing — the concat-then-chunk step of an LLM training
+    pipeline: per language, documents are concatenated in a canonical
+    order (doc_id) and cut into fixed 2048-token context windows; each
+    document is assigned the pack its FIRST token lands in (pack_id =
+    ⌊prefix_tokens/2048⌋). The inclusive prefix sum runs through
+    `relational.grouped_running_sum` — the quantile-bucketed scalable
+    prefix sum — so the 4-language partition key never becomes a
+    4-task window; the oracle is the plain PARTITION BY running-sum
+    window. Integer token counts make + exactly associative, so the
+    bucket split cannot change any value."""
+    from fiat2_spark.operators import relational as R
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        TX.token_count(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=200))
+    c = R.grouped_running_sum(d, ["lang"], "doc_id", F.col("n_tok"), out_name="cum")
+    return c.select(
+        "doc_id", "lang", "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).cast("long").alias("pack_id"),
+    )
+
+
+@q(
     "vocab_topn",
     f"""
     WITH toks AS ({_TOKS})
