@@ -120,14 +120,55 @@ def test_ann_bruteforce_partial_window_group_limit(spark):
     assert p.index("Exchange hashpartitioning") < p.index(partial_line)
 
 
-def test_grouped_rownum_window_is_bucketed(spark):
-    """grouped_row_number's heavy window must partition on (group,
+@pytest.mark.parametrize(
+    "name", ["grouped_rownum_scalable", "grouped_rank_family_scalable", "pack_sequences"]
+)
+def test_grouped_bucket_scheme_window_is_bucketed(spark, name):
+    """Every quantile-bucket-scheme query (row numbers, rank family,
+    prefix sum) must run its heavy window partitioned on (group,
     __bucket), never on the low-cardinality group alone — the plan's
     Window-over-the-data shows the bucket in its partition spec, and
     nothing runs SinglePartition."""
-    p = plan_of(QUERIES["grouped_rownum_scalable"](spark, SF_SMOKE))
+    p = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "SinglePartition" not in p
     assert "__bucket" in p  # the composite partition key reached the plan
+
+
+def test_grouped_running_sum_matches_window(spark):
+    """Decimal running sums through the bucket scheme equal the plain
+    group-partitioned cumulative window exactly (associativity +
+    DECIMAL discipline)."""
+    from fiat2_spark.operators.relational import grouped_running_sum
+    from fiat2_spark.workloads.util import tbl
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    o = tbl(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    got = {
+        r["o_orderkey"]: r["cum"]
+        for r in grouped_running_sum(
+            o,
+            ["o_orderpriority"],
+            "o_orderkey",
+            F.col("o_totalprice").cast("decimal(18,2)"),
+            n_buckets=7,
+        ).collect()
+    }
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    want = {
+        r["o_orderkey"]: r["cum"]
+        for r in o.select(
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).alias("cum"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
 
 
 def test_grouped_rownum_matches_window(spark):
