@@ -35,11 +35,14 @@ PRIORITY = (
     # round-4 sampling/packing additions (sample_strata / sample_group_k
     # rotated out on their green CORRECTNESS_r03 rows, code unchanged)
     "sample_weighted", "pack_sequences",
-    # stream (11): incremental maintenance / event-time
+    # stream: incremental maintenance / event-time (json_extract rotated
+    # out on its green CORRECTNESS_r03 row, code unchanged)
     "incremental_sum", "incremental_min_orders", "incremental_groupby",
-    "stream_window_agg", "sessionize", "asof_join", "json_extract",
+    "stream_window_agg", "sessionize", "asof_join",
     "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
     "stream_stream_join",
+    # round-4: benchmark decontamination (3-gram overlap vs held-out set)
+    "decontaminate",
     # server parity (2)
     "server_artist_filter", "server_album_join",
     # sketches + salient terms (round-3 additions)

@@ -1045,6 +1045,63 @@ def sample_group_k(spark, sf_dir):
 
 
 @q(
+    "decontaminate",
+    f"""
+    WITH toks AS ({_TOKS}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0
+    ),
+    train AS (
+      SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_overlap
+    FROM train t JOIN bench b ON t.g = b.g
+    GROUP BY t.doc_id
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination — the eval-leakage check every LLM
+    training pipeline runs: flag training documents sharing any word
+    3-gram with a held-out benchmark set (here the deterministic
+    doc_id % 97 == 0 slice stands in for the benchmark corpus; the
+    overlap count per flagged doc is the evidence a filtering decision
+    is made on; real pipelines use 8–13-gram windows — the synthetic
+    corpus needs 3-grams to produce collisions worth checking). Spark
+    shape: distinct 3-gram shingles per doc (the
+    one-pass zip-shingler), benchmark grams collapsed to a distinct set
+    and BROADCAST, train grams explode → broadcast hash semi-join →
+    per-doc distinct-overlap count — the train corpus never shuffles
+    its text, only matching grams reach the aggregate. At 100 TB the
+    benchmark side (eval suites: thousands of docs) is always the
+    broadcast side; the explode side stays partition-local until the
+    per-doc count."""
+    d = tbl(spark, sf_dir, "documents")
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=100)).select(
+        "doc_id", D.shingles(TX.tokens(F.col("text")), 3).alias("grams")
+    )
+    bench = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    train = d.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("grams").alias("g")
+    )
+    return (
+        train.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").cast("long").alias("n_overlap"))
+    )
+
+
+@q(
     "sample_weighted",
     """
     SELECT doc_id, lang FROM (
