@@ -332,7 +332,10 @@ def incremental_multi_index(spark, sf_dir):
     (IndexTransf.v:20-49: a record of per-index states whose to_idx is
     the record of each index's to_idx, maintained componentwise),
     instantiated exactly as CombIdxEx.v composes a SumAgg with a
-    DictIdx over one table. Here: a scalar SumIndex + MinIndex (SumAgg/
+    DictIdx over one table (ParamPipelineEx.v parameterizes the same
+    composition over SumAgg/MinAgg/DictIdx/pk/bitmap — the pk and
+    bitmap members are realized by `global_row_number` and
+    `partition_pruned_lookup` respectively). Here: a scalar SumIndex + MinIndex (SumAgg/
     MinAgg) and a per-priority GroupIndex (DictIdx's key → folded bag)
     share one MaterializedView; every insert updates all three, every
     read is answered from maintained state (the base is never
