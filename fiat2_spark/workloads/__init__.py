@@ -55,9 +55,11 @@ PRIORITY = (
     # dsl_grandchildren / triangle / bfs rotated out on their green
     # CORRECTNESS_r01+r02 rows
     "dsl_fold_table", "dsl_let_if_table",
-    # round-3 second wave: OLAP breadth (csv_roundtrip / cube_agg /
-    # sink_roundtrip rotated out on their green CORRECTNESS_r03 rows)
-    "window_rank_family",
+    # csv_roundtrip re-enters: its round-4 temp-dir race fix (ADVICE r3)
+    # invalidates the r3 row's unchanged-code premise, so it needs fresh
+    # driver evidence; window_rank_family / cube_agg / sink_roundtrip
+    # rotate out on green CORRECTNESS_r03 rows over untouched code
+    "csv_roundtrip",
     # round-3 pipeline additions (dup clustering, edit-distance dedup)
     # + round-4 star-contraction clustering (window_frames /
     # percentile_cont rotated out on their green CORRECTNESS_r03 rows)

@@ -58,7 +58,7 @@ def test_theta_join_extracts_equi_conjunct(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["triangle", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf", "asof_join", "range_join_binned", "dedup_editdist", "stream_stream_join"])
+@pytest.mark.parametrize("name", ["triangle", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf", "asof_join", "range_join_binned", "dedup_editdist", "stream_stream_join", "decontaminate"])
 def test_candidate_joins_are_hash_joins(spark, name):
     p = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian product"
