@@ -72,11 +72,13 @@ PRIORITY = (
     # compo_idx multi-index maintenance (multimodal_resize rotated out
     # on its green CORRECTNESS_r03 row)
     "incremental_join", "incremental_multi_index",
-    # core picks: rows without other in-window evidence + fresh
-    # fixes; rotated-out picks (dict_fold, groupby_agg, window_rownum,
-    # coq_div_mod, fold_right_concat, sql_entrypoint) hold green
-    # CORRECTNESS_r02 rows
-    "nested_collections", "partition_pruned_lookup", "bucketed_join",
+    # core picks: rows without other in-window evidence + fresh fixes;
+    # window_rownum re-enters because the round-4 _value_buckets
+    # refactor touched global_row_number under its r2 row
+    # (nested_collections rotates out on its green r03 row, untouched;
+    # dict_fold / groupby_agg / coq_div_mod / fold_right_concat /
+    # sql_entrypoint keep their r02 rows on unchanged code)
+    "window_rownum", "partition_pruned_lookup", "bucketed_join",
     # round-4 rotation: the three queries registered late in round 3
     # with no driver row yet (ADVICE r3) — first driver check this round
     "group_concat", "salted_join", "unpivot_long",
