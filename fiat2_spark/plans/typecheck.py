@@ -252,7 +252,15 @@ def _binop_type(op: str, t1: A.Type, t2: A.Type) -> A.Type:
             return t1  # list ++ list
         case "OConcatString":
             return _STR
-        case "OWLessU" | "OWLessS" | "OLess" | "OEq":
+        case "OWLessU" | "OWLessS":
+            return _BOOL
+        case "OLess" | "OEq":
+            # the reference types both operands at the SAME t
+            # (TypeSystem.v OEq/OLess rules); without this check a
+            # string-vs-int comparison sailed through to the compiler
+            # (caught by examples/dsl_demo.py's ill-typed variant)
+            if not compatible(t1, t2):
+                raise TypeError2(f"{op} operand types differ: {t1} vs {t2}")
             return _BOOL
         case "OCons":
             if isinstance(t2, (A.TList, A.TBag, A.TSet)):

@@ -148,3 +148,17 @@ def test_flat_option_roundtrip_still_typechecks():
     assert synthesize(some7, {}, {}) == A.TOption(A.TInt())
     e = A.EOptMatch(some7, A.EAtom(A.AInt(0)), "x", A.EVar("x"))
     assert synthesize(e, {}, {}) == A.TInt()
+
+
+def test_oeq_oless_operand_types_must_agree():
+    """OEq/OLess type both operands at the same t (TypeSystem.v rules);
+    cross-type comparisons are rejected at synthesis. TInt/TDouble
+    still join numerically (the documented engine extension)."""
+    s_vs_i = A.EBinop("OEq", A.EAtom(A.AString("x")), A.EAtom(A.AInt(3)))
+    with pytest.raises(TypeError2, match="operand types differ"):
+        synthesize(s_vs_i, {}, {})
+    with pytest.raises(TypeError2, match="operand types differ"):
+        synthesize(A.EBinop("OLess", A.EAtom(A.ABool(True)), A.EAtom(A.AInt(1))), {}, {})
+    assert synthesize(
+        A.EBinop("OEq", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(2))), {}, {}
+    ) == A.TBool()
