@@ -4,11 +4,12 @@ catalog.
 
 Commands are driver-side orchestration: the store maps names to
 DataFrames (tables) or Python values (scalars); expressions compile to
-distributed plans via `compile.py`. CForeach collects the iterated list
-to the driver and runs the body per row — the reference's semantics
-exactly (Interpret.v:516-523, inherently sequential state updates);
-batch-scale insert loops should use streaming.MaterializedView instead
-(SURVEY §4.3 mapping).
+distributed plans via `compile.py`. CForeach runs the reference's
+sequential per-row semantics (Interpret.v:516-523) via a driver-side
+collect loop — EXCEPT the pure insert pattern
+``t := OCons(f(x), t)``, which the engine rewrites to one bulk union
+(`_foreach_bulk_insert`, the cons_to_* rewrite analog); batch-scale
+stateful loops should use streaming.MaterializedView (SURVEY §4.3).
 """
 
 from __future__ import annotations
@@ -34,6 +35,9 @@ class Store:
 
     def assign(self, name: str, v) -> None:
         self._m[name] = v
+
+    def remove(self, name: str) -> None:
+        self._m.pop(name, None)
 
     def __contains__(self, name):
         return name in self._m
@@ -119,6 +123,8 @@ def run_command(
         case A.CForeach(e, x, body):
             v = _eval(e, env, store, spark)
             if isinstance(v, DataFrame):
+                if _foreach_bulk_insert(x, body, env, store, spark, v):
+                    return store
                 rows = [
                     r["value"] if v.columns == ["value"] else r.asDict(recursive=True)
                     for r in v.collect()
@@ -129,6 +135,60 @@ def run_command(
                 run_command(body, store, {**env, x: ("py", row)}, spark, typecheck=False)
             return store
     raise TypeError(f"unknown command {c!r}")
+
+
+def _mentions_loc(e, name: str) -> bool:
+    """Does expression ``e`` reference ``ELoc(name)`` anywhere?"""
+    import dataclasses
+
+    if isinstance(e, A.ELoc):
+        return e.x == name
+    if dataclasses.is_dataclass(e):
+        vals = [getattr(e, f.name) for f in dataclasses.fields(e)]
+    elif isinstance(e, (tuple, list)):
+        vals = list(e)
+    else:
+        return False
+    return any(_mentions_loc(v, name) for v in vals)
+
+
+def _foreach_bulk_insert(x, body, env, store, spark, v: DataFrame) -> bool:
+    """The cons_to_* bulk rewrite: ``CForeach x in T: t := OCons(f(x), t)``
+    with a pure per-row ``f`` executes as ONE union of the projected
+    iterated table instead of a driver-side collect loop — the engine's
+    analog of the reference's cons_to_add / cons_to_insert head rewrites
+    (SumAgg.v:150-156, DictIndexImpl.v:571-588, applied by
+    fold_command_with_globals in IndexTransf.v), which likewise replace
+    per-row insert work with batch algebra when the body is the pure
+    insert pattern. Sound because engine tables are bags (SURVEY §2.3):
+    OCons prepend order is only observable at an explicit ESort, so n
+    prepends ≡ one union. Applies only when ``f`` never reads the target
+    table (a self-referential body still runs the sequential reference
+    semantics). Returns True when the rewrite fired."""
+    match body:
+        case A.CAssign(t, A.EBinop("OCons", e_row, A.ELoc(t2))) if t == t2:
+            if t not in store or _mentions_loc(e_row, t):
+                return False
+            cur = store.get(t)
+            if not isinstance(cur, DataFrame):
+                return False
+            import uuid
+
+            tmp = f"__foreach_{uuid.uuid4().hex[:8]}"
+            store.assign(tmp, v)
+            try:
+                proj = compile_expr(
+                    A.EProj("LikeBag", A.ELoc(tmp), x, e_row), env, store, spark
+                )
+            except Exception:
+                return False
+            finally:
+                store.remove(tmp)
+            if proj.columns != cur.columns:
+                return False  # shape mismatch — let the loop's semantics decide
+            store.assign(t, cur.unionByName(proj))
+            return True
+    return False
 
 
 _MISSING = object()

@@ -167,3 +167,49 @@ def test_cif_and_cletmut_scoping(spark):
     run_command(prog, st, {}, spark)
     assert st.get("flag") == "big"
     assert "tmp" not in st
+
+
+def test_foreach_pure_insert_is_bulk(spark):
+    """CForeach with the pure insert body t := OCons(f(x), t) must fire
+    the cons_to_* bulk rewrite: ONE union of a projected table, not one
+    union per iterated row (the plan of the resulting store table shows
+    a single Union over thousands of rows)."""
+    st = Store()
+    st.assign("t", spark.createDataFrame([(0, 0)], "k long, v long"))
+    st.assign("src", spark.createDataFrame([(i,) for i in range(2000)], "n long"))
+    body = A.CAssign(
+        "t",
+        A.EBinop(
+            "OCons",
+            A.ERecord((("k", A.EAccess(A.EVar("x"), "n")),
+                       ("v", A.EBinop("OTimes", A.EAccess(A.EVar("x"), "n"), A.EAtom(A.AInt(2)))))),
+            A.ELoc("t"),
+        ),
+    )
+    run_command(A.CForeach(A.ELoc("src"), "x", body), st, {}, spark)
+    out = st.get("t")
+    assert out.count() == 2001
+    assert out.agg({"v": "sum"}).collect()[0][0] == sum(2 * i for i in range(2000))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Union") == 1, "bulk rewrite did not fire (per-row unions)"
+
+
+def test_foreach_self_referential_body_stays_sequential(spark):
+    """A body whose inserted row READS the target table must keep the
+    reference's sequential semantics (each insert sees prior inserts):
+    inserting COUNT(t) per iteration gives 1,2,3 — a bulk union would
+    have inserted the same count three times."""
+    st = Store()
+    st.assign("t", spark.createDataFrame([(1,)], "k long"))
+    st.assign("src", spark.createDataFrame([(10,), (20,), (30,)], "n long"))
+    body = A.CLet(
+        A.EACFold("AGCount", A.ELoc("t")),
+        "c",
+        A.CAssign(
+            "t",
+            A.EBinop("OCons", A.ERecord((("k", A.EVar("c")),)), A.ELoc("t")),
+        ),
+    )
+    run_command(A.CForeach(A.ELoc("src"), "x", body), st, {}, spark)
+    vals = sorted(r["k"] for r in st.get("t").collect())
+    assert vals == [1, 1, 2, 3]
