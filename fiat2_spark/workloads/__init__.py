@@ -45,8 +45,10 @@ PRIORITY = (
     "decontaminate",
     # server parity (2)
     "server_artist_filter", "server_album_join",
-    # sketches + salient terms (round-3 additions)
-    "hll_users", "text_salient",
+    # round-4 OLAP compositions: Q18 shape + explicit aggregate reuse
+    # (hll_users / text_salient rotated out on their green
+    # CORRECTNESS_r03 rows, code unchanged)
+    "tpch_q18_shape", "agg_reuse",
     # round-4: char-trigram language ID (multimodal_frames rotated out
     # on its green CORRECTNESS_r03 row)
     "text_langid_trigram",

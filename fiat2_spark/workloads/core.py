@@ -1495,6 +1495,92 @@ def tpch_q3_shape(spark, sf_dir):
 
 
 @q(
+    "tpch_q18_shape",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    SELECT c_name, o_orderkey, o_totalprice, qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def tpch_q18_shape(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate over the fact table feeds a join back to orders and
+    customers, topped with a LIMIT. The aggregate runs partial →
+    final in DECIMAL; the HAVING filter shrinks the agg output BEFORE
+    any join (the selective side); the surviving handful of orderkeys
+    joins orders/customer; the final top-20 is TakeOrderedAndProject.
+    At 100 TB the only full-table work is the one partial-agg pass
+    over lineitem — everything downstream is proportional to the
+    HAVING survivors."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey", F.col("__q").cast("double").alias("qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@q(
+    "agg_reuse",
+    """
+    WITH rev AS (
+      SELECT c_nationkey AS nk,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey
+    )
+    SELECT r.nk, r.rev,
+           round(r.rev / (SELECT AVG(rev) FROM rev), 6) AS rev_ratio
+    FROM rev r
+    """,
+)
+def agg_reuse(spark, sf_dir):
+    """Per-nation revenue compared against the average across nations —
+    ONE aggregation consumed twice (once as rows, once reduced to its
+    mean). The |groups|-row aggregate is persisted and both consumers
+    read the materialization (InMemoryTableScan ×2, plan-asserted), so
+    the orders⋈customer scan-join-aggregate runs exactly once — the
+    engine-native 'pay the heavy pass once' that the reference gets by
+    naming an index. (AQE does not canonically match the two aggregate
+    subtrees into a ReusedExchange here — measured, not assumed — so
+    the reuse is made explicit.) The 1-row average then broadcasts."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+        .persist()
+    )
+    avg = rev.agg(F.avg("rev").alias("__avg"))
+    return rev.crossJoin(F.broadcast(avg)).select(
+        "nk", "rev", F.round(F.col("rev") / F.col("__avg"), 6).alias("rev_ratio")
+    )
+
+
+@q(
     "salted_join",
     """
     SELECT o_orderpriority AS prio, COUNT(*) AS n

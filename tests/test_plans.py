@@ -104,6 +104,23 @@ def test_global_rownum_matches_window(spark):
     assert got == want
 
 
+def test_tpch_q18_shape_plan(spark):
+    """Q18 shape: DECIMAL partial agg on lineitem, HAVING pre-join
+    filter, top-20 via TakeOrderedAndProject (never a global sort)."""
+    p = plan_of(QUERIES["tpch_q18_shape"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "partial_sum" in p
+
+
+def test_agg_reuse_reads_materialization_twice(spark):
+    """agg_reuse must consume ONE materialized aggregate from both
+    sides (InMemoryTableScan ×2) — the heavy join-aggregate pass runs
+    once."""
+    df = QUERIES["agg_reuse"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert p.count("InMemoryTableScan") == 2
+
+
 def test_ann_bruteforce_partial_window_group_limit(spark):
     """The brute-force ANN ranking must keep its map-side prune: a
     partial WindowGroupLimit BELOW the exchange, so the shuffle carries
