@@ -27,9 +27,12 @@ MODULES = (pipeline, stream, server, dsl, graphs, core)
 # unevidenced SURVEY §2 rows this round (incl. the freshly fixed
 # nested_collections).
 PRIORITY = (
-    # pipeline (18): text / sketch / dedup / ANN / multimodal / sampling
+    # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
+    # rotated out on its green CORRECTNESS_r03 row, code unchanged)
     "text_tokens", "text_langid", "text_quality", "text_fingerprint",
-    "cms_tokens", "dedup_exact", "dedup_minhash", "dedup_simhash",
+    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    # round-4: exact percentiles without per-group arrays
+    "percentile_cont_scalable",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
     "ann_ivf", "multimodal_bytes", "pipeline_e2e", "vocab_topn",
     # round-4 sampling/packing additions (sample_strata / sample_group_k

@@ -1259,6 +1259,52 @@ def percentile_cont(spark, sf_dir):
 
 
 @q(
+    "percentile_cont_scalable",
+    ORACLES["percentile_cont"],
+)
+def percentile_cont_scalable(spark, sf_dir):
+    """`percentile_cont` WITHOUT collect_list: the sorted-array variant
+    materializes each group's full value list in one aggregation buffer
+    (bounded group sizes only); this one ranks every row with the
+    quantile-bucket scheme (`grouped_row_number` — |groups|×|buckets|
+    parallel windows, no per-group array), keeps ONLY the two bracketing
+    order statistics per quantile, and interpolates with the identical
+    double formula v_lo + (h−⌊h⌋)·(v_hi−v_lo). The heavy pass is a
+    distributed ranking; the final aggregate sees ~4 rows per group —
+    exact percentiles at any group size. Same oracle as
+    `percentile_cont` (two plans, one semantics)."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    rn = R.grouped_row_number(o, ["o_orderpriority"], "o_totalprice", id_name="rn")
+    n_df = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    j = rn.join(F.broadcast(n_df), "o_orderpriority")
+
+    qs = {"p50": 0.5, "p90": 0.9}
+    sel = F.lit(False)
+    aggs = []
+    for name, q in qs.items():
+        h = F.lit(q) * (F.col("n") - 1).cast("double")
+        lo = F.floor(h).cast("long")
+        is_lo = F.col("rn") == lo + 1
+        is_hi = F.col("rn") == F.least(lo + 2, F.col("n"))
+        sel = sel | is_lo | is_hi
+        aggs.append(F.max(F.when(is_lo, F.col("o_totalprice"))).alias(f"__lo_{name}"))
+        aggs.append(F.max(F.when(is_hi, F.col("o_totalprice"))).alias(f"__hi_{name}"))
+    picked = j.filter(sel).groupBy(
+        F.col("o_orderpriority").alias("prio"), "n"
+    ).agg(*aggs)
+    cols = []
+    for name, q in qs.items():
+        h = F.lit(q) * (F.col("n") - 1).cast("double")
+        cols.append(
+            (
+                F.col(f"__lo_{name}")
+                + (h - F.floor(h)) * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}"))
+            ).alias(name)
+        )
+    return picked.select("prio", *cols, "n")
+
+
+@q(
     "window_frames",
     """
     SELECT o_orderkey,
