@@ -68,6 +68,10 @@ HEADLINE = [
     "grouped_rank_family_scalable", # full rank family over quantile buckets
     "text_langid",                  # stopword argmax, 10 languages
     "text_langid_trigram",          # trigram profiles via broadcast relation
+    "tpch_q18_shape",               # HAVING-filtered agg feeding joins + top-k
+    "agg_reuse",                    # one materialized agg, two consumers
+    "pack_sequences",               # scalable prefix sum → context packing
+    "decontaminate",                # 3-gram overlap vs broadcast benchmark set
 ]
 
 
