@@ -1061,7 +1061,7 @@ def sample_group_k(spark, sf_dir):
     train AS (
       SELECT doc_id, unnest(grams) AS g FROM sh WHERE doc_id % 97 <> 0
     )
-    SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_overlap
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
     FROM train t JOIN bench b ON t.g = b.g
     GROUP BY t.doc_id
     """,
@@ -1094,10 +1094,14 @@ def decontaminate(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 97 != 0).select(
         "doc_id", F.explode("grams").alias("g")
     )
+    # per-doc grams are ALREADY distinct (shingles() deduplicates) and
+    # the broadcast side is distinct, so each (doc, gram) joins at most
+    # once — plain COUNT(*) equals COUNT(DISTINCT g) and avoids the
+    # two-phase distinct aggregate's extra (doc_id, g) shuffle
     return (
         train.join(F.broadcast(bench), "g")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").cast("long").alias("n_overlap"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
 
 
