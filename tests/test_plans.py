@@ -104,6 +104,19 @@ def test_global_rownum_matches_window(spark):
     assert got == want
 
 
+def test_ngram_jaccard_bucket_in_join_key(spark):
+    """The length bucket must be part of the self-join's EQUI-key (probe
+    side vs bkt side) — as a residual filter it would prune output but
+    not join work, and the within-language cost would stay quadratic."""
+    import re
+
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"(?:Broadcast|Shuffled)HashJoin \[([^\]]*)\], \[([^\]]*)\]", p)
+    assert m, "no hash join planned"
+    assert "probe" in m.group(1) and "bkt" in m.group(2)
+
+
 def test_tpch_q18_shape_plan(spark):
     """Q18 shape: DECIMAL partial agg on lineitem, HAVING pre-join
     filter, top-20 via TakeOrderedAndProject (never a global sort)."""
