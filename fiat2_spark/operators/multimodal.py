@@ -175,3 +175,46 @@ def resize_grid(
     if n_partitions is not None:
         slim = slim.repartition(n_partitions)
     return slim.mapInPandas(rs, RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id bigint, frame_idx bigint, n_samples bigint, rms double"
+
+
+def frame_rms(
+    binary_df: DataFrame,
+    frame_size: int = 256,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Windowed RMS over 'audio' payloads: view each payload's bytes as
+    8-bit PCM samples, cut into non-overlapping ``frame_size``-sample
+    frames, and emit per-frame root-mean-square energy — the feature
+    shape of an audio VAD / loudness pass. Real audio decode is stubbed
+    (`decode_media`); the framing, int64-exact sum of squares, and the
+    single double division + sqrt are computed in the same operation
+    order as the SQL oracle, so the doubles match bit-for-bit. Output:
+    (doc_id, frame_idx, n_samples, rms)."""
+
+    def fr(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            ids, idxs, ns, rms = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                n_frames = -(-len(buf) // frame_size)
+                for f in range(n_frames):
+                    frame = buf[f * frame_size:(f + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(f)
+                    ns.append(len(frame))
+                    rms.append(math.sqrt(int((frame * frame).sum()) / len(frame)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_samples": ns, "rms": rms}
+            )
+
+    slim = binary_df.select("doc_id", "payload")
+    if n_partitions is not None:
+        slim = slim.repartition(n_partitions)
+    return slim.mapInPandas(fr, AUDIO_SCHEMA)

@@ -865,6 +865,31 @@ def multimodal_bytes(spark, sf_dir):
 
 
 @q(
+    "multimodal_audio_rms",
+    """
+    SELECT doc_id, f AS frame_idx,
+           CAST(length(substr(text, CAST(f*256+1 AS INTEGER), 256)) AS BIGINT) AS n_samples,
+           sqrt(CAST(COALESCE(list_sum(list_transform(
+                  generate_series(1, length(substr(text, CAST(f*256+1 AS INTEGER), 256))),
+                  i -> ascii(substr(substr(text, CAST(f*256+1 AS INTEGER), 256), i, 1))
+                       * ascii(substr(substr(text, CAST(f*256+1 AS INTEGER), 256), i, 1)))), 0) AS DOUBLE)
+                / length(substr(text, CAST(f*256+1 AS INTEGER), 256))) AS rms
+    FROM documents,
+         unnest(generate_series(0, CAST(ceil(length(text)/256.0) AS BIGINT) - 1)) AS g(f)
+    """,
+)
+def multimodal_audio_rms(spark, sf_dir):
+    """The audio member of the multimodal family: payload bytes as
+    8-bit PCM, per-256-sample-frame RMS energy via Arrow-batched
+    mapInPandas (`multimodal.frame_rms`) — the VAD/loudness feature
+    shape. The oracle recomputes the identical int64 sum of squares →
+    one double division → sqrt, so the doubles compare bit-for-bit."""
+    d = tbl(spark, sf_dir, "documents")
+    bin_tbl = M.to_binary_table(d, "doc_id", "text", "text")
+    return M.frame_rms(bin_tbl, n_partitions=D.cpu_partitions(d, rows_per_task=100))
+
+
+@q(
     "multimodal_frames",
     """
     SELECT doc_id, f AS frame_idx,
