@@ -318,3 +318,18 @@ def test_sample_strata_scan_side(spark):
     assert "Exchange" not in p
     read = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "lang" in read and "text" not in read
+
+
+def test_bucket_scheme_operators_handle_empty_input(spark):
+    """Empty inputs: approxQuantile returns no cuts, every offset table
+    is empty — all three bucket-scheme operators must return empty
+    results, not crash."""
+    from fiat2_spark.operators.relational import (
+        grouped_rank_family, grouped_row_number, grouped_running_sum,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([], "g string, v double, k long")
+    assert grouped_row_number(e, ["g"], "v", tiebreak=[F.col("k")]).count() == 0
+    assert grouped_rank_family(e, ["g"], "v", tiebreak=[F.col("k")]).count() == 0
+    assert grouped_running_sum(e, ["g"], "v", F.col("v")).count() == 0

@@ -244,3 +244,42 @@ def test_sessionize_matches_native_session_window(spark):
         .collect()
     }
     assert ours == native and len(ours) > 0
+
+
+def test_streaming_static_enrichment_matches_batch(spark):
+    """Stream-static join (dimension enrichment): a streaming fact side
+    joined to a static broadcast dim emits exactly the batch join's
+    rows — the enrichment shape every production pipeline runs."""
+    import os
+    import tempfile
+
+    dim = spark.createDataFrame(
+        [(i, f"u{i % 4}") for i in range(50)], "user_id long, cohort string"
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{SF_SMOKE}/events.parquet"
+    static = spark.read.parquet(src)
+    stage = tempfile.mkdtemp(prefix="fiat2_enrich_")
+    os.symlink(os.path.abspath(src), os.path.join(stage, "a.parquet"))
+
+    from fiat2_spark.streaming.stream_agg import stream_from_parquet
+
+    stream = stream_from_parquet(spark, stage, static.schema)
+    joined = stream.select("event_id", "user_id").join(F.broadcast(dim), "user_id")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enrich_smoke")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM enrich_smoke").collect()
+    finally:
+        q.stop()
+    got = {(r["event_id"], r["cohort"]) for r in rows}
+    want = {
+        (r["event_id"], r["cohort"])
+        for r in static.select("event_id", "user_id").join(dim, "user_id").collect()
+    }
+    assert got == want and len(want) > 0
