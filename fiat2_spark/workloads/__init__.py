@@ -29,8 +29,11 @@ MODULES = (pipeline, stream, server, dsl, graphs, core)
 PRIORITY = (
     # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
     # rotated out on its green CORRECTNESS_r03 row, code unchanged)
-    "text_tokens", "text_langid", "text_quality", "text_fingerprint",
+    "text_tokens", "text_langid", "text_quality",
     "dedup_exact", "dedup_minhash", "dedup_simhash",
+    # round-4: applyInPandas grouped UDAF (text_fingerprint rotated out
+    # on its green CORRECTNESS_r03 row, code unchanged)
+    "udaf_mad",
     # round-4: exact percentiles without per-group arrays
     "percentile_cont_scalable",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",

@@ -1070,6 +1070,55 @@ def sample_group_k(spark, sf_dir):
 
 
 @q(
+    "udaf_mad",
+    """
+    WITH m AS (
+      SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, m.med,
+           median(abs(CAST(d.n_chars AS DOUBLE) - m.med)) AS mad,
+           COUNT(*) AS n
+    FROM documents d JOIN m USING (lang)
+    GROUP BY d.lang, m.med
+    """,
+)
+def udaf_mad(spark, sf_dir):
+    """Custom grouped aggregate (the applyInPandas member of the §2.11
+    escape hatch, beside mapInPandas and applyInPandasWithState):
+    median absolute deviation of document length per language — a
+    rank-based statistic Spark has no built-in for. Each group arrives
+    as one Arrow-batched pandas frame; numpy's linear-interpolation
+    percentile IS DuckDB's quantile_cont/median formula (h = q·(n−1)),
+    so the doubles agree exactly. Caveat (documented, same as every
+    grouped-pandas op): one group = one task and the group's values
+    materialize in memory — use it for statistics a built-in can't
+    express, over groups that fit an executor; here |langs| groups of
+    |corpus|/|langs| int64s."""
+    import pandas as pd
+
+    d = tbl(spark, sf_dir, "documents").select("lang", "n_chars")
+
+    def mad(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vals = pdf["n_chars"].to_numpy(dtype="float64")
+        med = float(np.percentile(vals, 50))
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "med": [med],
+                "mad": [float(np.percentile(np.abs(vals - med), 50))],
+                "n": [len(vals)],
+            }
+        )
+
+    return d.groupBy("lang").applyInPandas(
+        mad, "lang string, med double, mad double, n long"
+    )
+
+
+@q(
     "decontaminate",
     f"""
     WITH toks AS ({_TOKS}),
