@@ -37,9 +37,10 @@ PRIORITY = (
     # round-4: exact percentiles without per-group arrays
     "percentile_cont_scalable",
     "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
-    # multimodal: the round-4 audio member enters; multimodal_bytes
-    # rotates out on its green CORRECTNESS_r03 row, code unchanged
-    "ann_ivf", "multimodal_audio_rms", "pipeline_e2e", "vocab_topn",
+    # multimodal: the round-4 audio member enters; multimodal_bytes and
+    # pipeline_e2e rotate out on green CORRECTNESS_r03 rows (code
+    # unchanged); the new end-to-end composition takes the flagship slot
+    "ann_ivf", "multimodal_audio_rms", "pipeline_training_set", "vocab_topn",
     # round-4 sampling/packing additions (sample_strata / sample_group_k
     # rotated out on their green CORRECTNESS_r03 rows, code unchanged)
     "sample_weighted", "pack_sequences",

@@ -1070,6 +1070,94 @@ def sample_group_k(spark, sf_dir):
 
 
 @q(
+    "pipeline_training_set",
+    f"""
+    WITH toks AS ({_TOKS}),
+    t AS (
+      SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+             md5(array_to_string(toks, ' ')) AS fp
+      FROM toks WHERE len(toks) >= 20
+    ),
+    keep AS (SELECT fp, MIN(doc_id) AS keeper FROM t GROUP BY fp),
+    dedup AS (SELECT t.* FROM t JOIN keep ON t.fp = keep.fp AND t.doc_id = keep.keeper),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> array_to_string(toks[i:i+2], ' '))) AS grams
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE doc_id % 97 = 0),
+    flagged AS (
+      SELECT DISTINCT tt.doc_id
+      FROM (SELECT doc_id, unnest(grams) AS g FROM sh) tt JOIN bench USING (g)
+    ),
+    clean AS (
+      SELECT * FROM dedup
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM clean
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def pipeline_training_set(spark, sf_dir):
+    """The whole training-set build in ONE composed plan — the flagship
+    of the pipeline family: length gate (≥ 20 tokens) → exact dedup
+    (md5 fingerprint, keep the minimum doc_id per group) → benchmark
+    decontamination (drop the held-out slice and every doc sharing a
+    3-gram with it) → sequence packing (per-lang 2048-token context
+    windows via the scalable prefix sum). Every stage is the
+    already-verified operator; this query checks their COMPOSITION
+    end-to-end against one SQL oracle. Scale shape: one scan feeds the
+    gate+fingerprint, the dedup keeper join shuffles fingerprints (not
+    text), decontamination broadcasts the benchmark grams, packing runs
+    the bucket-scheme prefix sum — no stage regresses to per-row or
+    single-task work."""
+    from fiat2_spark.operators import relational as R
+
+    d = tbl(spark, sf_dir, "documents")
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=100))
+    toks = TX.tokens(F.col("text"))
+    base = d.select(
+        "doc_id", "lang",
+        TX.token_count(toks).cast("long").alias("n_tok"),
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+        D.shingles(toks, 3).alias("grams"),
+    )
+    t = base.filter(F.col("n_tok") >= 20)
+    keep = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    dedup = t.join(
+        keep, (t.fp == keep.fp) & (t.doc_id == keep.keeper)
+    ).select(t.doc_id, t.lang, t.n_tok)
+    bench = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    flagged = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.filter(F.col("doc_id") % 97 != 0).join(
+        flagged, "doc_id", "left_anti"
+    )
+    packed = R.grouped_running_sum(clean, ["lang"], "doc_id", F.col("n_tok"), out_name="cum")
+    return packed.select(
+        "doc_id", "lang", "n_tok",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048.0)).cast("long").alias("pack_id"),
+    )
+
+
+@q(
     "udaf_mad",
     """
     WITH m AS (
