@@ -294,6 +294,101 @@ def trigram_scores_table(df, text_col: str, keys: list[str]):
     )
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (empty array when the
+    document has fewer than ``n`` tokens). Pure expression — stays in
+    whole-stage codegen."""
+    if n == 1:
+        return toks
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(df, toks_col: str, id_col: str):
+    """Gopher-style repetition/diversity signals per document (Rae et
+    al. 2021, "Scaling Language Models", App. A quality filters —
+    adapted to single-line documents: token-level, not line-level):
+
+    * ``ttr`` — type-token ratio (distinct/total tokens),
+    * ``top_bigram_frac`` — occurrences of the most frequent bigram
+      over all bigram occurrences,
+    * ``dup_trigram_frac`` — fraction of trigram occurrences whose
+      trigram appears more than once,
+    * ``unigram_entropy`` — Shannon entropy of the unigram
+      distribution, via H = ln N − (Σ c·ln c)/N.
+
+    Plan: ONE tagged explode (n ∈ {1,2,3} unioned in-row before the
+    generator) → two-level partial aggregation keyed by (doc, n, gram)
+    then (doc, n) → conditional-aggregation pivot back to one row per
+    document. Two shuffles total, both keyed by document — n-gram
+    counting never materializes a per-document map in one row, so a
+    pathological 10M-token document costs O(tokens) across its
+    partition, not O(tokens²) in a higher-order-function scan. At 100
+    TB this is the same embarrassingly-parallel explode→partial-agg
+    shape as ``trigram_scores_table``; map-side combine collapses each
+    document's grams before the exchange. All-double outputs rounded to
+    6dp on both engines for the str-render gate."""
+    toks = F.col(toks_col)
+
+    def _tag(n):
+        # NB: a 2-arg transform lambda would make the 2nd arg the element
+        # INDEX — close over the gram size with a factory instead.
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.concat(
+        *[F.transform(word_ngrams(toks, n), _tag(n)) for n in (1, 2, 3)]
+    )
+    ttr = df.select(
+        id_col,
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+            6,
+        ).alias("ttr"),
+    )
+    grams = df.select(id_col, F.explode(tagged).alias("ng")).select(
+        id_col, F.col("ng.n").alias("n"), F.col("ng.g").alias("g")
+    )
+    cnt = grams.groupBy(id_col, "n", "g").count()
+    per = cnt.groupBy(id_col, "n").agg(
+        (F.max("count").cast("double") / F.sum("count")).alias("top_frac"),
+        (
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("count")
+        ).alias("dup_frac"),
+        (
+            F.log(F.sum("count").cast("double"))
+            - F.sum(F.col("count").cast("double") * F.log(F.col("count").cast("double")))
+            / F.sum("count")
+        ).alias("ent"),
+    )
+    pivoted = per.groupBy(id_col).agg(
+        F.round(
+            F.coalesce(F.max(F.when(F.col("n") == 2, F.col("top_frac"))), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.max(F.when(F.col("n") == 3, F.col("dup_frac"))), F.lit(0.0)), 6
+        ).alias("dup_trigram_frac"),
+        F.round(
+            F.coalesce(F.max(F.when(F.col("n") == 1, F.col("ent"))), F.lit(0.0)), 6
+        ).alias("unigram_entropy"),
+    )
+    return ttr.join(pivoted, id_col, "left").select(
+        id_col,
+        "ttr",
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        F.coalesce("dup_trigram_frac", F.lit(0.0)).alias("dup_trigram_frac"),
+        F.coalesce("unigram_entropy", F.lit(0.0)).alias("unigram_entropy"),
+    )
+
+
 def punct_ratio(text: Column) -> Column:
     """Non-alphanumeric, non-space character ratio."""
     total = F.greatest(F.length(text), F.lit(1))

@@ -89,7 +89,11 @@ PRIORITY = (
     # (nested_collections rotates out on its green r03 row, untouched;
     # dict_fold / groupby_agg / coq_div_mod / fold_right_concat /
     # sql_entrypoint keep their r02 rows on unchanged code)
-    "window_rownum", "partition_pruned_lookup", "bucketed_join",
+    "window_rownum", "partition_pruned_lookup",
+    # round-4 late addition: Gopher-style repetition quality signals
+    # (bucketed_join rotates out on its green CORRECTNESS_r03 row —
+    # untouched since; the r4 insertions land above its region)
+    "text_repetition",
     # round-4 rotation: the three queries registered late in round 3
     # with no driver row yet (ADVICE r3) — first driver check this round
     "group_concat", "salted_join", "unpivot_long",

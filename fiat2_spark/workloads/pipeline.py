@@ -244,6 +244,54 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
+@q(
+    "text_repetition",
+    f"""
+    WITH toks AS ({_TOKS}),
+    grams AS (
+      SELECT doc_id, 1 AS n, unnest(toks) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM toks WHERE len(toks) >= 2
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                                   i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM toks WHERE len(toks) >= 3
+    ),
+    cnt AS (SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, n,
+             CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_frac,
+             CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac,
+             ln(CAST(SUM(c) AS DOUBLE)) - SUM(c * ln(CAST(c AS DOUBLE))) / SUM(c) AS ent
+      FROM cnt GROUP BY 1, 2
+    )
+    SELECT t.doc_id,
+           round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / greatest(len(toks), 1), 6) AS ttr,
+           round(COALESCE(MAX(CASE WHEN n = 2 THEN top_frac END), 0.0), 6) AS top_bigram_frac,
+           round(COALESCE(MAX(CASE WHEN n = 3 THEN dup_frac END), 0.0), 6) AS dup_trigram_frac,
+           round(COALESCE(MAX(CASE WHEN n = 1 THEN ent END), 0.0), 6) AS unigram_entropy
+    FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
+    GROUP BY t.doc_id, t.toks
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition/diversity quality signals (type-token
+    ratio, top-bigram fraction, duplicate-trigram fraction, unigram
+    entropy) — the repetition half of the quality-filter rulebook that
+    `text_quality`'s length/punct composite doesn't cover. One tagged
+    explode, two doc-keyed shuffles; see
+    `operators/text.py:repetition_stats` for the scale analysis."""
+    d = tbl(spark, sf_dir, "documents")
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=100))
+    base = d.select("doc_id", TX.tokens(F.col("text")).alias("toks"))
+    return TX.repetition_stats(base, "toks", "doc_id")
+
+
 _CMS_TOKENS = "'join', 'scan', 'window', 'zzz_absent'"
 
 
