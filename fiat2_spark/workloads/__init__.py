@@ -30,7 +30,10 @@ PRIORITY = (
     # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
     # rotated out on its green CORRECTNESS_r03 row, code unchanged)
     "text_tokens", "text_langid", "text_quality",
-    "dedup_exact", "dedup_minhash", "dedup_simhash",
+    # dedup_minhash rotates out on its green CORRECTNESS_r03 row (query
+    # block and operators/dedup.py:126-216 byte-identical since);
+    # sample_mixture (domain-mixture rebalancing) takes the slot
+    "dedup_exact", "sample_mixture", "dedup_simhash",
     # round-4: applyInPandas grouped UDAF (text_fingerprint rotated out
     # on its green CORRECTNESS_r03 row, code unchanged)
     "udaf_mad",
@@ -74,7 +77,10 @@ PRIORITY = (
     # round-3 pipeline additions (dup clustering, edit-distance dedup)
     # + round-4 star-contraction clustering (window_frames /
     # percentile_cont rotated out on their green CORRECTNESS_r03 rows)
-    "dedup_clusters", "dedup_clusters_star", "dedup_editdist",
+    # dedup_editdist rotates out on its green CORRECTNESS_r03 row
+    # (byte-identical since); the incremental batch-vs-corpus dedup
+    # takes the slot
+    "dedup_clusters", "dedup_clusters_star", "dedup_incremental_batch",
     # round-4: scalable per-group ranking — row numbers and the full
     # rank family (percentile_cont / tpch_q3_shape rotated out on their
     # green CORRECTNESS_r03 rows)

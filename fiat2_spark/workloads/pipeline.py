@@ -1401,6 +1401,84 @@ def pack_sequences(spark, sf_dir):
 
 
 @q(
+    "sample_mixture",
+    """
+    WITH n AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+         t AS (SELECT COUNT(*) AS n, COUNT(DISTINCT source) AS s FROM documents)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN n USING (source) CROSS JOIN t
+    WHERE CAST(('0x' || substr(md5('mix#' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0
+          < round(least(1.0, 0.4 * t.n / (t.s * n.n_s)), 12)
+    """,
+)
+def sample_mixture(spark, sf_dir):
+    """Domain-mixture rebalancing — sample each source stratum at a rate
+    that equalizes source shares while keeping 40% of the corpus
+    overall: frac_s = min(1, 0.4·N/(S·n_s)). Over-represented sources
+    are downsampled toward the uniform mixture, the static-mixture step
+    of an LLM data recipe (DoReMi-style reweighting with fixed
+    targets). Deterministic: the keep decision compares 52 salted md5
+    bits against the per-source fraction (rounded to 12dp so both
+    engines embed the identical double). Plan: one tiny per-source
+    count agg broadcast back onto the scan → the big table is filtered
+    map-side, no corpus-sized shuffle at any scale."""
+    d = tbl(spark, sf_dir, "documents")
+    n = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("s"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("mix#"), F.col("doc_id").cast("string"))), 1, 13),
+        16, 10,
+    ).cast("long") / F.lit(float(1 << 52))
+    frac = F.round(
+        F.least(F.lit(1.0), F.lit(0.4) * F.col("n") / (F.col("s") * F.col("n_s"))), 12
+    )
+    return (
+        d.join(F.broadcast(n), "source")
+        .crossJoin(F.broadcast(t))
+        .filter(u < frac)
+        .select("doc_id", "source")
+    )
+
+
+@q(
+    "dedup_incremental_batch",
+    f"""
+    WITH toks AS ({_TOKS}),
+    fp AS (SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM toks),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 250),
+    batch AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp WHERE doc_id >= 250 GROUP BY fp)
+    SELECT b.doc_id, b.fp
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    WHERE c.fp IS NULL
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental corpus growth: dedup a NEW batch of documents against
+    an already-ingested corpus — the steady-state shape of a production
+    pipeline (the corpus is never re-deduped; only the delta is). The
+    batch first collapses internally (min doc_id per fingerprint, one
+    partial-agg shuffle over batch-sized data), then a left-anti join
+    drops fingerprints the corpus already holds. At 100 TB the anti
+    join shuffles batch+corpus fingerprints (32-byte keys, not
+    documents); the upgrade knob is a bloom filter on corpus
+    fingerprints pushed to the batch scan. Here corpus = doc_id < 250,
+    batch = the rest, over the same fingerprint as `dedup_exact`."""
+    d = tbl(spark, sf_dir, "documents")
+    fp = d.select("doc_id", TX.fingerprint_md5(F.col("text")).alias("fp"))
+    corpus = fp.filter(F.col("doc_id") < 250).select("fp").distinct()
+    batch = (
+        fp.filter(F.col("doc_id") >= 250)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(corpus, "fp", "left_anti").select("doc_id", "fp")
+
+
+@q(
     "vocab_topn",
     f"""
     WITH toks AS ({_TOKS})
