@@ -72,6 +72,9 @@ HEADLINE = [
     "agg_reuse",                    # one materialized agg, two consumers
     "pack_sequences",               # scalable prefix sum → context packing
     "decontaminate",                # 3-gram overlap vs broadcast benchmark set
+    "text_repetition",              # Gopher repetition signals, tagged n-gram explode
+    "sample_mixture",               # domain rebalancing, broadcast count agg
+    "dedup_incremental_batch",      # batch-vs-corpus anti-join delta dedup
 ]
 
 

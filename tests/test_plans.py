@@ -333,3 +333,55 @@ def test_bucket_scheme_operators_handle_empty_input(spark):
     assert grouped_row_number(e, ["g"], "v", tiebreak=[F.col("k")]).count() == 0
     assert grouped_rank_family(e, ["g"], "v", tiebreak=[F.col("k")]).count() == 0
     assert grouped_running_sum(e, ["g"], "v", F.col("v")).count() == 0
+
+
+def test_sample_mixture_broadcasts_counts(spark):
+    """Domain-mixture rebalancing must decide keep/drop map-side: both
+    the per-source count relation and the corpus totals join as
+    broadcasts, and the big documents scan never shuffles (its only
+    Exchanges are inside the tiny count aggregations)."""
+    p = plan_of(QUERIES["sample_mixture"](spark, SF_SMOKE))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_dedup_incremental_batch_anti_join(spark):
+    """Delta dedup = LeftAnti against the corpus fingerprint set; the
+    join must be a hash join on the 32-byte fingerprint, never a
+    nested loop, and the batch side partial-aggregates before the
+    exchange (min doc_id per fingerprint map-side)."""
+    p = plan_of(QUERIES["dedup_incremental_batch"](spark, SF_SMOKE))
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_min" in p
+
+
+def test_text_repetition_partial_aggregates(spark):
+    """The tagged n-gram counting must collapse each document's grams
+    map-side (partial + final HashAggregate pairs) so the exchange
+    carries (doc, n, gram) counts, not the exploded gram stream."""
+    p = plan_of(QUERIES["text_repetition"](spark, SF_SMOKE))
+    assert p.count("HashAggregate") >= 4
+    assert "partial_count" in p
+
+
+def test_repetition_stats_empty_and_tiny_docs(spark):
+    """Documents with zero, one, or two tokens exercise every empty-
+    n-gram branch: no bigrams/trigrams → fractions coalesce to 0.0,
+    single-token docs get entropy 0 and TTR 1."""
+    from fiat2_spark.operators.text import repetition_stats, tokens
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(0, ""), (1, "word"), (2, "a b"), (3, "x x x x")],
+        "doc_id long, text string",
+    )
+    base = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    rows = {r["doc_id"]: r for r in repetition_stats(base, "toks", "doc_id").collect()}
+    assert rows[0]["ttr"] == 0.0 and rows[0]["unigram_entropy"] == 0.0
+    assert rows[1]["ttr"] == 1.0 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == 1.0 and rows[2]["dup_trigram_frac"] == 0.0
+    # 'x x x x': one distinct unigram -> entropy 0; bigram 'x x' x3 -> top frac 1;
+    # trigram 'x x x' twice -> dup fraction 1
+    assert rows[3]["unigram_entropy"] == 0.0
+    assert rows[3]["top_bigram_frac"] == 1.0 and rows[3]["dup_trigram_frac"] == 1.0
