@@ -29,7 +29,10 @@ MODULES = (pipeline, stream, server, dsl, graphs, core)
 PRIORITY = (
     # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
     # rotated out on its green CORRECTNESS_r03 row, code unchanged)
-    "text_tokens", "text_langid", "text_quality",
+    # text_quality rotates out on its green CORRECTNESS_r03 row (query
+    # block and every text.py helper it uses byte-identical since);
+    # profile_columns (ANALYZE-style stats collection) takes the slot
+    "text_tokens", "text_langid", "profile_columns",
     # dedup_minhash rotates out on its green CORRECTNESS_r03 row (query
     # block and operators/dedup.py:126-216 byte-identical since);
     # sample_mixture (domain-mixture rebalancing) takes the slot

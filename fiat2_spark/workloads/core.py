@@ -1100,6 +1100,66 @@ def distinct_agg(spark, sf_dir):
     )
 
 
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _profile_oracle() -> str:
+    stats = ", ".join(
+        f"COUNT({c}) AS n_{c}, COUNT(DISTINCT {c}) AS d_{c}, "
+        f"MIN({c}) AS mn_{c}, MAX({c}) AS mx_{c}, "
+        f"round({sql_dsum(c)} / COUNT({c}), 6) AS avg_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS col_name, n_{c} AS n_nonnull, d_{c} AS n_distinct, "
+        f"mn_{c} AS min_v, mx_{c} AS max_v, avg_{c} AS mean_v FROM w"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH w AS (SELECT {stats} FROM lineitem)\n{rows}"
+
+
+@q("profile_columns", _profile_oracle())
+def profile_columns(spark, sf_dir):
+    """Column profiling (ANALYZE-style statistics collection, engine
+    surface): one scan computes non-null count, exact distinct count,
+    min/max, and exact DECIMAL-summed mean for every profiled measure
+    column, then a driver-free unpivot (explode over an array of
+    structs on the single agg row) renders the long stats table. The
+    multi-distinct agg plans through Catalyst's Expand (one scan
+    multiplied by |cols|, partial-aggregated map-side) — the standard
+    exact-profiling trade; swap countDistinct for approx_count_distinct
+    when ±2% suffices at 100 TB. Mean runs in DECIMAL(18,2) then casts,
+    so Spark/DuckDB summation order cannot break bit-equality."""
+    l = tbl(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"d_{c}"),
+            F.min(F.col(c)).alias(f"mn_{c}"),
+            F.max(F.col(c)).alias(f"mx_{c}"),
+            F.round(dsum(F.col(c)) / F.count(F.col(c)), 6).alias(f"avg_{c}"),
+        ]
+    wide = l.agg(*aggs)
+    return wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"n_{c}").alias("n_nonnull"),
+                        F.col(f"d_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_v"),
+                        F.col(f"mx_{c}").alias("max_v"),
+                        F.col(f"avg_{c}").alias("mean_v"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
 @q(
     "set_ops",
     """
