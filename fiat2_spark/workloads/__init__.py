@@ -29,14 +29,15 @@ MODULES = (pipeline, stream, server, dsl, graphs, core)
 PRIORITY = (
     # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
     # rotated out on its green CORRECTNESS_r03 row, code unchanged)
-    # text_quality rotates out on its green CORRECTNESS_r03 row (query
-    # block and every text.py helper it uses byte-identical since);
-    # profile_columns (ANALYZE-style stats collection) takes the slot
-    "text_tokens", "text_langid", "profile_columns",
-    # dedup_minhash rotates out on its green CORRECTNESS_r03 row (query
-    # block and operators/dedup.py:126-216 byte-identical since);
-    # sample_mixture (domain-mixture rebalancing) takes the slot
-    "dedup_exact", "sample_mixture", "dedup_simhash",
+    # text_tokens/text_quality rotate out on green CORRECTNESS_r03 rows
+    # (query blocks and every text.py helper they use byte-identical
+    # since); profile_columns (ANALYZE-style stats collection) and
+    # scalar_subquery (decorrelation evidence) take the slots
+    "scalar_subquery", "text_langid", "profile_columns",
+    # dedup_exact/dedup_minhash rotate out on green CORRECTNESS_r03
+    # rows (query blocks and their dedup.py operators byte-identical
+    # since); full_outer_join and sample_mixture take the slots
+    "full_outer_join", "sample_mixture", "dedup_simhash",
     # round-4: applyInPandas grouped UDAF (text_fingerprint rotated out
     # on its green CORRECTNESS_r03 row, code unchanged)
     "udaf_mad",

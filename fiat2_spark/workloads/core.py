@@ -1206,6 +1206,52 @@ def outer_join(spark, sf_dir):
     )
 
 
+_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           (SELECT MAX(l_extendedprice) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS max_line_price
+    FROM orders o
+    WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@q("scalar_subquery", _SCALAR_SUBQ_SQL)
+def scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery through the SQL surface — SURVEY §4.2's
+    decorrelation row made observable: Catalyst rewrites the per-row
+    MAX subquery into a left outer aggregate join
+    (RewriteCorrelatedScalarSubquery), so execution is one grouped agg
+    plus one join, never a per-row rescan of lineitem. The SQL string
+    IS the oracle; `test_plans.py` asserts the decorrelated plan."""
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+@q(
+    "full_outer_join",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+    FROM (SELECT * FROM nation WHERE n_nationkey < 15) n
+    FULL OUTER JOIN (SELECT * FROM region) r
+      ON n.n_regionkey = r.r_regionkey AND n.n_nationkey >= 5
+    """,
+)
+def full_outer_join(spark, sf_dir):
+    """Full outer join with a non-trivial ON clause (engine surface —
+    the reference has no outer joins): null extension on BOTH sides,
+    including nations whose region match is suppressed by the
+    residual n_nationkey >= 5 conjunct."""
+    n = tbl(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)
+    r = tbl(spark, sf_dir, "region")
+    cond = (F.col("n_regionkey") == F.col("r_regionkey")) & (
+        F.col("n_nationkey") >= 5
+    )
+    return n.join(r, cond, "full").select(
+        "n_nationkey", "n_name", "r_regionkey", "r_name"
+    )
+
+
 @q(
     "topk_per_group",
     """

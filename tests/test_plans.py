@@ -385,3 +385,13 @@ def test_repetition_stats_empty_and_tiny_docs(spark):
     # trigram 'x x x' twice -> dup fraction 1
     assert rows[3]["unigram_entropy"] == 0.0
     assert rows[3]["top_bigram_frac"] == 1.0 and rows[3]["dup_trigram_frac"] == 1.0
+
+
+def test_scalar_subquery_decorrelates(spark):
+    """The correlated MAX subquery must plan as aggregate + outer join
+    (RewriteCorrelatedScalarSubquery), never a per-row lineitem rescan:
+    no nested-loop operator, exactly one join, partial/final max pair."""
+    p = plan_of(QUERIES["scalar_subquery"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "partial_max" in p
+    assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
