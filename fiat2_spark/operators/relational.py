@@ -547,6 +547,66 @@ def grouped_running_sum(
     ).drop("__bucket", "__v", "__off")
 
 
+def grouped_listagg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    value_col: Column,
+    sep: str = ",",
+    out_name: str = "listagg",
+    n_name: str = "n",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Ordered LISTAGG per group without any window at all — the
+    string-concat member of the quantile-bucket family, for
+    **low-cardinality groups** where `collect_list` over a 5-partition
+    shuffle would serialize on 5 tasks:
+
+    1. range-bucket rows on the order value (`_value_buckets`; pure
+       function of the value, so equal order keys share a bucket);
+    2. per (group, bucket): sort-and-join that bucket's values — the
+       collect_list materializes ONE BUCKET, not the whole group, and
+       the |groups|×|buckets| tasks run in parallel;
+    3. per group: join the bucket strings in bucket order (an
+       n_buckets-element list — tiny).
+
+    String concatenation is associative, so the bucket split is exact:
+    the result equals ``string_agg(value ORDER BY order_col, value)``.
+    Also emits the per-group row count ``n_name`` (summed from the
+    per-bucket partials). Per-group output strings still materialize
+    on one row — LISTAGG's inherent contract — but no single task ever
+    holds more than a bucket's rows as a list."""
+    bucketed = _value_buckets(df, order_col, False, n_buckets)
+    per_bucket = bucketed.groupBy(*group_cols, "__bucket").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col(order_col).alias("o"), value_col.alias("v"))
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            sep,
+        ).alias("__s"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    return per_bucket.groupBy(*group_cols).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__bucket").alias("b"), F.col("__s").alias("s"))
+                    )
+                ),
+                lambda x: x["s"],
+            ),
+            sep,
+        ).alias(out_name),
+        F.sum("__cnt").alias(n_name),
+    )
+
+
 # -- limit / top-k (absent in reference; engine surface) -------------------
 
 def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:

@@ -458,6 +458,34 @@ def group_concat(spark, sf_dir):
 
 
 @q(
+    "group_concat_scalable",
+    """
+    SELECT o_orderpriority,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys_concat,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def group_concat_scalable(spark, sf_dir):
+    """Ordered LISTAGG over LOW-cardinality groups (5 order priorities)
+    through `relational.grouped_listagg` — the quantile-bucket scheme:
+    per-(group, bucket) sorted concats in |groups|×|buckets| parallel
+    tasks, bucket strings joined in bucket order, NO window and no
+    5-task collect_list shuffle. Same oracle family as `group_concat`;
+    this is the usable scalable alternative the plain form's docstring
+    promises (closes the r3 low-cardinality-window weak flag)."""
+    o = tbl(spark, sf_dir, "orders")
+    return R.grouped_listagg(
+        o,
+        ["o_orderpriority"],
+        "o_orderkey",
+        F.col("o_orderkey").cast("string"),
+        out_name="keys_concat",
+    ).select("o_orderpriority", "keys_concat", F.col("n").cast("long").alias("n"))
+
+
+@q(
     "unpivot_long",
     """
     SELECT l_orderkey, l_linenumber, metric, value FROM (

@@ -395,3 +395,45 @@ def test_scalar_subquery_decorrelates(spark):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
     assert "partial_max" in p
     assert ("SortMergeJoin" in p) or ("BroadcastHashJoin" in p) or ("ShuffledHashJoin" in p)
+
+
+def test_grouped_listagg_no_window(spark):
+    """The scalable LISTAGG must contain NO window operator at all —
+    ordered concat is realized as two levels of (partial+final)
+    aggregation over (group, bucket) then (group)."""
+    p = plan_of(QUERIES["group_concat_scalable"](spark, SF_SMOKE))
+    assert "Window" not in p
+    assert p.count("ObjectHashAggregate") + p.count("SortAggregate") >= 2
+
+
+def test_grouped_listagg_matches_plain(spark):
+    """Bucket-split concat must agree with the single collect_list
+    form on every group (associativity check under real data)."""
+    from fiat2_spark.operators.relational import grouped_listagg
+    from pyspark.sql import functions as F
+    from fiat2_spark.workloads.util import tbl
+
+    o = tbl(spark, SF_SMOKE, "orders")
+    fast = grouped_listagg(
+        o, ["o_orderpriority"], "o_orderkey",
+        F.col("o_orderkey").cast("string"), out_name="s",
+    )
+    plain = o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("o_orderkey").alias("o"),
+                                                     F.col("o_orderkey").cast("string").alias("v")))),
+                lambda x: x["v"]), ",").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = {r["o_orderpriority"]: (r["s"], r["n"]) for r in fast.collect()}
+    b = {r["o_orderpriority"]: (r["s"], r["n"]) for r in plain.collect()}
+    assert a == b
+
+
+def test_grouped_listagg_empty_input(spark):
+    from fiat2_spark.operators.relational import grouped_listagg
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame([], "g string, k long")
+    assert grouped_listagg(e, ["g"], "k", F.col("k").cast("string")).count() == 0
