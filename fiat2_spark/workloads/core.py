@@ -458,6 +458,58 @@ def group_concat(spark, sf_dir):
 
 
 @q(
+    "upsert_keyed",
+    """
+    WITH upd AS (
+      SELECT c_custkey, 'upd-' || c_name AS c_name,
+             round(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      UNION ALL
+      SELECT c_custkey + 10000000, 'new-' || c_name, 0.0
+      FROM customer WHERE c_custkey <= 5
+    )
+    SELECT COALESCE(u.c_custkey, b.c_custkey) AS c_custkey,
+           COALESCE(u.c_name, b.c_name) AS c_name,
+           COALESCE(u.c_acctbal, b.c_acctbal) AS c_acctbal
+    FROM customer b FULL OUTER JOIN upd u ON b.c_custkey = u.c_custkey
+    """,
+)
+def upsert_keyed(spark, sf_dir):
+    """Keyed table upsert (MERGE): the table-scale analog of the
+    reference's dict upsert `OInsert d k v` (Language.v:110,
+    Interpret.v:204-210 — insert-or-replace under the key order) —
+    updates override matching keys, unmatched updates insert, unmatched
+    base rows persist. Realized as one full outer join on the key with
+    per-column COALESCE; at scale both sides shuffle once on the key
+    (or the delta broadcasts when small), which is exactly the
+    copy-on-write MERGE a lakehouse table format executes."""
+    b = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    c = tbl(spark, sf_dir, "customer")
+    upd = (
+        c.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(
+            "c_custkey",
+            F.concat(F.lit("upd-"), F.col("c_name")).alias("c_name"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("c_acctbal"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") <= 5).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(F.lit("new-"), F.col("c_name")).alias("c_name"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+    )
+    bb, uu = b.alias("b"), upd.alias("u")
+    j = bb.join(uu, F.col("b.c_custkey") == F.col("u.c_custkey"), "full")
+    return j.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+    )
+
+
+@q(
     "group_concat_scalable",
     """
     SELECT o_orderpriority,
