@@ -313,7 +313,10 @@ def global_row_number(
     from pyspark.sql import Window as W
 
     b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
+    probs = [i / b for i in range(1, b)]
+    # b == 1 -> no cut points; Spark's approxQuantile NPEs on an empty
+    # probability list, so skip the call (single-bucket degenerate case)
+    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
     if cuts:
         cut_arr = F.array(*[F.lit(c) for c in cuts])
         bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
@@ -346,7 +349,10 @@ def _value_buckets(
     bucket, so value-deterministic rank computations can never be
     split by a cut."""
     b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
-    cuts = sorted(set(df.approxQuantile(order_col, [i / b for i in range(1, b)], 0.001)))
+    probs = [i / b for i in range(1, b)]
+    # b == 1 -> no cut points; Spark's approxQuantile NPEs on an empty
+    # probability list, so skip the call (single-bucket degenerate case)
+    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
     if cuts:
         cut_arr = F.array(*[F.lit(c) for c in cuts])
         if descending:

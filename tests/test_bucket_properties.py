@@ -1,0 +1,76 @@
+"""Property-based agreement tests for the quantile-bucket family
+(`grouped_row_number` / `grouped_listagg`) against plain-window models:
+hypothesis drives adversarial order-value distributions — heavy
+duplicates (every value equal), skew, negative values, single groups,
+bucket counts from 1 to 8 — the shapes where a cut point landing inside
+a tie group would corrupt ranks if bucketing were not a pure function
+of the value."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators.relational import grouped_listagg, grouped_row_number
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (group, order-value) rows: few groups, heavily colliding values
+_ROWS = st.lists(
+    st.tuples(st.sampled_from(["g0", "g1", "g2"]), st.integers(-3, 3)),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], "g string, v long, uid long"
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, n_buckets=st.integers(1, 8))
+def test_grouped_row_number_matches_plain_window(spark, rows, n_buckets):
+    from pyspark.sql import Window as W
+
+    df = _df(spark, rows)
+    fast = grouped_row_number(
+        df, ["g"], "v", tiebreak=[F.col("uid")], n_buckets=n_buckets
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("uid").asc())
+    plain = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    a = {(r["g"], r["uid"]): r["rn"] for r in fast.collect()}
+    b = {(r["g"], r["uid"]): r["rn"] for r in plain.collect()}
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, n_buckets=st.integers(1, 8))
+def test_grouped_listagg_matches_plain_concat(spark, rows, n_buckets):
+    df = _df(spark, rows)
+    fast = grouped_listagg(
+        df, ["g"], "v", F.col("v").cast("string"), n_buckets=n_buckets
+    )
+    plain = df.groupBy("g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("v").alias("o"), F.col("v").cast("string").alias("v"))
+                    )
+                ),
+                lambda x: x["v"],
+            ),
+            ",",
+        ).alias("listagg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = {r["g"]: (r["listagg"], r["n"]) for r in fast.collect()}
+    b = {r["g"]: (r["listagg"], r["n"]) for r in plain.collect()}
+    assert a == b
