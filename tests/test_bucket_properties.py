@@ -74,3 +74,26 @@ def test_grouped_listagg_matches_plain_concat(spark, rows, n_buckets):
     a = {r["g"]: (r["listagg"], r["n"]) for r in fast.collect()}
     b = {r["g"]: (r["listagg"], r["n"]) for r in plain.collect()}
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, n_buckets=st.integers(1, 8))
+def test_grouped_running_sum_matches_plain_window_prop(spark, rows, n_buckets):
+    from pyspark.sql import Window as W
+
+    from fiat2_spark.operators.relational import grouped_running_sum
+
+    df = _df(spark, rows)
+    fast = grouped_running_sum(
+        df, ["g"], "v", F.col("v").cast("long"),
+        tiebreak=[F.col("uid")], n_buckets=n_buckets,
+    )
+    w = (
+        W.partitionBy("g")
+        .orderBy(F.col("v").asc(), F.col("uid").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    plain = df.withColumn("cum", F.sum(F.col("v").cast("long")).over(w))
+    a = {(r["g"], r["uid"]): r["cum"] for r in fast.collect()}
+    b = {(r["g"], r["uid"]): r["cum"] for r in plain.collect()}
+    assert a == b

@@ -1,0 +1,79 @@
+"""Property-based agreement tests for the time-join operators against
+naive quadratic models: hypothesis drives timestamps onto exact bin and
+window boundaries — the off-by-one shapes (right_ts == left_ts,
+right_ts == left_ts - window, bin-edge landings) where the binned
+equi-join rewrite or the union+window as-of trick would silently drop
+or duplicate matches if the covering-bucket math were wrong."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators.relational import asof_join, range_join_binned
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_BASE = datetime.datetime(2024, 1, 1)
+
+# offsets in seconds; multiples of 30 land exactly on bin edges for
+# window_seconds=60, and duplicates collide on both key and time
+_OFFS = st.lists(
+    st.tuples(st.sampled_from(["k0", "k1"]), st.integers(0, 8).map(lambda x: x * 30)),
+    min_size=1,
+    max_size=10,
+)
+
+
+def _ts(off):
+    return _BASE + datetime.timedelta(seconds=off)
+
+
+@settings(**_SETTINGS)
+@given(lefts=_OFFS, rights=_OFFS)
+def test_range_join_binned_matches_naive(spark, lefts, rights):
+    W = 60
+    l = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(lefts)], "k string, lt timestamp, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(rights)], "k string, rt timestamp, rid long"
+    )
+    fast = range_join_binned(l, r, ["k"], "lt", "rt", W)
+    naive = l.join(r.withColumnRenamed("k", "k2"),
+                   (F.col("k") == F.col("k2"))
+                   & (F.col("rt") <= F.col("lt"))
+                   & (F.col("rt") >= F.col("lt") - F.expr(f"INTERVAL {W} SECONDS")))
+    a = sorted((row["lid"], row["rid"]) for row in fast.collect())
+    b = sorted((row["lid"], row["rid"]) for row in naive.collect())
+    assert a == b
+
+
+@settings(**_SETTINGS)
+@given(lefts=_OFFS, rights=_OFFS)
+def test_asof_join_matches_naive(spark, lefts, rights):
+    # right side must be unique per (key, ts): dedup keeping max rid
+    rd = {}
+    for i, (k, o) in enumerate(rights):
+        rd[(k, o)] = i
+    l = spark.createDataFrame(
+        [(k, _ts(o), i) for i, (k, o) in enumerate(lefts)], "k string, ts timestamp, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, _ts(o), i) for (k, o), i in rd.items()], "k string, ts timestamp, rid long"
+    )
+    fast = {row["lid"]: row["rid"] for row in asof_join(l, r, ["k"], "ts", ["rid"]).collect()}
+    # naive model: greatest right ts <= left ts per key; ties on ts keep
+    # that (k, ts)'s single right row
+    naive = {}
+    for i, (k, o) in enumerate(lefts):
+        cands = [(o2, rid) for (k2, o2), rid in rd.items() if k2 == k and o2 <= o]
+        naive[i] = max(cands)[1] if cands else None
+    assert fast == naive
