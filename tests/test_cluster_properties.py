@@ -1,0 +1,66 @@
+"""Property-based agreement for the connected-components operators:
+random small graphs — chains (diameter stress), cycles, self-loops,
+duplicate edges, multiple components — against a driver-side union-find
+model. Both the min-label-propagation and the large-star/small-star
+contraction variants must label every node with its component's minimum
+id."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fiat2_spark.operators.dedup import dup_clusters, dup_clusters_star
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_EDGES = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20
+)
+
+
+def _model(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(**_SETTINGS)
+@given(edges=_EDGES)
+def test_dup_clusters_match_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _model(edges)
+    got = {r["doc"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    got_star = {r["doc"]: r["cluster"] for r in dup_clusters_star(pairs).collect()}
+    assert got == want
+    assert got_star == want
+
+
+def test_dup_clusters_chain_diameter(spark):
+    """A 14-node chain: propagation needs ~diameter rounds (within the
+    default budget), star contraction far fewer; both must agree with
+    the model, and an undersized max_iter must raise, not return."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(13)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = _model(edges)
+    assert {r["doc"]: r["cluster"] for r in dup_clusters(pairs).collect()} == want
+    assert {r["doc"]: r["cluster"] for r in dup_clusters_star(pairs).collect()} == want
+    with pytest.raises(RuntimeError, match="converge"):
+        dup_clusters(pairs, max_iter=2)
