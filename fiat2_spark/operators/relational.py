@@ -450,11 +450,14 @@ def grouped_rank_family(
       (a window-free arithmetic rewrite of the same double division
       Spark and DuckDB evaluate — bit-identical);
     * ntile(k): Spark's remainder-to-first-tiles split, arithmetically
-      from (row_number, n): the first n%k tiles get ⌈n/k⌉ rows.
+      from (row_number, n): the first n%k tiles get ⌈n/k⌉ rows;
+    * cume_dist: (peers ≤ mine within bucket, via the inclusive RANGE
+      frame) + bucket offset, over n — one double division, identical
+      to the native function's arithmetic.
 
-    Output: input columns + rn, rnk, drnk, prnk, quartile (long, long,
-    long, double, int). Same low-cardinality-group contract as
-    `grouped_row_number`."""
+    Output: input columns + rn, rnk, drnk, prnk, quartile, cdist (long,
+    long, long, double, int, double). Same low-cardinality-group
+    contract as `grouped_row_number`."""
     from pyspark.sql import Window as W
 
     bucketed = _value_buckets(df, order_col, descending, n_buckets)
@@ -498,9 +501,20 @@ def grouped_rank_family(
     tile = F.when(
         rn <= r * (q + 1), F.floor((rn + q) / (q + 1)).cast("long")
     ).otherwise(r + F.floor((rn - r * (q + 1) + q1 - 1) / q1).cast("long"))
+    # cume_dist = (rows with composite <= mine in the group) / n: the
+    # default RANGE frame counts all peers of the current composite
+    # inclusively within the bucket; earlier buckets contribute __off.
+    # Integer count then ONE double division — matches the engines'
+    # native cume_dist arithmetic exactly.
+    w_peers = w_ord.rangeBetween(W.unboundedPreceding, W.currentRow)
+    cdist = (
+        (F.count(F.lit(1)).over(w_peers).cast("long") + F.col("__off")).cast("double")
+        / n.cast("double")
+    )
     out = joined.withColumn("rn", rn).withColumn("rnk", rnk)
     out = out.withColumn("drnk", drnk).withColumn("prnk", prnk)
     out = out.withColumn("quartile", tile.cast("int"))
+    out = out.withColumn("cdist", cdist)
     return out.drop("__bucket", "__off", "__doff", "__n")
 
 

@@ -373,14 +373,15 @@ def window_rank_family(spark, sf_dir):
            CAST(rank() OVER w AS BIGINT) AS rnk,
            CAST(dense_rank() OVER w AS BIGINT) AS drnk,
            percent_rank() OVER w AS prnk,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           cume_dist() OVER w AS cdist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
     """,
 )
 def grouped_rank_family_scalable(spark, sf_dir):
     """`window_rank_family`'s EXACT output — rank, dense_rank,
-    percent_rank, ntile(4) per priority — via the quantile-bucketed
+    percent_rank, ntile(4), cume_dist per priority — via the quantile-bucketed
     scheme (`relational.grouped_rank_family`), so the whole ranking
     family has a plan that runs |groups|×|buckets| tasks instead of 5.
     The oracle is the plain PARTITION BY window: two plans, one
@@ -395,7 +396,7 @@ def grouped_rank_family_scalable(spark, sf_dir):
     ).select(
         "o_orderkey",
         F.col("o_orderpriority").alias("prio"),
-        "rnk", "drnk", "prnk", "quartile",
+        "rnk", "drnk", "prnk", "quartile", "cdist",
     )
 
 
