@@ -437,3 +437,18 @@ def test_grouped_listagg_empty_input(spark):
 
     e = spark.createDataFrame([], "g string, k long")
     assert grouped_listagg(e, ["g"], "k", F.col("k").cast("string")).count() == 0
+
+
+def test_aqe_final_plan_adapts(spark):
+    """AQE must actually engage on shuffling queries (the runtime
+    re-planning the 100 TB story leans on): after execution the final
+    adaptive plan replaces blind shuffle reads with AQEShuffleRead
+    (partition coalescing) — i.e. we really run with
+    spark.sql.adaptive.enabled and Catalyst finalizes the plan from
+    runtime shuffle statistics."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = QUERIES["groupby_agg"](spark, SF_SMOKE)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "AQEShuffleRead" in p
