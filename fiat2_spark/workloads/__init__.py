@@ -54,10 +54,11 @@ PRIORITY = (
     # stream: incremental maintenance / event-time (json_extract rotated
     # out on its green CORRECTNESS_r03 row, code unchanged)
     "incremental_sum", "incremental_min_orders", "incremental_groupby",
-    # asof_join/sessionize rotate out on green CORRECTNESS_r03 rows
-    # (stream.py changes since are purely additive); the scalable
-    # ordered LISTAGG and the keyed MERGE upsert take the slots
-    "stream_window_agg", "upsert_keyed", "group_concat_scalable",
+    # asof_join/sessionize/stream_window_agg rotate out on green
+    # CORRECTNESS_r03 rows (stream.py changes since are purely
+    # additive); the scalable ordered LISTAGG, the keyed MERGE upsert,
+    # and the IVF-training centroid aggregation take the slots
+    "embedding_centroids", "upsert_keyed", "group_concat_scalable",
     "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
     "stream_stream_join",
     # round-4: benchmark decontamination (3-gram overlap vs held-out set)

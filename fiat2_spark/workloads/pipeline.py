@@ -1479,6 +1479,35 @@ def dedup_incremental_batch(spark, sf_dir):
 
 
 @q(
+    "embedding_centroids",
+    """
+    SELECT label, CAST(i AS INTEGER) - 1 AS dim,
+           round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+    FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroid vectors — the k-means/IVF TRAINING step
+    (`ann_ivf` consumes exactly such centroids): posexplode each
+    embedding into (label, dim, value) and average per (label, dim).
+    The explode stream partial-aggregates map-side, so the shuffle
+    carries |labels|×|dims| partial sums — never vectors — and no task
+    materializes a per-label vector list. Long output format (label,
+    dim, centroid), rounded to 6dp on both engines (cross-row float
+    summation order is the one place the DECIMAL discipline doesn't
+    apply — floats aren't 2-digit cents — so rounding absorbs the
+    ±1 ulp reassociation drift)."""
+    e = tbl(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
+        ).alias("centroid")
+    )
+
+
+@q(
     "vocab_topn",
     f"""
     WITH toks AS ({_TOKS})
