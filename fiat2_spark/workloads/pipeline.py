@@ -1181,9 +1181,19 @@ def pipeline_training_set(spark, sf_dir):
     )
     t = base.filter(F.col("n_tok") >= 20)
     keep = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    dedup = t.join(
-        keep, (t.fp == keep.fp) & (t.doc_id == keep.keeper)
-    ).select(t.doc_id, t.lang, t.n_tok)
+    # alias both sides: keep derives from t, so bare t.fp == keep.fp
+    # resolves to one attribute id (Spark logs 'trivially true equals
+    # predicate' and must self-disambiguate)
+    ta, ka = t.alias("__tsa"), keep.alias("__tsk")
+    dedup = ta.join(
+        ka,
+        (F.col("__tsa.fp") == F.col("__tsk.fp"))
+        & (F.col("__tsa.doc_id") == F.col("__tsk.keeper")),
+    ).select(
+        F.col("__tsa.doc_id").alias("doc_id"),
+        F.col("__tsa.lang").alias("lang"),
+        F.col("__tsa.n_tok").alias("n_tok"),
+    )
     bench = (
         base.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))
