@@ -452,3 +452,27 @@ def test_aqe_final_plan_adapts(spark):
     p = plan_of(df)
     assert "isFinalPlan=true" in p
     assert "AQEShuffleRead" in p
+
+
+def test_embedding_centroids_partial_aggregates(spark):
+    """The posexploded (label, dim, value) stream must partial-aggregate
+    map-side — the exchange carries |labels|x|dims| partial sums, never
+    the exploded vector stream."""
+    p = plan_of(QUERIES["embedding_centroids"](spark, SF_SMOKE))
+    assert p.count("HashAggregate") >= 2 and "partial_" in p
+
+
+def test_upsert_keyed_full_outer_hash_or_smj(spark):
+    """MERGE = ONE full outer join on the key: no nested loop, no
+    cartesian, exactly the copy-on-write upsert plan."""
+    p = plan_of(QUERIES["upsert_keyed"](spark, SF_SMOKE))
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_profile_columns_expand_multi_distinct(spark):
+    """Exact multi-column countDistinct plans through Catalyst's Expand
+    (the documented one-scan-multiplied-by-|cols| trade) with map-side
+    partial aggregation."""
+    p = plan_of(QUERIES["profile_columns"](spark, SF_SMOKE))
+    assert "Expand" in p and "partial_" in p
