@@ -243,3 +243,48 @@ class MaterializedView:
         """The rewritten read path: aggregate queries answered from the
         maintained structure, not the base (sum_to_agg_lookup_head)."""
         return self.indexes[name].read()
+
+
+class DedupCorpus:
+    """Incremental corpus-growth dedup: an accumulated fingerprint set
+    plus an ``ingest`` path that keeps only documents whose fingerprint
+    is novel — the streaming-ingestion form of the
+    ``dedup_incremental_batch`` query (new crawl snapshots arrive
+    continuously; only the delta is ever deduped, the corpus is never
+    re-scanned end-to-end).
+
+    Per batch: collapse the batch per fingerprint (min id wins),
+    anti-join the seen set, append survivors to the seen set. The seen
+    state is a DataFrame of fingerprints — at production scale a
+    key-bucketed parquet table so both the anti-join and the append
+    co-locate without a shuffle; here a localCheckpointed lineage, the
+    repo's standard driver-resident-state discipline."""
+
+    def __init__(self, base: DataFrame, fp_col: str, id_col: str):
+        self.fp_col, self.id_col = fp_col, id_col
+        self.seen = base.select(fp_col).distinct().localCheckpoint()
+
+    def ingest(self, batch: DataFrame) -> DataFrame:
+        """Returns the batch's novel documents (one per new fingerprint,
+        min id); updates the seen set."""
+        collapsed = batch.groupBy(self.fp_col).agg(
+            F.min(self.id_col).alias(self.id_col)
+        )
+        novel = collapsed.join(self.seen, self.fp_col, "left_anti").localCheckpoint()
+        self.seen = (
+            self.seen.unionByName(novel.select(self.fp_col)).localCheckpoint()
+        )
+        return novel
+
+
+def dedup_corpus_foreach_batch(stream: DataFrame, corpus: DedupCorpus, sink: list):
+    """Drive ``DedupCorpus`` from a Structured Streaming source: each
+    micro-batch is deduped against the accumulated corpus inside
+    ``foreachBatch`` and the novel rows are appended to ``sink`` (a
+    driver list here; a parquet append at scale). Returns the started
+    StreamingQuery; callers own ``stop()``."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.extend(corpus.ingest(batch_df).collect())
+
+    return stream.writeStream.outputMode("append").foreachBatch(_apply).start()

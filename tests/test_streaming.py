@@ -283,3 +283,52 @@ def test_streaming_static_enrichment_matches_batch(spark):
         for r in static.select("event_id", "user_id").join(dim, "user_id").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_dedup_corpus_streaming_matches_batch(spark):
+    """Corpus-growth dedup driven by a real file stream: batches of
+    documents (with duplicate fingerprints within AND across batches,
+    and collisions with the pre-existing corpus) ingest one micro-batch
+    at a time; the accumulated novel set must equal the one-shot batch
+    dedup of everything against the original corpus."""
+    import os
+    import tempfile
+
+    from fiat2_spark.streaming.maintenance import (
+        DedupCorpus, dedup_corpus_foreach_batch,
+    )
+
+    # fingerprint = id % 7 → plenty of collisions everywhere
+    base = spark.createDataFrame(
+        [(i, f"fp{i % 7}") for i in range(3)], "doc_id long, fp string"
+    )
+    arriving = spark.createDataFrame(
+        [(i, f"fp{i % 7}") for i in range(10, 30)], "doc_id long, fp string"
+    )
+    stage = tempfile.mkdtemp(prefix="fiat2_dedupstream_")
+    for p in range(4):
+        arriving.filter((F.col("doc_id") % 4) == p).coalesce(1).write.parquet(
+            os.path.join(stage, f"b{p}")
+        )
+    corpus = DedupCorpus(base, "fp", "doc_id")
+    sink: list = []
+    stream = (
+        spark.readStream.schema(arriving.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = dedup_corpus_foreach_batch(stream, corpus, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["fp"]: True for r in sink}
+    # one-shot model: novel fingerprints = arriving minus base's set
+    base_fps = {f"fp{i % 7}" for i in range(3)}
+    want = {f"fp{i % 7}" for i in range(10, 30)} - base_fps
+    assert set(got) == want
+    # every novel fingerprint surfaced exactly once across all batches
+    assert len(sink) == len(want)
+    # and the seen set now swallows everything: re-ingesting yields nothing
+    assert corpus.ingest(arriving).count() == 0
