@@ -75,6 +75,10 @@ HEADLINE = [
     "text_repetition",              # Gopher repetition signals, tagged n-gram explode
     "sample_mixture",               # domain rebalancing, broadcast count agg
     "dedup_incremental_batch",      # batch-vs-corpus anti-join delta dedup
+    "embedding_centroids",          # IVF-training means, explode + partial agg
+    "profile_columns",              # one-scan ANALYZE stats, Expand multi-distinct
+    "upsert_keyed",                 # MERGE via single full outer join
+    "group_concat_scalable",        # ordered LISTAGG, no window operator
 ]
 
 
