@@ -97,3 +97,34 @@ def test_grouped_running_sum_matches_plain_window_prop(spark, rows, n_buckets):
     a = {(r["g"], r["uid"]): r["cum"] for r in fast.collect()}
     b = {(r["g"], r["uid"]): r["cum"] for r in plain.collect()}
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, n_buckets=st.integers(1, 8))
+def test_grouped_rank_family_matches_plain_windows_prop(spark, rows, n_buckets):
+    """rank/dense_rank/percent_rank/ntile/cume_dist through the bucket
+    scheme vs the plain group-partitioned windows, on duplicate-heavy
+    order values — the tie groups land on bucket boundaries here, the
+    exact case the value-pure bucketing must keep intact. Tiebreak on
+    uid makes the composite unique, as in the registered query."""
+    from pyspark.sql import Window as W
+
+    from fiat2_spark.operators.relational import grouped_rank_family
+
+    df = _df(spark, rows)
+    fast = grouped_rank_family(
+        df, ["g"], "v", tiebreak=[F.col("uid")], n_buckets=n_buckets
+    )
+    w = W.partitionBy("g").orderBy(F.col("v").asc(), F.col("uid").asc())
+    plain = df.select(
+        "g", "uid",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+    cols = ("rnk", "drnk", "prnk", "quartile", "cdist")
+    a = {(r["g"], r["uid"]): tuple(r[c] for c in cols) for r in fast.collect()}
+    b = {(r["g"], r["uid"]): tuple(r[c] for c in cols) for r in plain.collect()}
+    assert a == b
