@@ -34,10 +34,11 @@ PRIORITY = (
     # since); profile_columns (ANALYZE-style stats collection) and
     # scalar_subquery (decorrelation evidence) take the slots
     "scalar_subquery", "text_langid", "profile_columns",
-    # dedup_exact/dedup_minhash rotate out on green CORRECTNESS_r03
-    # rows (query blocks and their dedup.py operators byte-identical
-    # since); full_outer_join and sample_mixture take the slots
-    "full_outer_join", "sample_mixture", "dedup_simhash",
+    # dedup_exact/dedup_minhash/dedup_simhash rotate out on green
+    # CORRECTNESS_r03 rows (query blocks and their dedup.py operators
+    # byte-identical since); full_outer_join, sample_mixture, and the
+    # RANGE-frame window take the slots
+    "full_outer_join", "sample_mixture", "window_range_frame",
     # round-4: applyInPandas grouped UDAF (text_fingerprint rotated out
     # on its green CORRECTNESS_r03 row, code unchanged)
     "udaf_mad",

@@ -1532,6 +1532,45 @@ def window_frames(spark, sf_dir):
 
 
 @q(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_near
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Value-based RANGE frames — the window-frame member `window_frames`'
+    ROWS form doesn't cover: for each order, count and sum the same
+    customer's orders priced within 1000.0 BELOW it (frame membership
+    decided by the ORDER-BY VALUE distance, so peers — equal prices —
+    are always in or out together, which is why no tiebreak belongs in
+    the ORDER BY). DECIMAL frame sum as everywhere. One shuffle on the
+    partition key; the range frame is a partition-local two-pointer
+    scan in both engines."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_near"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_near"),
+    )
+
+
+@q(
     "partition_pruned_lookup",
     """
     SELECT event_type,
