@@ -627,6 +627,54 @@ def grouped_listagg(
     )
 
 
+def grouped_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    qs: dict[str, float],
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Exact interpolated percentiles per group WITHOUT per-group value
+    arrays: rank every row with the quantile-bucket scheme
+    (`grouped_row_number`), keep only the two bracketing order
+    statistics per requested quantile, and interpolate with
+    v_lo + (h−⌊h⌋)·(v_hi−v_lo), h = q·(n−1) — SQL PERCENTILE_CONT
+    semantics. The heavy pass is a distributed ranking; the final
+    aggregate sees ~2·|qs| rows per group, so group size is unbounded.
+
+    Ties in ``order_col`` are safe without a tiebreak: equal values
+    share a bucket (value-pure bucketing), and whichever tie member
+    lands on a bracketing rank contributes the same VALUE.
+
+    Output: group_cols + one double column per ``qs`` name + ``n``."""
+    rn = grouped_row_number(
+        df, group_cols, order_col, id_name="__rn", n_buckets=n_buckets
+    )
+    n_df = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    j = rn.join(F.broadcast(n_df), list(group_cols))
+    sel = F.lit(False)
+    aggs = []
+    for name, q in qs.items():
+        h = F.lit(q) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(h).cast("long")
+        is_lo = F.col("__rn") == lo + 1
+        is_hi = F.col("__rn") == F.least(lo + 2, F.col("__n"))
+        sel = sel | is_lo | is_hi
+        aggs.append(F.max(F.when(is_lo, F.col(order_col))).alias(f"__lo_{name}"))
+        aggs.append(F.max(F.when(is_hi, F.col(order_col))).alias(f"__hi_{name}"))
+    picked = j.filter(sel).groupBy(*group_cols, "__n").agg(*aggs)
+    cols = []
+    for name, q in qs.items():
+        h = F.lit(q) * (F.col("__n") - 1).cast("double")
+        cols.append(
+            (
+                F.col(f"__lo_{name}")
+                + (h - F.floor(h)) * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}"))
+            ).alias(name)
+        )
+    return picked.select(*group_cols, *cols, F.col("__n").alias("n"))
+
+
 # -- limit / top-k (absent in reference; engine surface) -------------------
 
 def top_k(df: DataFrame, k: int, order: Sequence[Column]) -> DataFrame:

@@ -1461,34 +1461,9 @@ def percentile_cont_scalable(spark, sf_dir):
     exact percentiles at any group size. Same oracle as
     `percentile_cont` (two plans, one semantics)."""
     o = tbl(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
-    rn = R.grouped_row_number(o, ["o_orderpriority"], "o_totalprice", id_name="rn")
-    n_df = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
-    j = rn.join(F.broadcast(n_df), "o_orderpriority")
-
-    qs = {"p50": 0.5, "p90": 0.9}
-    sel = F.lit(False)
-    aggs = []
-    for name, q in qs.items():
-        h = F.lit(q) * (F.col("n") - 1).cast("double")
-        lo = F.floor(h).cast("long")
-        is_lo = F.col("rn") == lo + 1
-        is_hi = F.col("rn") == F.least(lo + 2, F.col("n"))
-        sel = sel | is_lo | is_hi
-        aggs.append(F.max(F.when(is_lo, F.col("o_totalprice"))).alias(f"__lo_{name}"))
-        aggs.append(F.max(F.when(is_hi, F.col("o_totalprice"))).alias(f"__hi_{name}"))
-    picked = j.filter(sel).groupBy(
-        F.col("o_orderpriority").alias("prio"), "n"
-    ).agg(*aggs)
-    cols = []
-    for name, q in qs.items():
-        h = F.lit(q) * (F.col("n") - 1).cast("double")
-        cols.append(
-            (
-                F.col(f"__lo_{name}")
-                + (h - F.floor(h)) * (F.col(f"__hi_{name}") - F.col(f"__lo_{name}"))
-            ).alias(name)
-        )
-    return picked.select("prio", *cols, "n")
+    return R.grouped_percentiles(
+        o, ["o_orderpriority"], "o_totalprice", {"p50": 0.5, "p90": 0.9}
+    ).select(F.col("o_orderpriority").alias("prio"), "p50", "p90", "n")
 
 
 @q(

@@ -128,3 +128,46 @@ def test_grouped_rank_family_matches_plain_windows_prop(spark, rows, n_buckets):
     a = {(r["g"], r["uid"]): tuple(r[c] for c in cols) for r in fast.collect()}
     b = {(r["g"], r["uid"]): tuple(r[c] for c in cols) for r in plain.collect()}
     assert a == b
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g0", "g1"]),
+            st.integers(-5, 5).map(float),  # heavy value ties
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_buckets=st.integers(1, 8),
+)
+def test_grouped_percentiles_match_numpy(spark, rows, n_buckets):
+    """Exact interpolated percentiles through the distributed-ranking
+    scheme vs numpy's linear-interpolation percentile — an independent
+    third model — under heavy value ties (the no-tiebreak case the
+    operator's docstring claims is safe)."""
+    import numpy as np
+
+    from fiat2_spark.operators.relational import grouped_percentiles
+
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: (r["p50"], r["p90"], r["n"])
+        for r in grouped_percentiles(
+            df, ["g"], "v", {"p50": 0.5, "p90": 0.9}, n_buckets=n_buckets
+        ).collect()
+    }
+    want = {}
+    for g in {g for g, _ in rows}:
+        vs = sorted(v for gg, v in rows if gg == g)
+        want[g] = (
+            float(np.percentile(vs, 50, method="linear")),
+            float(np.percentile(vs, 90, method="linear")),
+            len(vs),
+        )
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][2] == want[g][2]
+        assert abs(got[g][0] - want[g][0]) < 1e-9, (g, got[g], want[g])
+        assert abs(got[g][1] - want[g][1]) < 1e-9, (g, got[g], want[g])
