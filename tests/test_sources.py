@@ -170,3 +170,36 @@ def test_http_serving_shim_matches_query(spark):
         assert albums and {"album_id", "title", "artist"} <= set(albums[0])
     finally:
         srv.shutdown()
+
+
+def test_schema_evolution_merge_read(spark):
+    """Corpus growth changes schemas over time (a new metadata column
+    appears in later snapshots): reading the accumulated directory with
+    mergeSchema must union the schemas, null-extending old files — and
+    a reader pinning the OLD schema must still read new files (column
+    pruning drops the extra column at the scan)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="fiat2_schemaevo_")
+    old = spark.createDataFrame([(1, "a"), (2, "b")], "id long, text string")
+    new = spark.createDataFrame(
+        [(3, "c", "en"), (4, "d", "de")], "id long, text string, lang string"
+    )
+    old.write.parquet(os.path.join(root, "snap=0"))
+    new.write.parquet(os.path.join(root, "snap=1"))
+
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    assert set(merged.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: "en", 4: "de"}
+
+    pinned = spark.read.schema("id long, text string").option(
+        "recursiveFileLookup", "true"
+    ).parquet(root)
+    assert pinned.count() == 4 and set(pinned.columns) == {"id", "text"}
+    assert pinned.filter(F.col("id") == 3).collect()[0]["text"] == "c"
