@@ -77,3 +77,21 @@ def test_asof_join_matches_naive(spark, lefts, rights):
         cands = [(o2, rid) for (k2, o2), rid in rd.items() if k2 == k and o2 <= o]
         naive[i] = max(cands)[1] if cands else None
     assert fast == naive
+
+
+def test_asof_and_range_join_empty_sides(spark):
+    """Empty sides: an empty right leaves every left row unmatched
+    (null fill for as-of, zero pairs for the range join); an empty left
+    yields zero rows from both."""
+    l = spark.createDataFrame([("k0", _ts(0), 0)], "k string, ts timestamp, lid long")
+    r0 = spark.createDataFrame([], "k string, ts timestamp, rid long")
+    got = asof_join(l, r0, ["k"], "ts", ["rid"]).collect()
+    assert len(got) == 1 and got[0]["rid"] is None
+
+    l_rj = spark.createDataFrame([("k0", _ts(0), 0)], "k string, lt timestamp, lid long")
+    r_rj = spark.createDataFrame([], "k string, rt timestamp, rid long")
+    assert range_join_binned(l_rj, r_rj, ["k"], "lt", "rt", 60).count() == 0
+
+    l0 = spark.createDataFrame([], "k string, ts timestamp, lid long")
+    r1 = spark.createDataFrame([("k0", _ts(0), 0)], "k string, ts timestamp, rid long")
+    assert asof_join(l0, r1, ["k"], "ts", ["rid"]).count() == 0
