@@ -332,3 +332,59 @@ def test_dedup_corpus_streaming_matches_batch(spark):
     assert len(sink) == len(want)
     # and the seen set now swallows everything: re-ingesting yields nothing
     assert corpus.ingest(arriving).count() == 0
+
+
+def test_watermark_drops_late_rows_in_append_mode(spark):
+    """Late-data semantics made observable: batch 1 advances the
+    watermark far past an old window; batch 2 delivers an event INSIDE
+    that closed window. In append mode with a watermark, the closed
+    window's result must emit once (count from batch 1 only) and the
+    late event must not reopen it — the bounded-state contract that
+    lets a 100 TB stream age out aggregation state."""
+    import datetime
+    import os
+    import tempfile
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def rows(*offs_min):
+        return [(b + datetime.timedelta(minutes=m), "e", 1.0) for m in offs_min]
+
+    schema = "ts timestamp, event_type string, value double"
+    stage = tempfile.mkdtemp(prefix="fiat2_late_")
+    # batch 0: two events in window [0,5) + one at +60min (watermark -> +50)
+    spark.createDataFrame(rows(1, 2, 60), schema).coalesce(1).write.parquet(
+        os.path.join(stage, "b0")
+    )
+    from fiat2_spark.streaming.stream_agg import windowed_agg
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    sink = f"late_sink_{id(stage)}"
+    q = (
+        windowed_agg(stream, window="5 minutes", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 1, written only after batch 0 fully processed (so the
+        # watermark is already at +50): a LATE event back inside [0,5)
+        spark.createDataFrame(rows(3), schema).coalesce(1).write.parquet(
+            os.path.join(stage, "b1")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["window_start"].minute, r["n"])
+        for r in spark.sql(f"SELECT * FROM {sink}").collect()
+    }
+    # the [0,5) window closed with n=2; the late 3rd event was dropped.
+    assert (0, 2) in got
+    assert (0, 3) not in got
