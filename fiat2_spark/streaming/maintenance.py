@@ -207,8 +207,18 @@ def join_agg_foreach_batch(stream: DataFrame, view: JoinAggView, side: str = "ri
     callback, but ``insert_*`` localCheckpoints the union immediately,
     snapshotting the delta before the callback returns."""
     insert = view.insert_right if side == "right" else view.insert_left
+    applied: set = set()
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch may redeliver the last batch after a restart from
+        # a checkpoint; the insert path is NOT idempotent (it folds the
+        # delta into the aggregate), so guard on the batch id — the
+        # standard exactly-once recipe for non-idempotent foreachBatch
+        # sinks. (The guard is driver-resident; a production deployment
+        # persists the last applied id next to the view state.)
+        if batch_id in applied:
+            return
+        applied.add(batch_id)
         insert(batch_df)
 
     return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
@@ -285,6 +295,9 @@ def dedup_corpus_foreach_batch(stream: DataFrame, corpus: DedupCorpus, sink: lis
     StreamingQuery; callers own ``stop()``."""
 
     def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        # no batch-id guard needed: ingest is naturally idempotent — a
+        # redelivered batch's fingerprints are already in the seen set,
+        # so it contributes zero novel rows
         sink.extend(corpus.ingest(batch_df).collect())
 
     return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
