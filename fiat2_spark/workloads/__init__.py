@@ -44,7 +44,10 @@ PRIORITY = (
     "udaf_mad",
     # round-4: exact percentiles without per-group arrays
     "percentile_cont_scalable",
-    "dedup_ngram_jaccard", "dedup_embedding", "ann_bruteforce", "ann_lsh",
+    # dedup_embedding rotates out on its green CORRECTNESS_r03 row
+    # (query block and operators byte-identical since); the windowless
+    # argmax/mode takes the slot
+    "dedup_ngram_jaccard", "mode_per_group", "ann_bruteforce", "ann_lsh",
     # multimodal: the round-4 audio member enters; multimodal_bytes and
     # pipeline_e2e rotate out on green CORRECTNESS_r03 rows (code
     # unchanged); the new end-to-end composition takes the flagship slot

@@ -511,6 +511,45 @@ def upsert_keyed(spark, sf_dir):
 
 
 @q(
+    "mode_per_group",
+    """
+    SELECT c_mktsegment, c_nationkey AS modal_nation, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY COUNT(*) DESC, c_nationkey) AS rn
+      FROM customer GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+)
+def mode_per_group(spark, sf_dir):
+    """Per-group mode (most frequent value, min-value tie-break) as a
+    WINDOWLESS two-phase aggregation — the scalable argmax pattern:
+    count per (group, value) with map-side partial aggregation, then
+    reduce each group to max(struct(count, -value)) so the comparison
+    carries the tie-break inside the aggregate. No window, no sort, two
+    shuffles both keyed on the group — the shape that replaces
+    rank-and-filter argmax at any cardinality. (Spark's max_by breaks
+    ties arbitrarily; the struct max is the deterministic form.)"""
+    c = tbl(spark, sf_dir, "customer")
+    cnt = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = cnt.groupBy("c_mktsegment").agg(
+        F.max(
+            F.struct(
+                F.col("cnt"), (-F.col("c_nationkey")).alias("__negk")
+            )
+        ).alias("__b")
+    )
+    return best.select(
+        "c_mktsegment",
+        (-F.col("__b.__negk")).cast("long").alias("modal_nation"),
+        F.col("__b.cnt").cast("long").alias("cnt"),
+    )
+
+
+@q(
     "group_concat_scalable",
     """
     SELECT o_orderpriority,
