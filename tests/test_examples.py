@@ -1,0 +1,34 @@
+"""The example walkthroughs are user-facing entry points — run them
+end-to-end at sf0.001 so they can't rot as the operator APIs evolve.
+Both reuse the suite's JVM via get_spark's getOrCreate and never stop
+the session."""
+
+from __future__ import annotations
+
+import runpy
+import sys
+
+from tests.conftest import SF_SMOKE
+
+
+def _run(script: str, capsys):
+    argv = sys.argv
+    sys.argv = [script, SF_SMOKE]
+    try:
+        runpy.run_path(script, run_name="__main__")
+    finally:
+        sys.argv = argv
+    return capsys.readouterr().out
+
+
+def test_pipeline_demo_runs(spark, capsys):
+    out = _run("examples/pipeline_demo.py", capsys)
+    assert "corpus" in out and "context windows packed" in out
+    # the funnel only narrows
+    nums = [int(l.rsplit(":", 1)[1]) for l in out.strip().splitlines() if ":" in l]
+    assert all(a >= b for a, b in zip(nums[:4], nums[1:5]))
+
+
+def test_dsl_demo_runs(spark, capsys):
+    out = _run("examples/dsl_demo.py", capsys)
+    assert out.strip()
