@@ -64,3 +64,37 @@ def test_dup_clusters_chain_diameter(spark):
     assert {r["doc"]: r["cluster"] for r in dup_clusters_star(pairs).collect()} == want
     with pytest.raises(RuntimeError, match="converge"):
         dup_clusters(pairs, max_iter=2)
+
+
+def test_dedup_corpus_random_batch_sequences(spark):
+    """DedupCorpus over randomized batch splits must always equal the
+    one-shot set difference, regardless of how arrivals are batched —
+    and the same fingerprint arriving in two different batches
+    surfaces exactly once (first-arrival wins)."""
+    import random
+
+    from fiat2_spark.streaming.maintenance import DedupCorpus
+
+    rnd = random.Random(7)
+    for _ in range(3):
+        base_fps = {f"f{i}" for i in rnd.sample(range(12), 4)}
+        arrivals = [(i, f"f{i % 12}") for i in rnd.sample(range(100, 160), 30)]
+        base = spark.createDataFrame(
+            [(i, fp) for i, fp in enumerate(sorted(base_fps))], "doc_id long, fp string"
+        )
+        corpus = DedupCorpus(base, "fp", "doc_id")
+        out = []
+        i = 0
+        while i < len(arrivals):
+            k = rnd.randint(1, 8)
+            batch = arrivals[i : i + k]
+            i += k
+            out.extend(
+                corpus.ingest(
+                    spark.createDataFrame(batch, "doc_id long, fp string")
+                ).collect()
+            )
+        got = {r["fp"] for r in out}
+        want = {fp for _, fp in arrivals} - base_fps
+        assert got == want
+        assert len(out) == len(want)  # each novel fp exactly once
