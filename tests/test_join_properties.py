@@ -95,3 +95,34 @@ def test_asof_and_range_join_empty_sides(spark):
     l0 = spark.createDataFrame([], "k string, ts timestamp, lid long")
     r1 = spark.createDataFrame([("k0", _ts(0), 0)], "k string, ts timestamp, rid long")
     assert asof_join(l0, r1, ["k"], "ts", ["rid"]).count() == 0
+
+
+@settings(**_SETTINGS)
+@given(
+    lefts=st.lists(st.integers(0, 5), min_size=1, max_size=20),
+    rights=st.lists(st.integers(0, 5), min_size=1, max_size=10),
+    salt=st.integers(2, 8),
+)
+def test_salted_join_matches_plain_prop(spark, lefts, rights, salt):
+    """Salting must be semantically invisible for inner equi-joins at
+    any salt factor: random keys with heavy duplication and keys
+    present on only one side, result multiset compared against the
+    plain join (each left-right row pairing appears the same number of
+    times)."""
+    from fiat2_spark.operators.relational import salted_equi_join
+
+    l = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(lefts)], "lk long, lid long"
+    )
+    r = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(rights)], "rk long, rid long"
+    )
+    fast = sorted(
+        (row["lid"], row["rid"])
+        for row in salted_equi_join(l, r, "lk", "rk", salt=salt).collect()
+    )
+    plain = sorted(
+        (row["lid"], row["rid"])
+        for row in l.join(r, F.col("lk") == F.col("rk")).collect()
+    )
+    assert fast == plain
