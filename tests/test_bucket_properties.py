@@ -171,3 +171,30 @@ def test_grouped_percentiles_match_numpy(spark, rows, n_buckets):
         assert got[g][2] == want[g][2]
         assert abs(got[g][0] - want[g][0]) < 1e-9, (g, got[g], want[g])
         assert abs(got[g][1] - want[g][1]) < 1e-9, (g, got[g], want[g])
+
+
+@settings(**_SETTINGS)
+@given(rows=_ROWS, n_buckets=st.integers(1, 8))
+def test_grouped_listagg_distinct_value_column(spark, rows, n_buckets):
+    """LISTAGG where the concatenated value is NOT the order key: ties
+    on the order value must resolve by the value itself (the documented
+    ``string_agg(value ORDER BY order_col, value)`` contract), across
+    every bucket split."""
+    df = _df(spark, rows)
+    val = F.concat(F.lit("u"), F.col("uid").cast("string"))
+    fast = grouped_listagg(df, ["g"], "v", val, n_buckets=n_buckets)
+    plain = df.groupBy("g").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("v").alias("o"), val.alias("v")))
+                ),
+                lambda x: x["v"],
+            ),
+            ",",
+        ).alias("listagg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    a = {r["g"]: (r["listagg"], r["n"]) for r in fast.collect()}
+    b = {r["g"]: (r["listagg"], r["n"]) for r in plain.collect()}
+    assert a == b
