@@ -653,3 +653,63 @@ def embedding_dedup_pairs_lsh(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+# -- span-level (C4-style) dedup --------------------------------------------
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
+) -> DataFrame:
+    """C4-style duplicated-span removal, summarized per document: each
+    document's token stream is cut into consecutive ``seg_len``-token
+    segments; a segment survives iff it is the corpus-wide FIRST
+    occurrence of its text (ordered by doc id, then position) — the
+    analog of C4's "discard any three-sentence span seen before"
+    (Raffel et al. 2020, §2.2) on the synthetic corpus, where fixed
+    token windows stand in for sentences.
+
+    Returns one row per document: ``n_segs`` (total segments),
+    ``n_kept`` (surviving segments), ``n_kept_tokens``.
+
+    Spark shape — two hash aggregates, NO join and NO window over the
+    high-cardinality segment key: the min(struct(doc, idx, len)) per
+    segment text IS the keeper (partial-agg friendly, map-side
+    combinable), and regrouping keepers by doc yields the kept counts;
+    doc totals come from the pre-explode side and the two per-doc
+    relations merge with one small outer join on doc id. At 100 TB the
+    only wide exchange carries (seg_hash, 3 ints) — segment text is
+    md5-collapsed before the shuffle, so the corpus text itself never
+    moves."""
+    from fiat2_spark.operators.text import token_segments, tokens as toks_of
+
+    base = df.repartition(cpu_partitions(df, rows_per_task=200)).select(
+        F.col(id_col).alias("doc"),
+        token_segments(toks_of(F.col(text_col)), seg_len).alias("segs"),
+    )
+    totals = base.select(
+        "doc", F.size("segs").cast("long").alias("n_segs")
+    )
+    segs = base.select(
+        "doc", F.explode("segs").alias("s")
+    ).select(
+        "doc",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.md5(F.concat_ws(" ", F.col("s.seg"))).alias("seg_key"),
+        F.size("s.seg").cast("long").alias("seg_tok"),
+    )
+    keepers = segs.groupBy("seg_key").agg(
+        F.min(F.struct("doc", "seg_idx", "seg_tok")).alias("k")
+    )
+    kept = keepers.groupBy(F.col("k.doc").alias("doc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("k.seg_tok").cast("long").alias("n_kept_tokens"),
+    )
+    return (
+        totals.join(kept, "doc", "left")
+        .select(
+            F.col("doc"),
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
+        )
+    )

@@ -248,3 +248,62 @@ def ann_lsh_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# -- lexical retrieval (BM25) -----------------------------------------------
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: "Column",
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 (Robertson & Walker 1994) of every document against a
+    fixed bag of query terms — the lexical-retrieval half of a
+    training-data search stack. Returns (doc, bm25) for every document
+    with at least one hit.
+
+    Spark shape: the token array is filtered to the query terms BEFORE
+    the explode, so the shuffle to the (doc, term) tf aggregate carries
+    only query-term hits — at 100 TB with a handful of terms that is a
+    vanishing fraction of the corpus. Document-frequency and corpus
+    stats (N, avgdl) are one-row/`|terms|`-row aggregates joined back by
+    BROADCAST; the corpus never re-shuffles.
+
+    Float discipline: idf = ln((N - df + 0.5)/(df + 0.5) + 1) is
+    rounded to 9 decimals (libm ln may differ in the last ulp between
+    engines); every remaining op is IEEE-deterministic on identical
+    inputs, and the per-term contributions are summed in DECIMAL so
+    partial-agg order cannot change the result."""
+    base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("toks"))
+    base = base.select(
+        "doc", "toks", F.size("toks").cast("double").alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("tot_dl"),
+    ).select("n_docs", (F.col("tot_dl") / F.col("n_docs")).alias("avgdl"))
+
+    hits = base.select(
+        "doc",
+        "dl",
+        F.explode(F.filter("toks", lambda t: t.isin(*terms))).alias("term"),
+    )
+    tf = hits.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    scored = tf.join(F.broadcast(df_t), "term").join(F.broadcast(stats))
+    idf = F.round(
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 9)
+    return (
+        scored.select("doc", contrib.cast("decimal(20,9)").alias("c"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
+    )

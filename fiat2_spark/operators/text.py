@@ -429,3 +429,78 @@ def rolling_hash(toks: Column, mod: int = 1_000_000_007, mult: int = 31) -> Colu
         F.lit(0).cast("long"),
         lambda h, t: (h * mult + F.length(t) * 7 + F.ascii(t)) % mod,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (kind, pattern, replacement) applied IN ORDER — emails first so their
+# digit/dot substrings can never be re-matched by the looser ip/number
+# rules. Patterns restrict to constructs whose semantics are identical
+# in Java regex (Spark) and RE2 (DuckDB): character classes, bounded
+# repetition, and \b word boundaries — no backrefs or lookaround.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def redact_pii(text: Column) -> tuple[Column, dict[str, Column]]:
+    """Rule-based PII scrubbing — the pre-training redaction pass every
+    public pipeline runs (emails, IPv4 addresses, long digit runs such
+    as phone/account numbers). Returns ``(redacted_text, counts)`` where
+    ``counts[kind]`` is the number of spans masked by that rule.
+
+    Each rule's count is taken from the text AS ALREADY REDACTED by the
+    preceding rules, so overlapping spans are attributed to exactly one
+    rule and the counts sum to the number of masked spans. Pure
+    ``regexp_extract_all`` / ``regexp_replace`` — JVM-side, codegen'd,
+    no UDF; at 100 TB this is a map-only pass that pushes nothing to a
+    shuffle."""
+    counts: dict[str, Column] = {}
+    cur = text
+    for kind, pat, rep in PII_RULES:
+        counts[kind] = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+        cur = F.regexp_replace(cur, pat, rep)
+    return cur, counts
+
+
+def token_segments(toks: Column, seg_len: int) -> Column:
+    """Split a token array into consecutive fixed-width segments
+    (the last may be shorter): returns array<struct<seg_idx int,
+    seg array<string>>>. Guarded so empty docs yield an empty array
+    (``sequence(0, -1)`` would count DOWN, not produce an empty list)."""
+    n_segs = F.ceil(F.size(toks) / float(seg_len)).cast("int")
+    idxs = F.when(n_segs > 0, F.sequence(F.lit(0), n_segs - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("seg_idx"),
+            F.slice(toks, i * seg_len + 1, seg_len).alias("seg"),
+        ),
+    )
+
+
+def sliding_chunks(toks: Column, width: int, stride: int) -> Column:
+    """Overlapping sliding windows over the token stream — the RAG /
+    context-window chunker: starts at 0, stride, 2·stride, … while the
+    start is inside the document, each chunk covering ``width`` tokens
+    (the final chunks are truncated at the document end). Returns
+    array<struct<chunk_idx int, chunk array<string>>>; empty docs yield
+    no chunks."""
+    n = F.size(toks)
+    n_chunks = F.ceil(n / float(stride)).cast("int")
+    idxs = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idxs,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, width).alias("chunk"),
+        ),
+    )

@@ -1538,3 +1538,200 @@ def vocab_topn(spark, sf_dir):
     toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     return counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# round-4 late wave: PII redaction, span dedup, chunking, BM25
+# ---------------------------------------------------------------------------
+
+_PII_AUG = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+    " || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+    " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || ' ref 99' || lpad(CAST(doc_id % 100000 AS VARCHAR), 5, '0')"
+)
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d{7,}\b"
+
+
+@q(
+    "text_redact_pii",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents),
+    r1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS INT) AS n_email,
+             regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t
+      FROM aug
+    ),
+    r2 AS (
+      SELECT doc_id, n_email,
+             CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS INT) AS n_ipv4,
+             regexp_replace(t, '{_PII_IPV4}', '<IP>', 'g') AS t
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id, n_email, n_ipv4,
+             CAST(len(regexp_extract_all(t, '{_PII_NUM}')) AS INT) AS n_number,
+             regexp_replace(t, '{_PII_NUM}', '<NUM>', 'g') AS t
+      FROM r2
+    )
+    SELECT doc_id, n_email, n_ipv4, n_number,
+           md5(t) AS red_md5, CAST(length(t) AS BIGINT) AS red_len
+    FROM r3
+    """,
+)
+def text_redact_pii(spark, sf_dir):
+    """Rule-based PII scrubbing (emails / IPv4 / long digit runs) — the
+    redaction pass of a pre-training pipeline. The synthetic corpus
+    carries no PII, so each document is first augmented with
+    deterministic doc_id-derived PII (identically in both engines); the
+    operator then masks it and reports per-rule counts plus the md5 of
+    the fully redacted text (a compact full-text equality check).
+    Map-only regexp work, JVM-side — nothing shuffles; see
+    `operators/text.py:redact_pii` for the rule-order contract."""
+    d = tbl(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" ref 99"), F.lpad((F.col("doc_id") % 100000).cast("string"), 5, "0"),
+    )
+    red, counts = TX.redact_pii(aug)
+    return d.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        counts["number"].cast("int").alias("n_number"),
+        F.md5(red).alias("red_md5"),
+        F.length(red).cast("long").alias("red_len"),
+    )
+
+
+@q(
+    "span_dedup",
+    f"""
+    WITH toks AS ({_TOKS}),
+    seg0 AS (
+      SELECT doc_id, toks, CAST(ceil(len(toks)/8.0) AS BIGINT) AS n_segs FROM toks
+    ),
+    keyed AS (
+      SELECT doc_id, seg_idx,
+             md5(array_to_string(list_slice(toks, seg_idx*8+1, seg_idx*8+8), ' ')) AS seg_key,
+             CAST(len(list_slice(toks, seg_idx*8+1, seg_idx*8+8)) AS BIGINT) AS seg_tok
+      FROM (SELECT doc_id, unnest(range(n_segs)) AS seg_idx, toks FROM seg0)
+    ),
+    keep AS (
+      SELECT doc_id, seg_tok,
+             row_number() OVER (PARTITION BY seg_key ORDER BY doc_id, seg_idx) AS rn
+      FROM keyed
+    ),
+    kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(seg_tok) AS BIGINT) AS n_kept_tokens
+      FROM keep WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_segs,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens
+    FROM seg0 s LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def span_dedup(spark, sf_dir):
+    """C4-style duplicated-span removal (Raffel et al. 2020 §2.2):
+    8-token segments, corpus-wide first occurrence survives; per-doc
+    totals vs kept counts. Two hash aggregates and one small doc-keyed
+    join — the segment texts are md5-collapsed before the only wide
+    shuffle (`operators/dedup.py:span_dedup_stats`); the oracle keeps
+    first occurrences with a window over the segment key."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.span_dedup_stats(d, "doc_id", "text", seg_len=8).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+@q(
+    "chunk_sliding",
+    f"""
+    WITH toks AS ({_TOKS}),
+    c0 AS (
+      SELECT doc_id, toks, CAST(ceil(len(toks)/32.0) AS BIGINT) AS n_chunks FROM toks
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx*32+1, chunk_idx*32+64)) AS INT) AS n_chunk_tok,
+           md5(array_to_string(list_slice(toks, chunk_idx*32+1, chunk_idx*32+64), ' ')) AS chunk_md5
+    FROM (SELECT doc_id, unnest(range(n_chunks)) AS chunk_idx, toks FROM c0)
+    """,
+)
+def chunk_sliding(spark, sf_dir):
+    """Overlapping sliding-window chunking (width 64, stride 32) — the
+    RAG / context-window splitter. One in-row transform builds the
+    chunk structs, one explode emits them; no shuffle at all (the plan
+    is scan → project → generate). Each chunk is reported as (index,
+    token count, md5 of its text) so the oracle checks exact chunk
+    contents without array-typed output columns."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.explode(TX.sliding_chunks(TX.tokens(F.col("text")), 64, 32)).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c.chunk").cast("int").alias("n_chunk_tok"),
+        F.md5(F.concat_ws(" ", F.col("c.chunk"))).alias("chunk_md5"),
+    )
+
+
+_BM25_TERMS = ("join", "window", "stream")
+
+
+@q(
+    "bm25_retrieval",
+    f"""
+    WITH toks AS ({_TOKS}),
+    base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl)/CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM base
+    ),
+    hits AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(toks, t -> list_contains([{", ".join(f"'{t}'" for t in _BM25_TERMS)}], t))) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT doc_id,
+             CAST(round(
+               round(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0), 9)
+               * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)),
+             9) AS DECIMAL(20,9)) AS c
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(round(CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS bm25
+    FROM contrib GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 top-20 against a fixed query-term bag — lexical
+    retrieval over the corpus (`operators/similarity.py:bm25_scores`:
+    pre-explode term filter, broadcast df/stat joins, DECIMAL-summed
+    contributions, idf rounded at the libm boundary). Ranking is total
+    (score rounded to 6dp, doc_id tie-break) so both engines pick an
+    identical top-20."""
+    from fiat2_spark.operators import relational as R
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = SIM.bm25_scores(
+        d, "doc_id", TX.tokens(F.col("text")), list(_BM25_TERMS)
+    ).withColumnRenamed("doc", "doc_id")
+    return R.top_k(scored, 20, [F.col("bm25").desc(), F.col("doc_id").asc()])
