@@ -1,0 +1,174 @@
+"""Property tests for the late round-4 pipeline operators (PII
+redaction, span dedup, sliding chunks, BM25) against direct Python
+models — third implementations independent of both the Spark plans and
+the DuckDB oracles, so a shared misreading of a definition can't pass.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from fiat2_spark.operators.dedup import span_dedup_stats
+from fiat2_spark.operators.similarity import bm25_scores
+from fiat2_spark.operators.text import (
+    PII_RULES,
+    redact_pii,
+    sliding_chunks,
+    token_segments,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_VOCAB = ["aa", "bb", "cc", "dd"]
+_DOCS = st.lists(
+    st.lists(st.sampled_from(_VOCAB), max_size=20), min_size=1, max_size=8
+)
+
+
+# -- PII redaction ----------------------------------------------------------
+
+_PII_SNIPPETS = [
+    "x",
+    "bob@example.com",
+    "a.b-c@mail.co",
+    "10.0.0.1",
+    "255.255.255.255",
+    "1234567",
+    "99887766554",
+    "123456",  # six digits: NOT masked
+    "1.2.3",  # three octets: NOT masked
+    "no-at-sign.example.com",
+]
+
+
+@settings(**_SETTINGS)
+@given(parts=st.lists(st.sampled_from(_PII_SNIPPETS), min_size=1, max_size=8))
+def test_redact_pii_matches_python_re(spark, parts):
+    text = " ".join(parts)
+    cur, expected = text, {}
+    for kind, pat, rep in PII_RULES:
+        expected[kind] = len(re.findall(pat, cur))
+        cur = re.sub(pat, rep, cur)
+
+    df = spark.createDataFrame([(text,)], "t string")
+    red, counts = redact_pii(F.col("t"))
+    row = df.select(
+        red.alias("red"), *[counts[k].alias(k) for k, _, _ in PII_RULES]
+    ).first()
+    assert row["red"] == cur
+    for kind, _, _ in PII_RULES:
+        assert row[kind] == expected[kind], kind
+
+
+# -- segments / chunks ------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(toks=st.lists(st.sampled_from(_VOCAB), max_size=25),
+       seg_len=st.integers(min_value=1, max_value=7))
+def test_token_segments_partition_losslessly(spark, toks, seg_len):
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    segs = df.select(token_segments(F.col("toks"), seg_len).alias("s")).first()["s"]
+    # segments concatenated in index order reproduce the token stream
+    assert [i for i, _ in segs] == list(range(len(segs)))
+    flat = [t for _, seg in segs for t in seg]
+    assert flat == toks
+    # every segment but the last is exactly seg_len wide
+    for _, seg in segs[:-1]:
+        assert len(seg) == seg_len
+
+
+@settings(**_SETTINGS)
+@given(toks=st.lists(st.sampled_from(_VOCAB), max_size=25),
+       stride=st.integers(min_value=1, max_value=5),
+       extra=st.integers(min_value=0, max_value=5))
+def test_sliding_chunks_cover_and_overlap(spark, toks, stride, extra):
+    width = stride + extra
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    chunks = df.select(
+        sliding_chunks(F.col("toks"), width, stride).alias("c")
+    ).first()["c"]
+    assert [i for i, _ in chunks] == list(range(len(chunks)))
+    # chunk i covers tokens [i*stride, i*stride+width)
+    for i, chunk in chunks:
+        assert chunk == toks[i * stride : i * stride + width]
+    # coverage: every token position falls in at least one chunk
+    covered = {
+        p for i, chunk in chunks for p in range(i * stride, i * stride + len(chunk))
+    }
+    assert covered == set(range(len(toks)))
+
+
+# -- span dedup -------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(docs=_DOCS, seg_len=st.integers(min_value=1, max_value=4))
+def test_span_dedup_matches_python_model(spark, docs, seg_len):
+    seen: set[str] = set()
+    model = {}
+    for doc_id, toks in enumerate(docs):
+        n_segs = -(-len(toks) // seg_len)
+        kept = kept_tok = 0
+        for i in range(n_segs):
+            seg = " ".join(toks[i * seg_len : (i + 1) * seg_len])
+            if seg not in seen:
+                seen.add(seg)
+                kept += 1
+                kept_tok += len(toks[i * seg_len : (i + 1) * seg_len])
+        model[doc_id] = (n_segs, kept, kept_tok)
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: (r["n_segs"], r["n_kept"], r["n_kept_tokens"])
+        for r in span_dedup_stats(df, "doc_id", "text", seg_len).collect()
+    }
+    assert out == model
+
+
+# -- BM25 -------------------------------------------------------------------
+
+@settings(**_SETTINGS)
+@given(docs=_DOCS)
+def test_bm25_matches_python_model(spark, docs):
+    terms = ["aa", "bb"]
+    k1, b = 1.2, 0.75
+    n_docs = len(docs)
+    avgdl = sum(len(t) for t in docs) / n_docs
+    df_t = {
+        q: sum(1 for toks in docs if q in toks) for q in terms
+    }
+    model = {}
+    for doc_id, toks in enumerate(docs):
+        score = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            if tf == 0 or df_t[q] == 0:
+                continue
+            idf = round(math.log((n_docs - df_t[q] + 0.5) / (df_t[q] + 0.5) + 1.0), 9)
+            contrib = round(
+                idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl)),
+                9,
+            )
+            score += contrib
+        if score > 0 or any(t in toks for t in terms):
+            model[doc_id] = round(score, 6)
+
+    sdf = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(docs)], "doc_id long, toks array<string>"
+    )
+    out = {
+        r["doc"]: r["bm25"]
+        for r in bm25_scores(sdf, "doc_id", F.col("toks"), terms, k1, b).collect()
+    }
+    assert out == {k: v for k, v in model.items()}
