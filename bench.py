@@ -79,6 +79,10 @@ HEADLINE = [
     "profile_columns",              # one-scan ANALYZE stats, Expand multi-distinct
     "upsert_keyed",                 # MERGE via single full outer join
     "group_concat_scalable",        # ordered LISTAGG, no window operator
+    "text_redact_pii",              # ordered-rule PII masking, map-only
+    "span_dedup",                   # C4-style duplicated-span removal
+    "chunk_sliding",                # RAG chunker, zero-shuffle generate
+    "bm25_retrieval",               # lexical retrieval, broadcast stats
 ]
 
 
