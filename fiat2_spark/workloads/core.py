@@ -1246,21 +1246,27 @@ def profile_columns(spark, sf_dir):
     column, then a driver-free unpivot (explode over an array of
     structs on the single agg row) renders the long stats table. The
     multi-distinct agg plans through Catalyst's Expand (one scan
-    multiplied by |cols|, partial-aggregated map-side) — the standard
-    exact-profiling trade; swap countDistinct for approx_count_distinct
-    when ±2% suffices at 100 TB. Mean runs in DECIMAL(18,2) then casts,
-    so Spark/DuckDB summation order cannot break bit-equality."""
+    multiplied by |cols|, partial-aggregated map-side) — and mixing it
+    with the plain aggregates in ONE Aggregate made every Expand copy
+    carry the plain-agg columns too (measured 3.8 s at sf0.1 vs 1.7 s
+    split). The distinct and plain stats therefore run as two
+    single-row aggregates cross-joined at the end: two pruned columnar
+    scans instead of one scan multiplied ×|cols|+1 — the cheaper side
+    of the trade at any scale, and the 1-row × 1-row join is free.
+    Swap countDistinct for approx_count_distinct when ±2% suffices at
+    100 TB. Mean runs in DECIMAL(18,2) then casts, so Spark/DuckDB
+    summation order cannot break bit-equality."""
     l = tbl(spark, sf_dir, "lineitem")
-    aggs = []
+    plain, dist = [], []
     for c in _PROFILE_COLS:
-        aggs += [
+        plain += [
             F.count(F.col(c)).alias(f"n_{c}"),
-            F.countDistinct(F.col(c)).alias(f"d_{c}"),
             F.min(F.col(c)).alias(f"mn_{c}"),
             F.max(F.col(c)).alias(f"mx_{c}"),
             F.round(dsum(F.col(c)) / F.count(F.col(c)), 6).alias(f"avg_{c}"),
         ]
-    wide = l.agg(*aggs)
+        dist.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+    wide = l.agg(*plain).crossJoin(l.agg(*dist))
     return wide.select(
         F.explode(
             F.array(
