@@ -1735,3 +1735,90 @@ def bm25_retrieval(spark, sf_dir):
         d, "doc_id", TX.tokens(F.col("text")), list(_BM25_TERMS)
     ).withColumnRenamed("doc", "doc_id")
     return R.top_k(scored, 20, [F.col("bm25").desc(), F.col("doc_id").asc()])
+
+
+@q(
+    "embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id, round(scale, 6) AS scale,
+           md5(array_to_string(list_transform(embedding,
+             x -> CAST(CASE WHEN scale = 0 THEN 0
+                       ELSE round(CAST(x AS DOUBLE) * 127.0 / scale) END AS INT)
+           ), ',')) AS q_md5
+    FROM s
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the
+    scalar-quantizer (SQ8) compression step of a vector index: per
+    vector, scale = max |x_d| and q_d = round(x_d·127/scale). Map-only
+    in-row arithmetic, no shuffle; the quantized codes are reported as
+    an md5 over the comma-joined ints (full-content equality without an
+    array-typed output). All-zero vectors quantize to zeros, guarded
+    against the 0/0. At 100 TB this is the pass that shrinks a float32
+    index 4× before partition-local IVF lists are written."""
+    e = tbl(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    withs = e.select("vec_id", "embedding", scale.alias("scale"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * 127.0 / F.col("scale")))
+        .cast("int"),
+    )
+    return withs.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))).alias(
+            "q_md5"
+        ),
+    )
+
+
+@q(
+    "stratified_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT lang,
+               CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 10 AS b
+        FROM documents)
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def stratified_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment — the dataset
+    split every training pipeline pins: the split is a pure function of
+    md5(salted doc id) (byte 1 mod 10), so it is stable across runs,
+    engines, and re-shuffles — no RNG state, no seed file. The query
+    reports per-(split, lang) counts; the assignment itself is a
+    scan-side expression a writer would partition by
+    (`write.partitionBy(split)`), shuffling nothing. Same md5-threshold
+    family as `sample_strata` (`_md5_threshold`)."""
+    d = tbl(spark, sf_dir, "documents")
+    b = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    split = (
+        F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
