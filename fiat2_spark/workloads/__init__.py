@@ -55,16 +55,19 @@ PRIORITY = (
     # round-4 sampling/packing additions (sample_strata / sample_group_k
     # rotated out on their green CORRECTNESS_r03 rows, code unchanged)
     "sample_weighted", "pack_sequences",
-    # stream: incremental maintenance / event-time (json_extract rotated
-    # out on its green CORRECTNESS_r03 row, code unchanged)
-    "incremental_sum", "incremental_min_orders", "incremental_groupby",
-    # asof_join/sessionize/stream_window_agg rotate out on green
-    # CORRECTNESS_r03 rows (stream.py changes since are purely
-    # additive); the scalable ordered LISTAGG, the keyed MERGE upsert,
-    # and the IVF-training centroid aggregation take the slots
+    # stream: incremental maintenance / event-time (json_extract,
+    # incremental_sum/min_orders/groupby, rollup_multires,
+    # range_join_binned, and stream_stream_join all rotate out on green
+    # CORRECTNESS_r03 rows — their query blocks and the maintenance/
+    # stream_agg code they touch are additive-only since r3; the
+    # session-late pipeline ops take the slots so every registered
+    # query has driver evidence within one round of landing
+    "text_redact_pii", "span_dedup", "chunk_sliding",
+    # the scalable ordered LISTAGG, the keyed MERGE upsert,
+    # and the IVF-training centroid aggregation (round-4 wave 1)
     "embedding_centroids", "upsert_keyed", "group_concat_scalable",
-    "rollup_multires", "range_join_binned", "keyed_agg_maintenance",
-    "stream_stream_join",
+    "bm25_retrieval", "embedding_quantize", "keyed_agg_maintenance",
+    "stratified_split",
     # round-4: benchmark decontamination (3-gram overlap vs held-out set)
     "decontaminate",
     # server parity (2)
