@@ -473,6 +473,56 @@ def test_upsert_keyed_full_outer_hash_or_smj(spark):
 def test_profile_columns_expand_multi_distinct(spark):
     """Exact multi-column countDistinct plans through Catalyst's Expand
     (the documented one-scan-multiplied-by-|cols| trade) with map-side
-    partial aggregation."""
+    partial aggregation — and since the round-4 split, the Expand side
+    carries ONLY the distinct aggregates: the plain stats run as a
+    separate single-row aggregate joined back, so Expand copies stay
+    narrow (measured 2.2× at sf0.1)."""
     p = plan_of(QUERIES["profile_columns"](spark, SF_SMOKE))
     assert "Expand" in p and "partial_" in p
+    # the two 1-row aggregates meet in a (trivial) nested-loop cross
+    # join; the plain min/max/sum never ride the Expand
+    assert "BroadcastNestedLoopJoin" in p
+    expand = p[p.index("Expand"):]
+    assert "partial_min" not in expand.split("Expand")[0]
+
+
+def test_text_redact_pii_map_only(spark):
+    """PII redaction is a pure scan→project pass — no exchange at all."""
+    p = plan_of(QUERIES["text_redact_pii"](spark, SF_SMOKE))
+    assert "Exchange" not in p
+
+
+def test_chunk_sliding_zero_shuffle(spark):
+    """The sliding chunker is scan → project → generate — no exchange."""
+    p = plan_of(QUERIES["chunk_sliding"](spark, SF_SMOKE))
+    assert "Exchange" not in p
+    assert "Generate" in p
+
+
+def test_embedding_quantize_map_only(spark):
+    p = plan_of(QUERIES["embedding_quantize"](spark, SF_SMOKE))
+    assert "Exchange" not in p
+
+
+def test_span_dedup_shuffles_digests_not_text(spark):
+    """The only wide exchanges in span dedup are keyed by the md5
+    segment digest or the doc id — the raw text/token columns never
+    appear in an exchange's output schema (they are projected away
+    before the explode's aggregate)."""
+    p = plan_of(QUERIES["span_dedup"](spark, SF_SMOKE))
+    # hash partial aggregation on both aggregates
+    assert "partial_min" in p or "partial_" in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line and "segs#" not in line
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """BM25 joins the tf stream to the |terms|-row df relation and the
+    1-row corpus stats by broadcast — the corpus-side stream never
+    re-exchanges for those joins."""
+    p = plan_of(QUERIES["bm25_retrieval"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row stats cross join
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-20, no global sort
