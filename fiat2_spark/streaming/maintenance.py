@@ -301,3 +301,72 @@ def dedup_corpus_foreach_batch(stream: DataFrame, corpus: DedupCorpus, sink: lis
         sink.extend(corpus.ingest(batch_df).collect())
 
     return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
+
+
+class SpanDedupCorpus:
+    """Incremental SPAN-level corpus-growth dedup — the streaming form
+    of the `span_dedup` query (C4-style duplicated-span removal, Raffel
+    et al. 2020 §2.2) for a corpus ingested in batches: the state is
+    the accumulated set of seen segment digests; each batch keeps, per
+    document, only segments that are corpus-novel AND the batch's own
+    first occurrence.
+
+    Per batch: segment + digest the documents (text never enters the
+    state), intra-batch keeper = min(doc, seg_idx) per digest,
+    anti-join the seen set, fold survivors into the seen set. With
+    batches arriving in doc-id order the accumulated kept-segment
+    ownership equals the one-shot `span_dedup_stats` over the whole
+    corpus (tested). State is digest-only — at production scale a
+    bucketed parquet table keyed by digest so anti-join and append
+    co-locate shuffle-free."""
+
+    def __init__(self, spark, seg_len: int = 8):
+        self.seg_len = seg_len
+        self.seen = spark.createDataFrame([], "seg_key string").localCheckpoint()
+
+    def _segments(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from fiat2_spark.operators.text import token_segments, tokens
+
+        return (
+            docs.select(
+                F.col(id_col).alias("doc"),
+                F.explode(token_segments(tokens(F.col(text_col)), self.seg_len)).alias("s"),
+            )
+            .select(
+                "doc",
+                F.col("s.seg_idx").alias("seg_idx"),
+                F.md5(F.concat_ws(" ", F.col("s.seg"))).alias("seg_key"),
+                F.size("s.seg").cast("long").alias("seg_tok"),
+            )
+        )
+
+    def ingest(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Returns per-doc kept stats (doc, n_kept, n_kept_tokens) for
+        this batch's corpus-novel first-occurrence segments; updates the
+        seen set. Documents whose segments are all already seen get no
+        row (the batch-level caller may left-join totals if needed)."""
+        segs = self._segments(docs, id_col, text_col)
+        keepers = segs.groupBy("seg_key").agg(
+            F.min(F.struct("doc", "seg_idx", "seg_tok")).alias("k")
+        )
+        novel = keepers.join(self.seen, "seg_key", "left_anti").localCheckpoint()
+        self.seen = self.seen.unionByName(novel.select("seg_key")).localCheckpoint()
+        return novel.groupBy(F.col("k.doc").alias("doc")).agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("k.seg_tok").cast("long").alias("n_kept_tokens"),
+        )
+
+
+def span_dedup_corpus_foreach_batch(
+    stream: DataFrame, corpus: SpanDedupCorpus, sink: list,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Drive ``SpanDedupCorpus`` from a Structured Streaming source:
+    each micro-batch's per-doc kept-segment stats append to ``sink``.
+    Naturally idempotent — a redelivered batch's digests are already in
+    the seen set and contribute nothing."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.extend(corpus.ingest(batch_df, id_col, text_col).collect())
+
+    return stream.writeStream.outputMode("append").foreachBatch(_apply).start()

@@ -388,3 +388,51 @@ def test_watermark_drops_late_rows_in_append_mode(spark):
     # the [0,5) window closed with n=2; the late 3rd event was dropped.
     assert (0, 2) in got
     assert (0, 3) not in got
+
+
+def test_span_dedup_corpus_streaming_matches_batch(spark):
+    """Span-level corpus-growth dedup driven by a real file stream:
+    doc-id-ordered batches (duplicate segments within docs, across
+    docs, and across batches) ingest one micro-batch at a time; the
+    accumulated per-doc kept stats must equal the one-shot
+    span_dedup_stats over the whole corpus (restricted to docs that
+    kept at least one segment)."""
+    import os
+    import tempfile
+
+    from fiat2_spark.operators.dedup import span_dedup_stats
+    from fiat2_spark.streaming.maintenance import (
+        SpanDedupCorpus, span_dedup_corpus_foreach_batch,
+    )
+
+    words = ["aa", "bb", "cc"]
+    docs = [
+        (i, " ".join(words[(i + j) % 3] for j in range(5 + i % 4)))
+        for i in range(12)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = tempfile.mkdtemp(prefix="fiat2_spanstream_")
+    # doc-id-ordered batches: batch b holds docs [3b, 3b+3)
+    for b in range(4):
+        sdf.filter((F.col("doc_id") >= 3 * b) & (F.col("doc_id") < 3 * (b + 1))) \
+            .coalesce(1).write.parquet(os.path.join(stage, f"b{b}"))
+    corpus = SpanDedupCorpus(spark, seg_len=2)
+    sink: list = []
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = span_dedup_corpus_foreach_batch(stream, corpus, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc"]: (r["n_kept"], r["n_kept_tokens"]) for r in sink}
+    oneshot = {
+        r["doc"]: (r["n_kept"], r["n_kept_tokens"])
+        for r in span_dedup_stats(sdf, "doc_id", "text", seg_len=2).collect()
+        if r["n_kept"] > 0
+    }
+    assert got == oneshot
