@@ -162,3 +162,85 @@ def bfs(spark, sf_dir):
     out = visited.select("node", "depth")
     e.unpersist()
     return out
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled PageRank iterations as chained CTEs — same rounding/
+    DECIMAL discipline as the Spark side, so the floats match bitwise."""
+    base = f"""
+    WITH edges AS ({_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, round(1.0/n, 12) AS pr FROM nodes CROSS JOIN nn)"""
+    for k in range(1, iters + 1):
+        base += f""",
+    c{k} AS (
+      SELECT e.dst AS node,
+             CAST(round(p.pr/o.deg, 12) AS DECIMAL(28,12)) AS c
+      FROM edges e JOIN pr{k-1} p ON p.node = e.src
+      JOIN outdeg o ON o.src = e.src
+    ),
+    s{k} AS (SELECT node, SUM(c) AS sc FROM c{k} GROUP BY node),
+    pr{k} AS (
+      SELECT nd.node,
+             round(0.15/n + 0.85*COALESCE(CAST(s.sc AS DOUBLE), 0.0), 12) AS pr
+      FROM nodes nd CROSS JOIN nn LEFT JOIN s{k} s ON s.node = nd.node
+    )"""
+    return base + f"""
+    SELECT node, pr FROM pr{iters}"""
+
+
+@q("pagerank3", _pagerank_oracle(3))
+def pagerank3(spark, sf_dir):
+    """Three PageRank iterations (damping 0.85) over the derived edge
+    graph — the canonical iterative-join algorithm, driver-orchestrated
+    like `bfs` but with a fixed unrolled step count so the oracle is an
+    unrolled CTE chain. Per iteration: contribution = pr/out-degree
+    rounded to 12dp and summed in DECIMAL (partial-agg order can't
+    move a bit), then pr' = 0.15/N + 0.85·sum re-rounded to 12dp —
+    both engines evaluate bit-identical doubles at every step.
+    Dangling-node mass is NOT redistributed (documented departure from
+    the lecture-notes formulation; the derived graph has none at the
+    tested SFs and the oracle applies the identical rule). Each
+    iteration is a broadcast-size join here; at scale pr and outdeg
+    partition by node and the edge exchange is reused across
+    iterations — the iterative-state discipline (`localCheckpoint`
+    lineage truncation) follows `bfs`."""
+    e = _edges(spark, sf_dir).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = float(nodes.count())
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    pr = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), 12).alias("pr"))
+    for _ in range(3):
+        contribs = (
+            e.join(pr, pr.node == e.src)
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("pr") / F.col("deg"), 12)
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+        )
+        sums = contribs.groupBy("node").agg(F.sum("c").alias("sc"))
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(0.15) / F.lit(n)
+                    + F.lit(0.85) * F.coalesce(F.col("sc").cast("double"), F.lit(0.0)),
+                    12,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    e.unpersist()
+    return pr
