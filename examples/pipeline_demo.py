@@ -48,6 +48,14 @@ def main() -> None:
     docs = tbl(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. redact: rule-based PII scrub (emails / IPv4 / digit runs) --------
+    red, red_counts = TX.redact_pii(F.col("text"))
+    docs = docs.select(
+        "doc_id", "lang", "source",
+        red.alias("text"),
+        sum(red_counts.values()).alias("n_redactions"),
+    )
+
     # 1. profile: quality composite + repetition signals ------------------
     toks = TX.tokens(F.col("text"))
     base = docs.select(
@@ -87,6 +95,14 @@ def main() -> None:
         "left_anti",
     )
     n_dedup = near.count()
+
+    # 3b. span-level gate: drop docs that are mostly recycled spans -------
+    spans = D.span_dedup_stats(near, "doc_id", "text", seg_len=8)
+    fresh_enough = spans.filter(
+        F.col("n_kept") * 2 >= F.col("n_segs")
+    ).select(F.col("doc").alias("doc_id"))
+    near = near.join(fresh_enough, "doc_id")
+    n_span = near.count()
 
     # 4. decontaminate: 3-gram overlap vs a held-out slice ----------------
     bench = near.filter(F.col("doc_id") % 97 == 0).select(
@@ -129,12 +145,29 @@ def main() -> None:
     n_packed = packed.count()
     n_packs = packed.select("lang", "pack_id").distinct().count()
 
+    # 6. split: deterministic 80/10/10 train/val/test ---------------------
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 2
+            ),
+            16, 10,
+        ).cast("int")
+        % 10
+    )
+    split = F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    split_counts = dict(
+        packed.select(split.alias("split")).groupBy("split").count().collect()
+    )
+
     print(f"corpus                 : {n0}")
     print(f"after quality gate     : {n_gate}")
     print(f"after exact+near dedup : {n_dedup}")
+    print(f"after span-dedup gate  : {n_span}")
     print(f"after decontamination  : {n_clean}")
     print(f"training docs (mixed)  : {n_packed}")
     print(f"context windows packed : {n_packs}")
+    print(f"split sizes            : {split_counts}")
 
 
 if __name__ == "__main__":
