@@ -100,10 +100,11 @@ PRIORITY = (
     # rank family (percentile_cont / tpch_q3_shape rotated out on their
     # green CORRECTNESS_r03 rows)
     "grouped_rownum_scalable", "grouped_rank_family_scalable",
-    # incremental join-aggregate maintenance (delta joins) + round-4
-    # compo_idx multi-index maintenance (multimodal_resize rotated out
-    # on its green CORRECTNESS_r03 row)
-    "incremental_join", "incremental_multi_index",
+    # round-4 compo_idx multi-index maintenance (multimodal_resize and
+    # incremental_join rotated out on green CORRECTNESS_r03 rows —
+    # JoinAggView changes since r3 are additive-only) + the iterative
+    # PageRank landing with fresh driver evidence
+    "pagerank3", "incremental_multi_index",
     # core picks: rows without other in-window evidence + fresh fixes;
     # window_rownum re-enters because the round-4 _value_buckets
     # refactor touched global_row_number under its r2 row
