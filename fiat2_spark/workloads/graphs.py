@@ -208,7 +208,13 @@ def pagerank3(spark, sf_dir):
     partition by node and the edge exchange is reused across
     iterations — the iterative-state discipline (`localCheckpoint`
     lineage truncation) follows `bfs`."""
-    e = _edges(spark, sf_dir).persist()
+    return pagerank(_edges(spark, sf_dir), iters=3)
+
+
+def pagerank(edges, iters: int = 3):
+    """The reusable iteration over an arbitrary (src, dst) edge
+    DataFrame — see `pagerank3` for the determinism contract."""
+    e = edges.persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -218,7 +224,7 @@ def pagerank3(spark, sf_dir):
     n = float(nodes.count())
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
     pr = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), 12).alias("pr"))
-    for _ in range(3):
+    for _ in range(iters):
         contribs = (
             e.join(pr, pr.node == e.src)
             .join(outdeg, "src")

@@ -98,3 +98,41 @@ def test_dedup_corpus_random_batch_sequences(spark):
         want = {fp for _, fp in arrivals} - base_fps
         assert got == want
         assert len(out) == len(want)  # each novel fp exactly once
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(edges=st.sets(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=16,
+))
+def test_pagerank_matches_python_model(spark, edges):
+    """The distributed PageRank loop vs a direct Python power iteration
+    applying the identical 12dp-round discipline at every step — on
+    random small digraphs including dangling nodes and sinks."""
+    from fiat2_spark.workloads.graphs import pagerank
+
+    nodes = sorted({v for e in edges for v in e})
+    n = float(len(nodes))
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    from decimal import Decimal
+
+    pr = {v: round(1.0 / n, 12) for v in nodes}
+    for _ in range(3):
+        # contributions accumulate in Decimal exactly as Spark's
+        # DECIMAL(28,12) sum does — float accumulation could drift a ulp
+        # across a 12dp rounding boundary
+        sums: dict = {}
+        for s, d in edges:
+            c = round(pr[s] / float(outdeg[s]), 12)
+            sums[d] = sums.get(d, Decimal(0)) + Decimal(f"{c:.12f}")
+        pr = {
+            v: round(0.15 / n + 0.85 * float(sums.get(v, Decimal(0))), 12)
+            for v in nodes
+        }
+
+    e = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(e, iters=3).collect()}
+    assert got == pr
