@@ -83,6 +83,9 @@ HEADLINE = [
     "span_dedup",                   # C4-style duplicated-span removal
     "chunk_sliding",                # RAG chunker, zero-shuffle generate
     "bm25_retrieval",               # lexical retrieval, broadcast stats
+    "embedding_quantize",           # SQ8 int8 quantizer, map-only
+    "stratified_split",             # md5 train/val/test assignment
+    "pagerank3",                    # iterative joins, checkpointed state
 ]
 
 
