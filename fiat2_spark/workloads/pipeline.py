@@ -1765,16 +1765,22 @@ def embedding_quantize(spark, sf_dir):
     index 4× before partition-local IVF lists are written."""
     e = tbl(spark, sf_dir, "embeddings")
     scale = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
-    withs = e.select("vec_id", "embedding", scale.alias("scale"))
+    # the exact scale column must NOT share a name with the rounded
+    # output: Spark 4's lateral column alias resolution would bind the
+    # quantizer's `scale` reference to the ROUNDED alias in the same
+    # select list, shifting near-half codes by one (caught by the
+    # sf0.001 oracle: q = round(x·127/0.33596) ≠ round(x·127/0.335959…)
+    # at x·127/s ≈ -56.5000…)
+    withs = e.select("vec_id", "embedding", scale.alias("__scale"))
     q = F.transform(
         F.col("embedding"),
-        lambda x: F.when(F.col("scale") == 0, F.lit(0))
-        .otherwise(F.round(x.cast("double") * 127.0 / F.col("scale")))
+        lambda x: F.when(F.col("__scale") == 0, F.lit(0))
+        .otherwise(F.round(x.cast("double") * 127.0 / F.col("__scale")))
         .cast("int"),
     )
     return withs.select(
         "vec_id",
-        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(F.col("__scale"), 6).alias("scale"),
         F.md5(F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))).alias(
             "q_md5"
         ),

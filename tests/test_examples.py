@@ -24,9 +24,15 @@ def _run(script: str, capsys):
 def test_pipeline_demo_runs(spark, capsys):
     out = _run("examples/pipeline_demo.py", capsys)
     assert "corpus" in out and "context windows packed" in out
-    # the funnel only narrows
-    nums = [int(l.rsplit(":", 1)[1]) for l in out.strip().splitlines() if ":" in l]
-    assert all(a >= b for a, b in zip(nums[:4], nums[1:5]))
+    assert "split sizes" in out
+    # the funnel only narrows (count lines only; the split-sizes line
+    # prints a dict, not a single count)
+    nums = [
+        int(l.rsplit(":", 1)[1])
+        for l in out.strip().splitlines()
+        if ":" in l and l.rsplit(":", 1)[1].strip().isdigit()
+    ]
+    assert all(a >= b for a, b in zip(nums[:5], nums[1:6]))
 
 
 def test_dsl_demo_runs(spark, capsys):
