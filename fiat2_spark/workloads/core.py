@@ -1831,6 +1831,66 @@ def tpch_q18_shape(spark, sf_dir):
 
 
 @q(
+    "tpch_q5_shape",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_shape(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume) — the six-table join:
+    region gates nation (broadcast), nation gates supplier AND customer
+    (broadcast), the orders date filter pushes to its scan, and the
+    only large-large join is lineitem⋈orders on the order key; the
+    c_nationkey = s_nationkey residual rides the supplier join rather
+    than forcing an extra exchange. Revenue aggregates partial→final
+    in DECIMAL over a handful of nation groups. At 100 TB the fact
+    table is touched once, all dimension sides broadcast, and the
+    shuffle after the partial agg carries |nations| rows."""
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = tbl(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = tbl(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@q(
     "agg_reuse",
     """
     WITH rev AS (
