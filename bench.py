@@ -86,6 +86,7 @@ HEADLINE = [
     "embedding_quantize",           # SQ8 int8 quantizer, map-only
     "stratified_split",             # md5 train/val/test assignment
     "pagerank3",                    # iterative joins, checkpointed state
+    "tpch_q5_shape",                # six-table join, broadcast dim chain
 ]
 
 
