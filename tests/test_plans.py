@@ -526,3 +526,14 @@ def test_bm25_broadcasts_stats_and_df(spark):
     assert "BroadcastNestedLoopJoin" in p  # 1-row stats cross join
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-20, no global sort
+
+
+def test_tpch_q5_shape_plan(spark):
+    """Q5: supplier/nation/region ride broadcasts; no cartesian; the
+    same-nation residual doesn't degrade the supplier join to a
+    nested loop; partial agg before the final nation group."""
+    p = plan_of(QUERIES["tpch_q5_shape"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "partial_sum" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in p or "o_orderdate" in p
