@@ -87,6 +87,7 @@ HEADLINE = [
     "stratified_split",             # md5 train/val/test assignment
     "pagerank3",                    # iterative joins, checkpointed state
     "tpch_q5_shape",                # six-table join, broadcast dim chain
+    "tpch_q14_shape",               # conditional aggregation ratio
 ]
 
 

@@ -1891,6 +1891,48 @@ def tpch_q5_shape(spark, sf_dir):
 
 
 @q(
+    "tpch_q14_shape",
+    """
+    SELECT CAST(round(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-02-01'
+    """,
+)
+def tpch_q14_shape(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect) — CONDITIONAL aggregation:
+    one pass computes both the CASE-gated promo revenue and total
+    revenue (no second scan, no self-join), both in DECIMAL so the
+    ratio's operands are bit-exact before the one double division.
+    The month filter pushes to the lineitem scan; part broadcasts. The
+    output is a single ratio row — the aggregate everything upstream
+    collapses into."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    p = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@q(
     "agg_reuse",
     """
     WITH rev AS (
