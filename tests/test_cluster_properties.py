@@ -117,19 +117,32 @@ def test_pagerank_matches_python_model(spark, edges):
     outdeg = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
-    from decimal import Decimal
+    from decimal import ROUND_HALF_UP, Decimal
 
-    pr = {v: round(1.0 / n, 12) for v in nodes}
+    def r12(x: float) -> float:
+        # round the way BOTH engines do: Spark's round(double, d) goes
+        # through Double.toString (shortest round-trip decimal) then
+        # BigDecimal HALF_UP, and DuckDB behaves identically (verified:
+        # round(0.142857142857/2, 12) = ...429 in both, though the
+        # binary value sits BELOW the half) — Python's built-in round()
+        # uses the true binary value and disagrees exactly at printed
+        # ties (hypothesis found edges={(0,2),(0,4),(0,5),(1,3),(1,6)}:
+        # pr/2 of a 12dp value with odd last digit prints as a .5 tie)
+        return float(
+            Decimal(repr(float(x))).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    pr = {v: r12(1.0 / n) for v in nodes}
     for _ in range(3):
         # contributions accumulate in Decimal exactly as Spark's
         # DECIMAL(28,12) sum does — float accumulation could drift a ulp
         # across a 12dp rounding boundary
         sums: dict = {}
         for s, d in edges:
-            c = round(pr[s] / float(outdeg[s]), 12)
+            c = r12(pr[s] / float(outdeg[s]))
             sums[d] = sums.get(d, Decimal(0)) + Decimal(f"{c:.12f}")
         pr = {
-            v: round(0.15 / n + 0.85 * float(sums.get(v, Decimal(0))), 12)
+            v: r12(0.15 / n + 0.85 * float(sums.get(v, Decimal(0))))
             for v in nodes
         }
 

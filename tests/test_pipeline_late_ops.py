@@ -138,6 +138,18 @@ def test_span_dedup_matches_python_model(spark, docs, seg_len):
 
 # -- BM25 -------------------------------------------------------------------
 
+def _r(x: float, d: int) -> float:
+    """Round like BOTH engines: shortest round-trip decimal repr,
+    then HALF_UP — Spark's round(double, d) goes through
+    Double.toString + BigDecimal HALF_UP and DuckDB matches it;
+    Python's value-based banker's round() disagrees at printed ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(Decimal(f"1e-{d}"), rounding=ROUND_HALF_UP)
+    )
+
+
 @settings(**_SETTINGS)
 @given(docs=_DOCS)
 def test_bm25_matches_python_model(spark, docs):
@@ -155,14 +167,14 @@ def test_bm25_matches_python_model(spark, docs):
             tf = toks.count(q)
             if tf == 0 or df_t[q] == 0:
                 continue
-            idf = round(math.log((n_docs - df_t[q] + 0.5) / (df_t[q] + 0.5) + 1.0), 9)
-            contrib = round(
+            idf = _r(math.log((n_docs - df_t[q] + 0.5) / (df_t[q] + 0.5) + 1.0), 9)
+            contrib = _r(
                 idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(toks) / avgdl)),
                 9,
             )
             score += contrib
         if score > 0 or any(t in toks for t in terms):
-            model[doc_id] = round(score, 6)
+            model[doc_id] = _r(score, 6)
 
     sdf = spark.createDataFrame(
         [(i, toks) for i, toks in enumerate(docs)], "doc_id long, toks array<string>"
