@@ -88,6 +88,8 @@ HEADLINE = [
     "pagerank3",                    # iterative joins, checkpointed state
     "tpch_q5_shape",                # six-table join, broadcast dim chain
     "tpch_q14_shape",               # conditional aggregation ratio
+    "funnel_conversion",            # two-step event funnel, user-keyed aggs
+    "retention_cohorts",            # cohort retention matrix, no windows
 ]
 
 

@@ -455,3 +455,91 @@ def stream_stream_join(spark, sf_dir):
         "user_id",
         max_gap_minutes=10,
     )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH base AS (
+      SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'click') AS t1
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN base b ON b.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND b.t1 IS NOT NULL AND e.ts > b.t1
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t1) AS BIGINT) AS n_clicked,
+           CAST(COUNT(t2) AS BIGINT) AS n_converted
+    FROM base LEFT JOIN conv USING (user_id)
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Two-step event funnel (click → later purchase) — the classic
+    product-analytics ask: of all users, how many ever clicked, and of
+    those, how many purchased strictly AFTER their first click. Two
+    aggregations and one join, all keyed by user_id — co-partitioned,
+    so the second agg and the join reuse the first shuffle's
+    partitioning; no window, no per-user event lists. The ordering
+    condition lives in the join filter, so only purchase events ever
+    join. At 100 TB the only data-sized pass is the first per-user
+    aggregate."""
+    ev = tbl(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t1")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(base.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return base.join(conv, "user_id", "left").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("n_clicked"),
+        F.count("t2").cast("long").alias("n_converted"),
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH fu AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT f.cohort,
+           CAST((epoch(a.wk) - epoch(f.cohort)) / 604800 AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM fu f JOIN act a USING (user_id)
+    GROUP BY f.cohort, week_offset
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — users grouped by first-activity week,
+    counted in every subsequent week they return: the second canonical
+    product-analytics shape. Per-user first week (one agg), distinct
+    (user, week) activity (map-side-collapsed distinct), join keyed by
+    user, then a tiny (cohort, offset) aggregate. Weeks are
+    date_trunc('week') in both engines (ISO Monday start, UTC session),
+    so the offset division by 604800 s is exact. No window functions;
+    every shuffle is keyed by user_id or by the small cohort pair."""
+    ev = tbl(spark, sf_dir, "events")
+    fu = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    return (
+        fu.join(act, "user_id")
+        .groupBy(
+            "cohort",
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
