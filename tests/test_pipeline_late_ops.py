@@ -184,3 +184,82 @@ def test_bm25_matches_python_model(spark, docs):
         for r in bm25_scores(sdf, "doc_id", F.col("toks"), terms, k1, b).collect()
     }
     assert out == {k: v for k, v in model.items()}
+
+
+# -- event analytics (funnel / retention) -----------------------------------
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),          # user_id
+        st.sampled_from(["click", "purchase", "view"]), # event_type
+        st.integers(min_value=0, max_value=40),         # day offset
+    ),
+    min_size=1, max_size=30,
+)
+
+
+def _write_events(spark, tmpdir, rows):
+    import datetime
+    import os
+
+    base = datetime.datetime(2024, 1, 1)
+    data = [
+        (i, base + datetime.timedelta(days=d), u, t, 1.0, "{}")
+        for i, (u, t, d) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(tmpdir, "events.parquet"))
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENTS)
+def test_funnel_conversion_matches_python_model(spark, rows):
+    import tempfile
+
+    from fiat2_spark.workloads import QUERIES
+
+    # model: per user, first click ts; converted iff any purchase later
+    t1 = {}
+    for u, t, d in rows:
+        if t == "click":
+            t1[u] = min(t1.get(u, d), d)
+    users = {u for u, _, _ in rows}
+    converted = {
+        u for u, t, d in rows
+        if t == "purchase" and u in t1 and d > t1[u]
+    }
+    tmpdir = tempfile.mkdtemp(prefix="fiat2_funnel_")
+    _write_events(spark, tmpdir, rows)
+    r = QUERIES["funnel_conversion"](spark, tmpdir).first()
+    assert (r["n_users"], r["n_clicked"], r["n_converted"]) == (
+        len(users), len(t1), len(converted),
+    )
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENTS)
+def test_retention_cohorts_matches_python_model(spark, rows):
+    import tempfile
+
+    from fiat2_spark.workloads import QUERIES
+
+    # model: ISO-Monday week index of day offset (2024-01-01 is a Monday)
+    first_wk = {}
+    for u, _, d in rows:
+        first_wk[u] = min(first_wk.get(u, d // 7), d // 7)
+    cells: dict = {}
+    for u, _, d in rows:
+        key = (first_wk[u], d // 7 - first_wk[u])
+        cells.setdefault(key, set()).add(u)
+    model = {k: len(v) for k, v in cells.items()}
+
+    tmpdir = tempfile.mkdtemp(prefix="fiat2_retention_")
+    _write_events(spark, tmpdir, rows)
+    got = {}
+    for r in QUERIES["retention_cohorts"](spark, tmpdir).collect():
+        wk0 = (r["cohort"] - __import__("datetime").datetime(2024, 1, 1)).days // 7
+        got[(wk0, r["week_offset"])] = r["n_users"]
+    assert got == model
