@@ -90,6 +90,9 @@ HEADLINE = [
     "tpch_q14_shape",               # conditional aggregation ratio
     "funnel_conversion",            # two-step event funnel, user-keyed aggs
     "retention_cohorts",            # cohort retention matrix, no windows
+    "anomaly_zscore",               # one-pass moments, broadcast scoring
+    "gapfill_daily",                # time-series densification, in-row grid
+    "length_histogram",             # corpus length distribution
 ]
 
 

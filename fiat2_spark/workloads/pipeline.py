@@ -1828,3 +1828,25 @@ def stratified_split(spark, sf_dir):
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@q(
+    "length_histogram",
+    f"""
+    WITH toks AS ({_TOKS})
+    SELECT CAST(floor(len(toks) / 16) * 16 AS BIGINT) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks GROUP BY bucket_lo
+    """,
+)
+def length_histogram(spark, sf_dir):
+    """Token-length histogram (width-16 buckets) — the first plot every
+    corpus analysis draws. One partial-aggregated groupBy over a pure
+    bucket expression; the shuffle carries |buckets| rows."""
+    d = tbl(spark, sf_dir, "documents")
+    n = TX.token_count(TX.tokens(F.col("text")))
+    return (
+        d.select((F.floor(n / 16) * 16).cast("long").alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -543,3 +543,98 @@ def retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@q(
+    "anomaly_zscore",
+    """
+    WITH st AS (
+      SELECT event_type,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           round((value - mu) / sqrt(greatest(m2 - mu * mu, 1e-12)), 6) AS z
+    FROM events e JOIN st ON e.event_type = st.event_type
+    WHERE abs((value - mu) / sqrt(greatest(m2 - mu * mu, 1e-12))) > 3
+    """,
+)
+def anomaly_zscore(spark, sf_dir):
+    """Per-type z-score outlier flagging — the simplest streaming-able
+    anomaly detector: one DECIMAL-exact pass computes per-type mean and
+    second moment (sum and sum-of-squares are exact, so both engines
+    derive bit-identical doubles), broadcast back onto the stream, and
+    events with |z| > 3 are flagged. The variance uses the one-pass
+    E[x²]−μ² identity with an epsilon floor (all-equal groups).
+    At 100 TB the stats side is |event types| rows — always a
+    broadcast; the scan is touched twice (stats, scoring) or once in
+    the streaming form where stats come from the maintained view."""
+    ev = tbl(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    st = ev.groupBy("event_type").agg(
+        (F.sum(v).cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum(v * v).cast("double") / F.count(F.lit(1))).alias("m2"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.sqrt(
+        F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12))
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type", F.round(z, 6).alias("z"))
+    )
+
+
+@q(
+    "gapfill_daily",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, day
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    )
+    SELECT g.user_id, strftime(CAST(g.day AS DATE), '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+    FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND CAST(d.day AS DATE) = CAST(g.day AS DATE)
+    """,
+)
+def gapfill_daily(spark, sf_dir):
+    """Time-series densification (gap fill): per user, every calendar
+    day between their first and last activity, with 0 for silent days —
+    the prerequisite for any rolling-window statistic over regular
+    series. The grid generates in-row (sequence over the per-user date
+    bounds, one explode), so no driver loop and no cross join; the
+    left join back to the daily counts is keyed (user, day) — both
+    sides co-partition on user_id. Grid size is bounded by the span,
+    not the event count."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            # ISO string at the boundary: DuckDB's pandas bridge maps
+            # DATE to datetime64 (renders with 00:00:00) while Spark
+            # yields date objects — strings compare identically
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
