@@ -263,3 +263,30 @@ def test_retention_cohorts_matches_python_model(spark, rows):
         wk0 = (r["cohort"] - __import__("datetime").datetime(2024, 1, 1)).days // 7
         got[(wk0, r["week_offset"])] = r["n_users"]
     assert got == model
+
+
+@settings(**_SETTINGS)
+@given(rows=_EVENTS)
+def test_gapfill_daily_matches_python_model(spark, rows):
+    import datetime
+    import tempfile
+
+    from fiat2_spark.workloads import QUERIES
+
+    # model: per user, every day in [min, max] with its event count
+    days: dict = {}
+    for u, _, d in rows:
+        days.setdefault(u, []).append(d)
+    model = {}
+    base = datetime.date(2024, 1, 1)
+    for u, ds in days.items():
+        for d in range(min(ds), max(ds) + 1):
+            model[(u, (base + datetime.timedelta(days=d)).isoformat())] = ds.count(d)
+
+    tmpdir = tempfile.mkdtemp(prefix="fiat2_gapfill_")
+    _write_events(spark, tmpdir, rows)
+    got = {
+        (r["user_id"], r["day"]): r["n_events"]
+        for r in QUERIES["gapfill_daily"](spark, tmpdir).collect()
+    }
+    assert got == model
