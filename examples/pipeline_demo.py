@@ -146,16 +146,10 @@ def main() -> None:
     n_packs = packed.select("lang", "pack_id").distinct().count()
 
     # 6. split: deterministic 80/10/10 train/val/test ---------------------
-    b = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 2
-            ),
-            16, 10,
-        ).cast("int")
-        % 10
-    )
-    split = F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+    from fiat2_spark.workloads.pipeline import _THR_TRAIN, _THR_VAL
+
+    h = F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string")))
+    split = F.when(h < _THR_TRAIN, "train").when(h < _THR_VAL, "val").otherwise("test")
     split_counts = dict(
         packed.select(split.alias("split")).groupBy("split").count().collect()
     )

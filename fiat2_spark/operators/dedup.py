@@ -657,6 +657,32 @@ def embedding_dedup_pairs_lsh(
 
 # -- span-level (C4-style) dedup --------------------------------------------
 
+
+def _segmented(df: DataFrame, id_col: str, text_col: str, seg_len: int) -> DataFrame:
+    """(doc, segs) — fixed-width token segments of each document. The
+    repartition spreads ONLY the projected (doc, text) pair for the
+    CPU-bound tokenize/digest stage."""
+    from fiat2_spark.operators.text import token_segments, tokens as toks_of
+
+    slim = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    return slim.repartition(cpu_partitions(df, rows_per_task=200)).select(
+        "doc", token_segments(toks_of(F.col("__t")), seg_len).alias("segs")
+    )
+
+
+def segment_digests(base: DataFrame) -> DataFrame:
+    """(doc, seg_idx, seg_key, seg_tok) from a (doc, segs) relation —
+    THE segment-digest definition (md5 over space-joined tokens),
+    shared by the batch `span_dedup_stats` and the streaming
+    `SpanDedupCorpus` so the two can never drift apart."""
+    return base.select("doc", F.explode("segs").alias("s")).select(
+        "doc",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.md5(F.concat_ws(" ", F.col("s.seg"))).alias("seg_key"),
+        F.size("s.seg").cast("long").alias("seg_tok"),
+    )
+
+
 def span_dedup_stats(
     df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
 ) -> DataFrame:
@@ -676,27 +702,18 @@ def span_dedup_stats(
     segment text IS the keeper (partial-agg friendly, map-side
     combinable), and regrouping keepers by doc yields the kept counts;
     doc totals come from the pre-explode side and the two per-doc
-    relations merge with one small outer join on doc id. At 100 TB the
-    only wide exchange carries (seg_hash, 3 ints) — segment text is
-    md5-collapsed before the shuffle, so the corpus text itself never
-    moves."""
-    from fiat2_spark.operators.text import token_segments, tokens as toks_of
-
-    base = df.repartition(cpu_partitions(df, rows_per_task=200)).select(
-        F.col(id_col).alias("doc"),
-        token_segments(toks_of(F.col(text_col)), seg_len).alias("segs"),
-    )
+    relations merge with one small outer join on doc id. The only WIDE
+    (hash) exchange carries (seg_hash, 3 ints) — segment text is
+    md5-collapsed before it; the round-robin spread that sizes the
+    tokenize/digest stage carries just the projected (doc, text) pair
+    (never the caller's other columns), and on a cluster whose scan is
+    already parallel it is a cheap local rebalance, not a corpus
+    shuffle."""
+    base = _segmented(df, id_col, text_col, seg_len)
     totals = base.select(
         "doc", F.size("segs").cast("long").alias("n_segs")
     )
-    segs = base.select(
-        "doc", F.explode("segs").alias("s")
-    ).select(
-        "doc",
-        F.col("s.seg_idx").alias("seg_idx"),
-        F.md5(F.concat_ws(" ", F.col("s.seg"))).alias("seg_key"),
-        F.size("s.seg").cast("long").alias("seg_tok"),
-    )
+    segs = segment_digests(base)
     keepers = segs.groupBy("seg_key").agg(
         F.min(F.struct("doc", "seg_idx", "seg_tok")).alias("k")
     )

@@ -325,20 +325,9 @@ class SpanDedupCorpus:
         self.seen = spark.createDataFrame([], "seg_key string").localCheckpoint()
 
     def _segments(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-        from fiat2_spark.operators.text import token_segments, tokens
+        from fiat2_spark.operators.dedup import _segmented, segment_digests
 
-        return (
-            docs.select(
-                F.col(id_col).alias("doc"),
-                F.explode(token_segments(tokens(F.col(text_col)), self.seg_len)).alias("s"),
-            )
-            .select(
-                "doc",
-                F.col("s.seg_idx").alias("seg_idx"),
-                F.md5(F.concat_ws(" ", F.col("s.seg"))).alias("seg_key"),
-                F.size("s.seg").cast("long").alias("seg_tok"),
-            )
-        )
+        return segment_digests(_segmented(docs, id_col, text_col, self.seg_len))
 
     def ingest(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """Returns per-doc kept stats (doc, n_kept, n_kept_tokens) for
@@ -434,11 +423,17 @@ def moments_foreach_batch(stream: DataFrame, view: "MomentsView", sink: list,
                           threshold: float = 3.0):
     """Drive ``MomentsView`` from a Structured Streaming source: each
     micro-batch is scored against the stats accumulated from all PRIOR
-    batches, then folded in — the prequential (test-then-train) order,
-    so a redelivered batch can inflate counts but never score against
-    itself."""
+    batches, then folded in — the prequential (test-then-train) order.
+    Unlike the dedup corpora (whose ingest is naturally idempotent), a
+    re-folded batch WOULD double its moments, so redelivered batch ids
+    are skipped explicitly (the same guard as the join-agg driver)."""
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    seen: set = set()
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in seen:
+            return
+        seen.add(batch_id)
         sink.extend(view.score(batch_df, threshold).collect())
         view.ingest(batch_df)
 

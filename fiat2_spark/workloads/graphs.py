@@ -236,6 +236,7 @@ def pagerank(edges, iters: int = 3):
             )
         )
         sums = contribs.groupBy("node").agg(F.sum("c").alias("sc"))
+        prev = pr
         pr = (
             nodes.join(sums, "node", "left")
             .select(
@@ -248,5 +249,10 @@ def pagerank(edges, iters: int = 3):
             )
             .localCheckpoint()
         )
+        # release the superseded snapshot (bfs discipline: lineage is
+        # truncated per round AND retired state is dropped per round;
+        # the first pr is unpersisted-as-noop, never checkpointed)
+        prev.unpersist()
+    nodes.unpersist()
     e.unpersist()
     return pr

@@ -1787,16 +1787,20 @@ def embedding_quantize(spark, sf_dir):
     )
 
 
+_THR_TRAIN = _md5_threshold(8, 10)
+_THR_VAL = _md5_threshold(9, 10)
+
+
 @q(
     "stratified_split",
-    """
+    f"""
     WITH assigned AS (
       SELECT lang,
-             CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val' ELSE 'test' END AS split
-      FROM (
-        SELECT lang,
-               CAST(('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 10 AS b
-        FROM documents)
+             CASE WHEN h < '{_THR_TRAIN}' THEN 'train'
+                  WHEN h < '{_THR_VAL}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT lang, md5('split#' || CAST(doc_id AS VARCHAR)) AS h
+            FROM documents)
     )
     SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM assigned GROUP BY split, lang
@@ -1805,23 +1809,19 @@ def embedding_quantize(spark, sf_dir):
 def stratified_split(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test assignment — the dataset
     split every training pipeline pins: the split is a pure function of
-    md5(salted doc id) (byte 1 mod 10), so it is stable across runs,
-    engines, and re-shuffles — no RNG state, no seed file. The query
-    reports per-(split, lang) counts; the assignment itself is a
-    scan-side expression a writer would partition by
-    (`write.partitionBy(split)`), shuffling nothing. Same md5-threshold
-    family as `sample_strata` (`_md5_threshold`)."""
+    md5(salted doc id) compared against the exact 128-bit
+    `_md5_threshold` cut points (the sample_strata mechanism), so it is
+    stable across runs, engines, and re-shuffles — no RNG state, no
+    seed file — and the expected shares are exactly 80/10/10 (a
+    first-byte mod-10 variant was 206/256 ≈ 80.5% train — byte values
+    don't divide evenly by 10). The query reports per-(split, lang)
+    counts; the assignment itself is a scan-side expression a writer
+    would partition by (`write.partitionBy(split)`), shuffling
+    nothing."""
     d = tbl(spark, sf_dir, "documents")
-    b = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string"))), 1, 2),
-            16,
-            10,
-        ).cast("int")
-        % 10
-    )
+    h = F.md5(F.concat(F.lit("split#"), F.col("doc_id").cast("string")))
     split = (
-        F.when(b < 8, "train").when(b < 9, "val").otherwise("test")
+        F.when(h < _THR_TRAIN, "train").when(h < _THR_VAL, "val").otherwise("test")
     )
     return (
         d.select(split.alias("split"), "lang")
