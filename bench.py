@@ -93,6 +93,11 @@ HEADLINE = [
     "anomaly_zscore",               # one-pass moments, broadcast scoring
     "gapfill_daily",                # time-series densification, in-row grid
     "length_histogram",             # corpus length distribution
+    "tpch_q1_shape",                # scan-heavy pricing summary, 8 aggs
+    "tpch_q10_shape",               # returned-item top-20, AQE fact join
+    "tpch_q19_shape",               # disjunctive pushdown (OR-of-ANDs)
+    "tpch_q16_shape",               # distinct-count agg + broadcast anti
+    "tpch_q22_shape",               # global-avg threshold + anti join
 ]
 
 

@@ -2091,3 +2091,267 @@ def nested_collections(spark, sf_dir):
         F.size(F.col("names")).cast("long").alias("n_names"),
         F.array_contains(F.col("names"), "CHINA").alias("has_china"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shape suite (continued): scan-heavy aggregation, disjunctive
+# pushdown, distinct-count, correlated-average anti-join
+# ---------------------------------------------------------------------------
+
+@q(
+    "tpch_q1_shape",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1 - CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(4,2))
+                    * CAST(1 + CAST(l_tax AS DECIMAL(3,2)) AS DECIMAL(4,2))) AS DOUBLE)
+             AS sum_charge,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_shape(spark, sf_dir):
+    """TPC-H Q1 shape (pricing summary) — the canonical scan-heavy
+    aggregate: one full pass over lineitem, eight aggregates over four
+    tiny groups, everything map-side-combined before a |groups|-row
+    shuffle. All money sums run in DECIMAL (associative → partial-agg
+    safe and bit-identical to the oracle); the triple product for
+    charge uses (12,2)x(4,2)x(4,2) operands so neither engine
+    overflows 38 digits; averages are computed as exact-sum / count
+    with one rounded double division at the boundary. At 100 TB this
+    is the pure-throughput query: no join, no skew, shuffle carries
+    4 rows x 8 numbers per map partition."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one_minus_disc = (
+        F.lit(1) - F.col("l_discount").cast("decimal(3,2)")
+    ).cast("decimal(4,2)")
+    one_plus_tax = (
+        F.lit(1) + F.col("l_tax").cast("decimal(3,2)")
+    ).cast("decimal(4,2)")
+    disc_price = F.col("l_extendedprice").cast("decimal(12,2)") * one_minus_disc
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(disc_price * one_plus_tax).cast("double").alias("sum_charge"),
+            F.round(F.sum(dec2(F.col("l_quantity"))).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(dec2(F.col("l_extendedprice"))).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(dec2(F.col("l_discount"))).cast("double") / n, 6).alias("avg_disc"),
+            n.cast("long").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q10_shape",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_shape(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): quarter-gated orders
+    join returned lineitems (both filters pushed to their scans), the
+    result joins customer on the order key's custkey, nation
+    broadcasts, revenue partial-aggregates in DECIMAL per customer,
+    and the top-20 is TakeOrderedAndProject. The group key is the
+    customer primary key, so the aggregate's cardinality is bounded by
+    |customers that returned|, and AQE sizes the orders⋈lineitem
+    shuffle from runtime stats. The canonical 'find the bad actors'
+    operational query at scale."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.sum(
+                dec2(F.col("l_extendedprice"))
+                * (F.lit(1) - dec2(F.col("l_discount")))
+            ).cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q19_shape",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 35)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+)
+def tpch_q19_shape(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue) — DISJUNCTIVE predicate
+    handling: three OR'd brand/size/quantity conjunctions across both
+    join sides. Catalyst splits the OR into single-side implications:
+    part gets (brand1 OR brand3 OR brand5) AND size <= 50 pushed to
+    its scan, lineitem gets quantity BETWEEN 1 AND 50, and only the
+    residual cross-table disjunction rides the join filter — the
+    rewrite (CNF extraction of common single-table factors) that turns
+    an unpushable OR into two pruned scans. Part broadcasts; the
+    output is one aggregate row."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#3") & size.between(10, 30) & qty.between(10, 35))
+        | ((brand == "Brand#5") & size.between(20, 50) & qty.between(20, 50))
+    )
+    return joined.filter(cond).agg(
+        F.sum(
+            dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@q(
+    "tpch_q16_shape",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 23)
+      AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def tpch_q16_shape(spark, sf_dir):
+    """TPC-H Q16 shape (supplier relationship, partsupp re-derived from
+    lineitem): negated filters (<>, NOT LIKE, IN-list) push to the part
+    scan; the NOT IN subquery over complaint suppliers becomes a
+    broadcast ANTI join (null-safe by construction: s_suppkey is a
+    key); COUNT(DISTINCT supplier) per (brand, type, size) runs as
+    Spark's two-shuffle distinct-agg expansion — partial dedup of
+    (group, suppkey) pairs before the count, never a per-group set in
+    memory. Top-50 via TakeOrderedAndProject."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 23))
+    )
+    bad = tbl(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(50)
+    )
+
+
+@q(
+    "tpch_q22_shape",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def tpch_q22_shape(spark, sf_dir):
+    """TPC-H Q22 shape (global-sales opportunity): customers with
+    above-average balance and no urgent orders (this testdata gives
+    every customer at least one order, so the classic no-orders form
+    would be the trivially-hash-matching empty set). The global average is a
+    one-row aggregate broadcast as a cross-join factor (scalar
+    subquery decorrelated by hand — same plan Catalyst produces for
+    the SQL form); the NOT EXISTS is a shuffle ANTI join against the
+    orders custkey projection (only the key column is read — column
+    pruning reaches the scan); the surviving handful aggregates per
+    segment in DECIMAL. The average divides the exact DECIMAL sum by
+    the count once, on the driver-free broadcast path, so both
+    engines compare against the bit-identical threshold."""
+    c = tbl(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec2(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1))).alias("a")
+        )
+    )
+    o_keys = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(dec2(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

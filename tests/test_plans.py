@@ -552,3 +552,51 @@ def test_tpch_q5_shape_plan(spark):
     # the date window must actually reach the orders scan as pushed
     # filters (a bare "o_orderdate in plan" check is vacuously true)
     assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+
+
+def test_tpch_q19_disjunction_splits_to_both_scans(spark):
+    """Q19's OR-of-ANDs must not block pushdown: Catalyst extracts the
+    single-side implications, so the part scan sees a brand/size
+    residual and the lineitem scan sees the quantity envelope — the
+    plan never evaluates the disjunction against unpruned scans."""
+    p = plan_of(QUERIES["tpch_q19_shape"](spark, SF_SMOKE))
+    # lineitem scan: the quantity disjunction is pushed whole
+    assert "GreaterThanOrEqual(l_quantity,1.0" in p
+    assert "LessThanOrEqual(l_quantity,50.0" in p
+    # part scan: the brand/size disjunction is pushed whole
+    assert "EqualTo(p_brand,Brand#1" in p and "EqualTo(p_brand,Brand#5" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q16_distinct_expansion_and_anti(spark):
+    """Q16: COUNT(DISTINCT) plans as the two-shuffle partial-dedup
+    expansion (never a per-group in-memory set), and the NOT IN
+    complaint-supplier subquery becomes a broadcast anti join."""
+    p = plan_of(QUERIES["tpch_q16_shape"](spark, SF_SMOKE))
+    assert p.count("(13) HashAggregate") + p.count("HashAggregate") >= 3
+    assert "Join type: LeftAnti" in p and "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_tpch_q1_single_scan_partial_agg(spark):
+    """Q1: one lineitem scan, map-side partial aggregation, date filter
+    pushed — the pure-throughput plan with a 4-row shuffle."""
+    df = QUERIES["tpch_q1_shape"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert p.count("Location: InMemoryFileIndex") == 1
+    assert "partial_sum" in p
+    assert "LessThanOrEqual(l_shipdate" in p
+
+
+def test_tpch_q22_no_orders_key_pruning(spark):
+    """Q22: the NOT EXISTS side reads ONLY o_custkey (column pruning
+    reaches the scan) and joins anti; the global average rides a
+    broadcast, not a driver collect."""
+    p = plan_of(QUERIES["tpch_q22_shape"](spark, SF_SMOKE))
+    assert "Join type: LeftAnti" in p
+    import re
+    scans = re.findall(r"ReadSchema: struct<([^>]*)>", p)
+    orders_scans = [s for s in scans if "o_custkey" in s]
+    # only the join key and the pushed-filter column survive pruning
+    assert orders_scans == ["o_custkey:bigint,o_orderpriority:string"]
+    assert "EqualTo(o_orderpriority,1-URGENT)" in p
