@@ -98,6 +98,8 @@ HEADLINE = [
     "tpch_q19_shape",               # disjunctive pushdown (OR-of-ANDs)
     "tpch_q16_shape",               # distinct-count agg + broadcast anti
     "tpch_q22_shape",               # global-avg threshold + anti join
+    "dpp_partitioned_join",         # dynamic partition pruning via dim join
+    "bloom_pruned_join",            # runtime bloom semi-join reduction
 ]
 
 

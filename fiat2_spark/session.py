@@ -46,6 +46,18 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         # Arrow batches for the Pandas-UDF slow path.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Runtime bloom-filter join pruning: Spark injects a bloom filter
+        # built from the small/filtered side of a shuffle join into the
+        # large side's scan (InjectRuntimeFilter). The feature is on by
+        # default but gated on the application side scanning >=10 GB —
+        # correct for a cluster, unreachable in local tests, so the gate
+        # is lowered to 1 MB here. Semantics-neutral (the bloom only
+        # pre-drops rows the join would drop); plan-asserted in
+        # tests/test_plans.py::test_bloom_pruned_join_injects_filter.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1MB",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )

@@ -2355,3 +2355,106 @@ def tpch_q22_shape(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@q(
+    "bloom_pruned_join",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def bloom_pruned_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning — Spark's answer to the
+    semi-join reduction a 100 TB shuffle join needs: the selective
+    orders side (priority + date filters) builds a bloom filter DURING
+    execution, and Catalyst injects `might_contain(l_orderkey)` into
+    the lineitem side BEFORE its shuffle (InjectRuntimeFilter), so the
+    exchange carries only rows whose keys can survive the join. The
+    merge hint keeps the join a shuffle join (the cluster case for
+    fact⋈fact; a broadcast side would make the bloom redundant).
+    Locally the 10 GB application-side gate is lowered to 1 MB in
+    session.py — the rewrite itself is the thing under test, asserted
+    in test_plans.py. Oracle: the same join unpruned."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= "1997-01-01")
+    )
+    return (
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec2(F.col("l_extendedprice"))).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "dpp_partitioned_join",
+    """
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events e
+    JOIN (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'growth'),
+                 ('error', 'ops')) AS dim(event_type, category)
+      ON e.event_type = dim.event_type
+    WHERE dim.category = 'engagement'
+    GROUP BY e.event_type
+    """,
+)
+def dpp_partitioned_join(spark, sf_dir):
+    """Dynamic partition pruning — the join-driven form of the
+    bitmap-index story `partition_pruned_lookup` tells statically: the
+    fact side is the events table written partitioned by event_type;
+    the dimension (an event-type catalog with a category attribute)
+    is filtered on `category`, a column the fact table doesn't have —
+    so no static PartitionFilters can apply, and Catalyst instead
+    plants a dynamicpruning subquery on the partitioned scan: the
+    broadcast dim executes first and the fact scan reads ONLY the
+    surviving types' directories. At 100 TB this is the difference
+    between scanning every tenant/date partition and scanning the
+    joined ones — free with declarative plans. DPP's trigger wants a
+    LITERAL selective predicate on the dim (Catalyst's
+    isLikelySelective; an attribute-to-attribute comparison doesn't
+    qualify) and a dim the planner already broadcasts — both the
+    natural star-schema shape. Plan-asserted in test_plans.py; the
+    oracle recomputes from the unpartitioned table with an inline
+    VALUES dim."""
+    from fiat2_spark.sources.io import read_table, write_table
+
+    out = os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "spark-warehouse",
+            f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_table(ev, out, partition_by=("event_type",))
+    fact = read_table(spark, out)
+
+    dim = spark.createDataFrame(
+        [
+            ("click", "engagement"), ("view", "engagement"),
+            ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"),
+        ],
+        "event_type string, category string",
+    ).filter(F.col("category") == "engagement")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec2(F.col("value"))).cast("double").alias("total"),
+        )
+    )

@@ -600,3 +600,50 @@ def test_tpch_q22_no_orders_key_pruning(spark):
     # only the join key and the pushed-filter column survive pruning
     assert orders_scans == ["o_custkey:bigint,o_orderpriority:string"]
     assert "EqualTo(o_orderpriority,1-URGENT)" in p
+
+
+def test_dpp_partitioned_join_prunes_at_runtime(spark):
+    """The partitioned fact scan must carry a dynamicpruningexpression
+    PartitionFilter fed by the broadcast dim — join-driven partition
+    pruning, not a static filter and not a full scan."""
+    p = plan_of(QUERIES["dpp_partitioned_join"](spark, SF_SMOKE))
+    assert "dynamicpruningexpression" in p
+    assert "PartitionFilters" in p
+
+
+def test_bloom_pruned_join_injects_filter(spark):
+    """Runtime bloom-filter semi-join reduction under cluster
+    conditions: when the filtered orders side cannot broadcast (the
+    fact⋈fact case — simulated in a sibling session with broadcast
+    joins disabled), InjectRuntimeFilter plants might_contain on the
+    lineitem side BEFORE its shuffle. Under the default session the
+    same query simply broadcasts (bloom would be redundant) — both
+    outcomes asserted so a conf regression can't silently disable
+    the rewrite."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    # smoke data scans ~100 KB; scale the app-side gate down with it
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "64KB",
+    )
+
+    def shape(sp):
+        li = sp.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = sp.read.parquet(f"{SF_SMOKE}/orders.parquet").filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= "1997-01-01")
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    clustered = plan_of(shape(s2))
+    assert "might_contain" in clustered and "SortMergeJoin" in clustered
+    local = plan_of(QUERIES["bloom_pruned_join"](spark, SF_SMOKE))
+    assert "might_contain" not in local  # broadcastable side -> no bloom
