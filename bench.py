@@ -100,6 +100,7 @@ HEADLINE = [
     "tpch_q22_shape",               # global-avg threshold + anti join
     "dpp_partitioned_join",         # dynamic partition pruning via dim join
     "bloom_pruned_join",            # runtime bloom semi-join reduction
+    "dedup_fuzzy_apply",            # pairs -> components -> dedup'd corpus
 ]
 
 

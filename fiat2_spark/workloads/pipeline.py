@@ -1850,3 +1850,50 @@ def length_histogram(spark, sf_dir):
         .groupBy("bucket_lo")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+@q(
+    "dedup_fuzzy_apply",
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.doc
+    ),
+    labels AS (SELECT doc, MIN(r) AS cluster FROM reach GROUP BY doc)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM labels l WHERE l.doc = d.doc_id AND l.cluster <> l.doc
+    )
+    """,
+)
+def dedup_fuzzy_apply(spark, sf_dir):
+    """End-to-end fuzzy dedup APPLIED to the corpus — the operation a
+    100 TB training-data build actually runs: MinHash near-dup pairs →
+    connected components → keep each cluster's canonical (min-id)
+    member, drop the rest, return the surviving corpus. Composes the
+    driver-green `dedup_minhash` and `dedup_clusters` stages with one
+    final anti join (corpus vs non-canonical labels — |labels| is
+    bounded by docs *in* near-dup clusters, a small fraction, so the
+    anti side broadcasts at any scale). Untouched documents pass
+    through without ever joining. The oracle recomputes the whole
+    chain as a recursive-CTE closure."""
+    d = tbl(spark, sf_dir, "documents")
+    pairs = D.minhash_dedup_pairs(
+        d, "doc_id", "text", n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7
+    )
+    losers = (
+        D.dup_clusters(pairs)
+        .filter(F.col("cluster") != F.col("doc"))
+        .select("doc")
+    )
+    return d.join(
+        F.broadcast(losers), d.doc_id == losers.doc, "left_anti"
+    ).select("doc_id", "lang", "n_chars")
