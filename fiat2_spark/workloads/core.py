@@ -2458,3 +2458,101 @@ def dpp_partitioned_join(spark, sf_dir):
             F.sum(dec2(F.col("value"))).cast("double").alias("total"),
         )
     )
+
+
+@q(
+    "bag_ops_all",
+    """
+    SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    EXCEPT ALL
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def bag_ops_all(spark, sf_dir):
+    """MULTISET intersect/except — the Bag-class collection semantics
+    (§2.3: fiat2's Bag is a multiset; `set_ops` covers the
+    distinct-set forms, these are the multiplicity-preserving ALL
+    forms): a customer with 3 open orders and 2 urgent/high ones
+    appears min(3,2)=2 times in the intersection, and EXCEPT ALL
+    subtracts per-occurrence. Spark plans both as aggregate count
+    pairs + generate (replicate min/difference counts) — partial-agg
+    friendly, no row-by-row matching, exactly how a 100 TB engine
+    should do bag algebra."""
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    open_orders = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    urgent = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(F.col("o_custkey").alias("k"))
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    return open_orders.intersectAll(urgent).exceptAll(building)
+
+
+@q(
+    "corr_moments",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round((CAST(COUNT(*) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)), 4)
+             AS covar_samp,
+           round((CAST(COUNT(*) AS DOUBLE)
+                    * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                               * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                    * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+                 / sqrt((CAST(COUNT(*) AS DOUBLE)
+                           * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                         - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                           * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+                        * (CAST(COUNT(*) AS DOUBLE)
+                           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 6)
+             AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def corr_moments(spark, sf_dir):
+    """Correlation / covariance per group WITHOUT Welford-style
+    streaming variance (whose float accumulation order differs between
+    engines): both statistics are derived from exact DECIMAL moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) — associative, partial-agg safe, and
+    bit-identical across engines — with the float arithmetic deferred
+    to one closed-form expression at the end, rounded at the output
+    boundary. The same five sums ride ONE map-side-combined aggregate
+    pass. Spark's native corr()/covar_samp() would give a
+    statistically identical but bitwise-divergent answer; at 100 TB
+    the moments form is also the one that composes with incremental
+    maintenance (MomentsView)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    x = dec2(F.col("l_quantity"))
+    y = dec2(F.col("l_extendedprice"))
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 4).alias("covar_samp"),
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
