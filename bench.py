@@ -101,6 +101,7 @@ HEADLINE = [
     "dpp_partitioned_join",         # dynamic partition pruning via dim join
     "bloom_pruned_join",            # runtime bloom semi-join reduction
     "dedup_fuzzy_apply",            # pairs -> components -> dedup'd corpus
+    "kmeans_lloyd",                 # declarative iterative training loop
 ]
 
 

@@ -1897,3 +1897,107 @@ def dedup_fuzzy_apply(spark, sf_dir):
     return d.join(
         F.broadcast(losers), d.doc_id == losers.doc, "left_anti"
     ).select("doc_id", "lang", "n_chars")
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3, dims: int = 64, q: int = 1_000_000) -> str:
+    """Unrolled Lloyd's k-means in quantized-integer space (see
+    `kmeans_lloyd`): every arithmetic step is exact BIGINT or a
+    deterministic double op (floor of an exact-int division), so the
+    oracle is bitwise, not approximately, equal."""
+    sql = [
+        f"""
+    WITH qe AS (
+      SELECT vec_id, CAST(i.i AS INTEGER) AS dim,
+             CAST(round(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) * {q}) AS BIGINT) AS qv
+      FROM embeddings, unnest(generate_series(0, {dims - 1})) AS i(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, dim, qv AS qc FROM qe WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(
+            f""",
+    d{it} AS (
+      SELECT e.vec_id, c.cid, SUM((e.qv - c.qc) * (e.qv - c.qc)) AS d
+      FROM qe e JOIN {prev} c ON c.dim = e.dim
+      GROUP BY e.vec_id, c.cid
+    ),
+    a{it} AS (
+      SELECT vec_id, cid FROM d{it}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    c{it} AS (
+      SELECT a.cid, e.dim,
+             CAST(floor(CAST(SUM(e.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+      FROM qe e JOIN a{it} a ON a.vec_id = e.vec_id
+      GROUP BY a.cid, e.dim
+    )"""
+        )
+        prev = f"c{it}"
+    sql.append(f"\n    SELECT cid, dim, qc FROM {prev}")
+    return "".join(sql)
+
+
+@q("kmeans_lloyd", _kmeans_oracle())
+def kmeans_lloyd(spark, sf_dir, k: int = 4, iters: int = 3):
+    """Iterative Lloyd's k-means over the embedding corpus — the
+    training loop `embedding_centroids`/`ann_ivf` assume has already
+    happened. Fully DECLARATIVE: no `.collect()` anywhere — each
+    iteration is (1) exploded vectors ⋈ broadcast centroid relation
+    (k×dims rows) with a map-side partial-aggregated distance sum per
+    (vec, cid), (2) argmin via a row_number window partitioned on the
+    HIGH-cardinality vec_id, (3) centroid update as another partial
+    agg. The shuffles carry |vecs|×k distance scalars and k×dims
+    sums — never vectors, never a per-cluster list.
+
+    Determinism across engines (the hard part of a k-means oracle):
+    components are quantized to BIGINT (×1e6) up front, so distances
+    are EXACT integer sums — associativity-proof in any partial-agg
+    order — ties break on cid, and the centroid update is
+    floor(exact-int / exact-int) evaluated in double (both operands
+    < 2^53, IEEE division + floor bitwise-identical everywhere).
+    Init = the k lowest vec_ids' vectors; empty clusters drop out.
+    At 100 TB: iterations multiply plan depth, not state — each round
+    is one scan-join-agg pipeline and the centroid side stays a
+    broadcast."""
+    from pyspark.sql import Window as W
+
+    e = tbl(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        "dim",
+        F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("qv"),
+    )
+    cent = qe.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "dim", F.col("qv").alias("qc")
+    )
+    for _ in range(iters):
+        d = (
+            qe.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    (F.col("qv") - F.col("qc")) * (F.col("qv") - F.col("qc"))
+                ).alias("d")
+            )
+        )
+        a = (
+            d.withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("vec_id").orderBy("d", "cid")),
+            )
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+        cent = (
+            qe.join(a, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double") / F.count(F.lit(1))
+                ).cast("long").alias("qc")
+            )
+        )
+    return cent.select("cid", "dim", "qc")

@@ -647,3 +647,13 @@ def test_bloom_pruned_join_injects_filter(spark):
     assert "might_contain" in clustered and "SortMergeJoin" in clustered
     local = plan_of(QUERIES["bloom_pruned_join"](spark, SF_SMOKE))
     assert "might_contain" not in local  # broadcastable side -> no bloom
+
+
+def test_kmeans_lloyd_stays_distributed(spark):
+    """The k-means loop must be collect-free and parallel: centroid
+    sides broadcast, the argmin window partitions on vec_id (never
+    SinglePartition), and distance sums partial-aggregate map-side."""
+    p = plan_of(QUERIES["kmeans_lloyd"](spark, SF_SMOKE))
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" in p
+    assert "partial_sum" in p
