@@ -38,3 +38,9 @@ def test_pipeline_demo_runs(spark, capsys):
 def test_dsl_demo_runs(spark, capsys):
     out = _run("examples/dsl_demo.py", capsys)
     assert out.strip()
+
+
+def test_olap_demo_runs(spark, capsys):
+    out = _run("examples/olap_demo.py", capsys)
+    assert "tpch_q1_shape rows:" in out
+    assert "MISSING" not in out  # every plan property held
