@@ -102,6 +102,9 @@ HEADLINE = [
     "bloom_pruned_join",            # runtime bloom semi-join reduction
     "dedup_fuzzy_apply",            # pairs -> components -> dedup'd corpus
     "kmeans_lloyd",                 # declarative iterative training loop
+    "tpch_q4_shape",                # correlated EXISTS as semi join
+    "tpch_q21_shape",               # semi + anti correlated self-joins
+    "window_nav",                   # first/last/nth_value navigation
 ]
 
 

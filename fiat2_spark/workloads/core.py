@@ -2556,3 +2556,150 @@ def corr_moments(spark, sf_dir):
             6,
         ).alias("corr_qty_price"),
     )
+
+
+@q(
+    "tpch_q4_shape",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4_shape(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking; this testdata carries
+    no commitdate/receiptdate, so the violation predicate is 'some
+    line shipped >30 days after order date'): a quarter-gated orders
+    scan semi-joined against lineitem with the correlated date
+    comparison riding the semi join as a NON-equi conjunct — the
+    EXISTS never materializes matches (first hit wins), and only
+    (orderkey, shipdate, orderdate) cross the shuffle. The tiny
+    priority aggregate follows. The reference's emptiness-test idiom
+    (Ex_BFS.v:42 check([...] = [])) is the same plan shape inverted."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "tpch_q21_shape",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_shape(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting — shipdate
+    standing in for the missing receipt/commit dates): the classic
+    EXISTS + NOT EXISTS pair of correlated self-joins on the fact
+    table, planned as one semi and one anti join both keyed on
+    l_orderkey — three passes over lineitem co-partitioned on the same
+    key, so at cluster scale the two correlated probes reuse the
+    first shuffle's partitioning rather than re-exchanging. The
+    non-equi parts (supplier inequality, later-shipment comparison)
+    ride the joins as residual conjuncts. Finished-order filter
+    pushes to the orders scan; supplier broadcasts; top-20 via
+    TakeOrderedAndProject."""
+    s = tbl(spark, sf_dir, "supplier")
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l1 = li.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+            & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(o, F.col("o_orderkey") == F.col("l1.l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@q(
+    "window_nav",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)  OVER w AS last_price,
+           nth_value(o_totalprice, 3) OVER w AS third_price,
+           lag(o_totalprice, 2) OVER w AS lag2_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nav(spark, sf_dir):
+    """Window NAVIGATION functions — first/last/nth_value and lag over
+    an explicit unbounded ROWS frame (last_value's default frame stops
+    at CURRENT ROW; pinning the frame is the portable semantics both
+    engines share). Unique order key ⇒ deterministic. Completes the
+    window-function surface next to the frames (`window_frames`,
+    `window_range_frame`) and ranking (`window_rank_family`)
+    families. Low-cardinality partition caveat documented there; the
+    scalable bucket scheme covers ranking, while navigation over an
+    unbounded frame is a per-group broadcastable scalar at scale."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 3).over(w).alias("third_price"),
+        F.lag("o_totalprice", 2).over(
+            W.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        ).alias("lag2_price"),
+    )

@@ -657,3 +657,21 @@ def test_kmeans_lloyd_stays_distributed(spark):
     assert "SinglePartition" not in p
     assert "BroadcastHashJoin" in p
     assert "partial_sum" in p
+
+
+def test_tpch_q4_semi_join_carries_date_conjunct(spark):
+    """Q4: the EXISTS is a semi join (never materializing matches) with
+    the correlated date comparison as its residual condition."""
+    p = plan_of(QUERIES["tpch_q4_shape"](spark, SF_SMOKE))
+    assert "Join type: LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tpch_q21_semi_and_anti_self_joins(spark):
+    """Q21: one semi + one anti self-join, both equi-keyed on
+    l_orderkey (the correlated probes never degrade to nested loops),
+    topped by TakeOrderedAndProject."""
+    p = plan_of(QUERIES["tpch_q21_shape"](spark, SF_SMOKE))
+    assert "Join type: LeftSemi" in p and "Join type: LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
