@@ -63,14 +63,18 @@ def main() -> None:
             ("runtime partition pruning", "dynamicpruningexpression"),
         ],
     }
+    failed = False
     for name, props in checks.items():
         df = QUERIES[name](spark, sf_dir)
         plan = plan_of(df)
         n = df.count()
         print(f"{name} rows: {n}")
         for label, needle in props:
-            status = "ok" if needle in plan else "MISSING"
-            print(f"  [{status}] {label}")
+            ok = needle in plan
+            failed = failed or not ok
+            print(f"  [{'ok' if ok else 'MISSING'}] {label}")
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -1590,6 +1590,26 @@ def window_range_frame(spark, sf_dir):
     )
 
 
+def _partitioned_events(spark, sf_dir):
+    """Materialize (once per sf) the events table written partitioned by
+    event_type under spark-warehouse, and return the partitioned-read
+    DataFrame — the shared layout behind `partition_pruned_lookup`
+    (static pruning) and `dpp_partitioned_join` (dynamic pruning)."""
+    from fiat2_spark.sources.io import read_table, write_table
+
+    out = os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "spark-warehouse",
+            f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_table(ev, out, partition_by=("event_type",))
+    return read_table(spark, out)
+
+
 @q(
     "partition_pruned_lookup",
     """
@@ -1611,18 +1631,7 @@ def partition_pruned_lookup(spark, sf_dir):
     between scanning one shard and scanning the corpus; the oracle
     recomputes the same aggregate from the unpartitioned table.
     tests/test_plans.py asserts the PartitionFilters plan shape."""
-    from fiat2_spark.sources.io import read_table, write_table
-
-    out = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "..", "..", "spark-warehouse",
-        f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
-    )
-    out = os.path.normpath(out)
-    ev = tbl(spark, sf_dir, "events").select("event_id", "value", "event_type")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_table(ev, out, partition_by=("event_type",))
-    part = read_table(spark, out)
+    part = _partitioned_events(spark, sf_dir)
     return (
         part.filter(F.col("event_type") == "purchase")
         .groupBy("event_type")
@@ -2429,19 +2438,7 @@ def dpp_partitioned_join(spark, sf_dir):
     natural star-schema shape. Plan-asserted in test_plans.py; the
     oracle recomputes from the unpartitioned table with an inline
     VALUES dim."""
-    from fiat2_spark.sources.io import read_table, write_table
-
-    out = os.path.normpath(
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "..", "..", "spark-warehouse",
-            f"events_by_type_{os.path.basename(os.path.normpath(sf_dir))}",
-        )
-    )
-    ev = tbl(spark, sf_dir, "events").select("event_id", "value", "event_type")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        write_table(ev, out, partition_by=("event_type",))
-    fact = read_table(spark, out)
+    fact = _partitioned_events(spark, sf_dir)
 
     dim = spark.createDataFrame(
         [

@@ -1939,7 +1939,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dims: int = 64, q: int = 1_000_00
 
 
 @q("kmeans_lloyd", _kmeans_oracle())
-def kmeans_lloyd(spark, sf_dir, k: int = 4, iters: int = 3):
+def kmeans_lloyd(spark, sf_dir):
+    k, iters = 4, 3  # frozen to match the registered _kmeans_oracle()
     """Iterative Lloyd's k-means over the embedding corpus — the
     training loop `embedding_centroids`/`ann_ivf` assume has already
     happened. Fully DECLARATIVE: no `.collect()` anywhere — each
