@@ -105,6 +105,7 @@ HEADLINE = [
     "tpch_q4_shape",                # correlated EXISTS as semi join
     "tpch_q21_shape",               # semi + anti correlated self-joins
     "window_nav",                   # first/last/nth_value navigation
+    "zonemap_range_scan",           # sorted-layout row-group skipping
 ]
 
 

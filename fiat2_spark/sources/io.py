@@ -68,6 +68,32 @@ def write_bucketed(
     )
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_ranges: int = 8,
+    rowgroup_bytes: int = 65536,
+    mode: str = "overwrite",
+) -> None:
+    """Persisted ZONE-MAP index (the third physical-layout knob after
+    partitionBy and bucketBy): range-repartition + sort within
+    partitions on the scan attribute, written with small parquet row
+    groups, so every row group's min/max footer statistics become a
+    tight value interval — a later range/point predicate on
+    ``sort_col`` skips whole row groups at the reader, before any
+    Spark filtering. The BitmapIndex.v intent for RANGE predicates,
+    where directory partitioning (categorical) doesn't apply.
+    Verified by scan output-row metrics in test_plans.py."""
+    (
+        df.repartitionByRange(n_ranges, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .option("parquet.block.size", rowgroup_bytes)
+        .parquet(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
     """Register the testdata tables as temp views for spark.sql use."""
     from fiat2_spark.workloads.util import tbl

@@ -2700,3 +2700,47 @@ def window_nav(spark, sf_dir):
             W.partitionBy("o_orderpriority").orderBy("o_orderkey")
         ).alias("lag2_price"),
     )
+
+
+@q(
+    "zonemap_range_scan",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE value >= 10.0 AND value < 11.0
+    """,
+)
+def zonemap_range_scan(spark, sf_dir):
+    """Range predicate over a SORTED layout — the zone-map story:
+    events are rewritten once via `sources.io.write_sorted` (range
+    repartition + in-partition sort on value, small parquet row
+    groups), so the min/max footer statistics of each row group form
+    disjoint value intervals and the pushed range filter skips whole
+    row groups at the reader — the scan surfaces ~|matching interval|
+    rows instead of the table (metric-asserted in test_plans.py: 8×
+    fewer scan output rows than the unsorted layout at sf0.01). At
+    100 TB this is the difference between reading one value stripe
+    and the corpus for every range query — write-once layout, free at
+    read time, composing with partition (categorical) and bucket
+    (equi-join) layout. The oracle recomputes from the unsorted
+    original."""
+    from fiat2_spark.sources.io import read_table, write_sorted
+
+    out = os.path.normpath(
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "..", "spark-warehouse",
+            f"events_by_value_{os.path.basename(os.path.normpath(sf_dir))}",
+        )
+    )
+    ev = tbl(spark, sf_dir, "events").select("event_id", "value")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_sorted(ev, out, "value")
+    sorted_ev = read_table(spark, out)
+    return sorted_ev.filter(
+        (F.col("value") >= 10.0) & (F.col("value") < 11.0)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec2(F.col("value"))).cast("double").alias("total"),
+    )

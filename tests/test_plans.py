@@ -685,3 +685,50 @@ def test_tpch_q21_semi_and_anti_self_joins(spark):
     assert "Join type: LeftSemi" in p and "Join type: LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_sorted_layout_skips_row_groups(spark):
+    """write_sorted's zone-map layout must actually skip at the reader:
+    the same range filter over the sorted layout surfaces far fewer
+    rows from the scan node (row groups pruned on min/max footer
+    stats) than over a value-shuffled layout of identical data."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.sources.io import write_sorted
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select("event_id", "value")
+    tmp = tempfile.mkdtemp()
+    write_sorted(ev, tmp + "/sorted", "value")
+    (
+        ev.repartition(8)
+        .write.mode("overwrite")
+        .option("parquet.block.size", 65536)
+        .parquet(tmp + "/shuffled")
+    )
+
+    def scan_output_rows(path: str) -> int:
+        df = spark.read.parquet(path).filter(
+            (F.col("value") >= 10.0) & (F.col("value") < 11.0)
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+
+        def leaves(n):
+            cs = [n.children().apply(i) for i in range(n.children().size())]
+            return [n] if not cs else [x for c in cs for x in leaves(c)]
+
+        total = 0
+        for leaf in leaves(plan):
+            it = leaf.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        return total
+
+    skipped = scan_output_rows(tmp + "/sorted")
+    full = scan_output_rows(tmp + "/shuffled")
+    assert full == ev.count()  # unsorted layout cannot skip
+    assert skipped * 3 < full  # zone maps pruned most row groups
