@@ -94,6 +94,54 @@ def write_sorted(
     )
 
 
+def write_zorder(
+    df: DataFrame,
+    path: str,
+    cols: tuple[str, str],
+    bits_per_dim: int = 8,
+    n_ranges: int = 16,
+    rowgroup_bytes: int = 32768,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ORDER clustering: multi-dimensional zone maps from ONE sorted
+    layout. Each dimension is rank-quantized onto 2^bits_per_dim
+    buckets via approxQuantile cut points (rank, not min-max — skewed
+    value distributions would otherwise collapse into one bucket), the
+    bucket indices are bit-interleaved into a Morton code, and rows are
+    range-partitioned + sorted on it. Every row group then covers a
+    small HYPER-RECTANGLE of the value space, so range predicates on
+    EITHER column prune row groups from the same layout — what
+    single-column `write_sorted` cannot give the second column. The
+    cut-point collect is 2×2^bits_per_dim scalars; everything else is
+    pure expressions. Verified by scan metrics in test_plans.py."""
+    from pyspark.sql import functions as F
+
+    z = None
+    for col in cols:
+        b = 1 << bits_per_dim
+        probs = [i / b for i in range(1, b)]
+        cuts = sorted(set(df.approxQuantile(col, probs, 0.01)))
+        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        idx = F.size(F.filter(cut_arr, lambda c: c < F.col(col).cast("double")))
+        dim_off = 0 if z is None else 1
+        bits = None
+        for i in range(bits_per_dim):
+            bit = F.shiftright(idx, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (2 * i + dim_off)
+            )
+            bits = bit if bits is None else bits + bit
+        z = bits if z is None else z + bits
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_ranges, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("parquet.block.size", rowgroup_bytes)
+        .parquet(path)
+    )
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
     """Register the testdata tables as temp views for spark.sql use."""
     from fiat2_spark.workloads.util import tbl
