@@ -256,3 +256,49 @@ def pagerank(edges, iters: int = 3):
     nodes.unpersist()
     e.unpersist()
     return pr
+
+
+@q(
+    "bfs_recursive_cte",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    walk(node, depth) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION
+      SELECT e.dst, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.depth < 15
+    )
+    SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+    """,
+)
+def bfs_recursive_cte(spark, sf_dir):
+    """The SAME reachability ask as `bfs`, but as ONE declarative
+    statement through Spark 4's WITH RECURSIVE (SPARK-24497): the
+    engine runs the fixpoint iteration (UnionLoop), not driver
+    orchestration. Spark's recursive CTE supports only UNION ALL
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), under which a cyclic
+    graph's path count explodes past the recursion row limit — so the
+    recursive term DISTINCTs its step output: the working set each
+    round is the ≤|V| frontier, not the set of walks (exactly
+    level-synchronous BFS), revisits at later depths are collapsed by
+    the outer MIN(depth), and the result equals the oracle's
+    UNION-dedup closure. The driver-orchestrated `bfs` remains the
+    scale path (localCheckpoint lineage truncation, early exit on an
+    empty frontier); this form is the parity proof that the SQL
+    surface covers recursion."""
+    from fiat2_spark.sources.io import register_views
+
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE walk(node, depth) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+          UNION ALL
+          SELECT DISTINCT e.dst, w.depth + 1
+          FROM walk w JOIN ({_EDGES_SQL}) e ON e.src = w.node
+          WHERE w.depth < 15
+        )
+        SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
+        """
+    )
