@@ -106,6 +106,8 @@ HEADLINE = [
     "tpch_q21_shape",               # semi + anti correlated self-joins
     "window_nav",                   # first/last/nth_value navigation
     "zonemap_range_scan",           # sorted-layout row-group skipping
+    "tpch_q9_shape",                # five-table star join profit rollup
+    "bfs_recursive_cte",            # engine-run WITH RECURSIVE fixpoint
 ]
 
 

@@ -2744,3 +2744,49 @@ def zonemap_range_scan(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(dec2(F.col("value"))).cast("double").alias("total"),
     )
+
+
+@q(
+    "tpch_q9_shape",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year DESC
+    """,
+)
+def tpch_q9_shape(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, sans partsupp): the widest
+    grouping rollup in the suite — revenue per (nation, order year)
+    over a five-table join. The part-name LIKE filter pushes to the
+    part scan (StringContains) and gates the fact rows before any wide
+    join; part/supplier/nation broadcast; lineitem⋈orders is the one
+    large-large join, left to AQE; year() is evaluated post-join on
+    the surviving rows; the aggregate partial-aggregates in DECIMAL
+    over |nations|×|years| groups. The canonical 'fact table joined to
+    its whole dimension star, rolled up small' plan."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    n = tbl(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(
+                dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+            ).cast("double").alias("profit")
+        )
+        .orderBy("n_name", F.col("o_year").desc())
+    )
