@@ -108,6 +108,7 @@ HEADLINE = [
     "zonemap_range_scan",           # sorted-layout row-group skipping
     "tpch_q9_shape",                # five-table star join profit rollup
     "bfs_recursive_cte",            # engine-run WITH RECURSIVE fixpoint
+    "tpch_q8_shape",                # per-group share-of-total ratio
 ]
 
 

@@ -142,6 +142,32 @@ def write_zorder(
     )
 
 
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    out_path: str | None = None,
+) -> int:
+    """Small-files compaction — the operational tail of every streaming
+    or highly-parallel write: thousands of KB-sized parquet files make
+    later scans metadata-bound (one footer read + task per file). Read
+    the directory, coalesce to ``target_files`` (narrow — no shuffle;
+    partitions merge on the same executors), and rewrite. Returns the
+    number of data files written. In-place compaction writes to a temp
+    sibling and atomically swaps only when ``out_path`` is None."""
+    import shutil
+    import tempfile
+
+    df = spark.read.parquet(path)
+    dest = out_path or tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path))
+    df.coalesce(target_files).write.mode("overwrite").parquet(dest)
+    if out_path is None:
+        shutil.rmtree(path)
+        os.rename(dest, path)
+        dest = path
+    return len([f for f in os.listdir(dest) if f.endswith(".parquet")])
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> None:
     """Register the testdata tables as temp views for spark.sql use."""
     from fiat2_spark.workloads.util import tbl

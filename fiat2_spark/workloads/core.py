@@ -2790,3 +2790,58 @@ def tpch_q9_shape(spark, sf_dir):
         )
         .orderBy("n_name", F.col("o_year").desc())
     )
+
+
+@q(
+    "tpch_q8_shape",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(CAST(SUM(CASE WHEN n_name = 'CHINA'
+                      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+             AS mkt_share
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_shape(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): share-of-total per
+    group — one nation's revenue over the region's revenue per order
+    year. Numerator and denominator ride the SAME aggregate pass as a
+    CASE-gated and an ungated DECIMAL sum (no second scan, no
+    self-join against the total — the one-pass conditional-agg idiom
+    of `tpch_q14_shape` lifted to per-group ratios). The region gate
+    broadcasts down the nation→supplier chain and prunes the fact
+    rows before the orders join; the division happens once per year
+    row, rounded at the boundary."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = tbl(spark, sf_dir, "orders")
+    rev = dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,2)")
+    nat = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    sup = s.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "CHINA", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )

@@ -203,3 +203,50 @@ def test_schema_evolution_merge_read(spark):
     ).parquet(root)
     assert pinned.count() == 4 and set(pinned.columns) == {"id", "text"}
     assert pinned.filter(F.col("id") == 3).collect()[0]["text"] == "c"
+
+
+def test_compact_files_reduces_file_count_preserving_rows(spark, tmp_path):
+    """compact_files must collapse a fragmented directory to the target
+    file count without changing content (count + checksum)."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.sources.io import compact_files
+
+    src = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(src)
+    import os
+
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 64
+    before = spark.read.parquet(src).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    n_files = compact_files(spark, src, 4)
+    assert n_files <= 4
+    after = spark.read.parquet(src).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    ).collect()[0]
+    assert (before["n"], before["s"]) == (after["n"], after["s"])
+
+
+def test_csv_corrupt_records_are_quarantined(spark, tmp_path):
+    """Malformed ingest rows must not kill the job OR silently vanish:
+    PERMISSIVE mode quarantines them into the corrupt-record column
+    where they can be counted and routed — the 100 TB ingest contract
+    (one bad row in a billion must not fail the batch)."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\n3\n4,5,6\n7,8\n")
+    df = (
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .schema("a int, b int, _corrupt string")
+        .csv(str(p))
+    )
+    df = df.cache()  # corrupt-record column requires a materialized parse
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert good.count() == 2 and bad.count() == 2
+    assert sorted(r["a"] for r in good.collect()) == [1, 7]
