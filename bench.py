@@ -109,6 +109,8 @@ HEADLINE = [
     "tpch_q9_shape",                # five-table star join profit rollup
     "bfs_recursive_cte",            # engine-run WITH RECURSIVE fixpoint
     "tpch_q8_shape",                # per-group share-of-total ratio
+    "tpch_q13_shape",               # count-of-counts distribution
+    "tpch_q17_shape",               # below-group-average correlated filter
 ]
 
 

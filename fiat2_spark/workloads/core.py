@@ -2845,3 +2845,86 @@ def tpch_q8_shape(spark, sf_dir):
         )
         .orderBy("o_year")
     )
+
+
+@q(
+    "tpch_q13_shape",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13_shape(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution) — the count-of-counts
+    histogram: customers left-joined to their non-urgent orders (the
+    filter lives in the JOIN condition, so order-less customers
+    survive with count 0 — moving it to WHERE would silently drop
+    them), counted per customer, then the counts themselves
+    histogrammed. Two aggregate levels: the first shuffles on the
+    customer key (high cardinality, parallel), the second on the tiny
+    count domain — partial agg collapses it map-side. COUNT(col)'s
+    null-skipping does the left-join bookkeeping."""
+    c = tbl(spark, sf_dir, "customer")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "tpch_q17_shape",
+    """
+    WITH pavg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pavg ON pavg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17_shape(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): filter rows
+    BELOW A FRACTION OF THEIR GROUP'S AVERAGE — the correlated scalar
+    subquery per part, decorrelated into one per-part aggregate joined
+    back to the fact (exactly Catalyst's own rewrite for the SQL
+    form). The per-part average divides an exact DECIMAL sum by the
+    count once per part; the brand filter pushes to the part scan and
+    gates the fact before the average join. One fact scan for the
+    averages, one for the probe — the two-pass floor for this ask
+    (and the same shuffle key, so the exchanges line up)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec2(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(pavg, F.col("pk") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(dec2(F.col("l_extendedprice"))).cast("double") / F.lit(7.0), 2
+            ).alias("avg_yearly")
+        )
+    )
