@@ -111,6 +111,7 @@ HEADLINE = [
     "tpch_q8_shape",                # per-group share-of-total ratio
     "tpch_q13_shape",               # count-of-counts distribution
     "tpch_q17_shape",               # below-group-average correlated filter
+    "tpch_q7_shape",                # dual-role dimension nation pairs
 ]
 
 

@@ -2796,7 +2796,7 @@ def tpch_q9_shape(spark, sf_dir):
     "tpch_q8_shape",
     """
     SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-           round(CAST(SUM(CASE WHEN n_name = 'CHINA'
+           round(CAST(SUM(CASE WHEN n_name = 'NATION_2'
                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
@@ -2816,7 +2816,7 @@ def tpch_q9_shape(spark, sf_dir):
 def tpch_q8_shape(spark, sf_dir):
     """TPC-H Q8 shape (national market share): share-of-total per
     group — one nation's revenue over the region's revenue per order
-    year. Numerator and denominator ride the SAME aggregate pass as a
+    year (NATION_2 within ASIA — this testdata's synthetic names). Numerator and denominator ride the SAME aggregate pass as a
     CASE-gated and an ungated DECIMAL sum (no second scan, no
     self-join against the total — the one-pass conditional-agg idiom
     of `tpch_q14_shape` lifted to per-group ratios). The region gate
@@ -2838,7 +2838,7 @@ def tpch_q8_shape(spark, sf_dir):
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "CHINA", rev).otherwise(zero)).cast("double")
+                F.sum(F.when(F.col("n_name") == "NATION_2", rev).otherwise(zero)).cast("double")
                 / F.sum(rev).cast("double"),
                 6,
             ).alias("mkt_share")
@@ -2927,4 +2927,68 @@ def tpch_q17_shape(spark, sf_dir):
                 F.sum(dec2(F.col("l_extendedprice"))).cast("double") / F.lit(7.0), 2
             ).alias("avg_yearly")
         )
+    )
+
+
+@q(
+    "tpch_q7_shape",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7_shape(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue BETWEEN two specific
+    nations, per direction per year — the nation-PAIR idiom: the same
+    dimension table joins twice under different roles (supplier's
+    nation, customer's nation), each pre-filtered to the two-nation
+    set and broadcast, with the cross-pair disjunction evaluated after
+    both joins (four candidate pairs, two survive). The supplier and
+    customer chains both gate the fact early; the only large-large
+    join is lineitem⋈orders. Group key (nation, nation, year) is
+    tiny — partial agg collapses map-side."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    o = tbl(spark, sf_dir, "orders")
+    c = tbl(spark, sf_dir, "customer")
+    pair = ("NATION_18", "NATION_19")
+    n1 = tbl(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = tbl(spark, sf_dir, "nation").filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    sup = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+    cust = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+    return (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+            ).cast("double").alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
     )
