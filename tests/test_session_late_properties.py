@@ -137,3 +137,72 @@ def test_kmeans_quantized_matches_python_model(spark, vecs):
             s = sum(m[dim] for m in members)
             want[(cid, dim)] = math.floor(s / len(members))
     assert got == want
+
+
+_ORDERS = st.lists(
+    st.tuples(st.integers(0, 5), st.booleans()),  # (custkey, is_urgent)
+    min_size=0,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(orders=_ORDERS)
+def test_q13_count_distribution_keeps_zero_groups(spark, orders):
+    """The Q13 idiom: the order-class filter must live in the LEFT JOIN
+    condition so customers with only filtered-out (or no) orders
+    survive with count 0 — hypothesis drives customers whose orders
+    are all urgent, the case a WHERE-clause filter would silently
+    drop."""
+    customers = list(range(6))
+    c = spark.createDataFrame([(k,) for k in customers], "ck long")
+    o = spark.createDataFrame(
+        [(i, ck, urgent) for i, (ck, urgent) in enumerate(orders)],
+        "oid long, ock long, urgent boolean",
+    )
+    per = (
+        c.join(o.filter(~F.col("urgent")), F.col("ock") == F.col("ck"), "left")
+        .groupBy("ck")
+        .agg(F.count("oid").alias("n"))
+    )
+    got = sorted((r["ck"], r["n"]) for r in per.collect())
+    want = sorted(
+        (ck, sum(1 for ock, urgent in orders if ock == ck and not urgent))
+        for ck in customers
+    )
+    assert got == want
+
+
+_QTYS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 100)),  # (partkey, quantity)
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=_QTYS)
+def test_q17_below_group_average_filter_matches_model(spark, rows):
+    """The Q17 idiom: rows strictly below 0.2x their own group's
+    average — the decorrelated per-group aggregate joined back must
+    agree with direct per-row evaluation, including single-row groups
+    (a row is never below 0.2x its own value for positive values)."""
+    df = spark.createDataFrame(
+        [(i, pk, q) for i, (pk, q) in enumerate(rows)], "rid long, pk long, q long"
+    )
+    avg = df.groupBy(F.col("pk").alias("apk")).agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    got = sorted(
+        r["rid"]
+        for r in df.join(avg, F.col("apk") == F.col("pk"))
+        .filter(F.col("q") < F.lit(0.2) * F.col("a"))
+        .collect()
+    )
+    want = sorted(
+        rid
+        for rid, (pk, q) in enumerate(rows)
+        if q < 0.2 * (sum(q2 for pk2, q2 in rows if pk2 == pk)
+                      / sum(1 for pk2, _ in rows if pk2 == pk))
+    )
+    assert got == want
