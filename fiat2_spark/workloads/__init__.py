@@ -120,6 +120,12 @@ PRIORITY = (
     # with no driver row yet (ADVICE r3) — first driver check this round
     "group_concat", "salted_join", "unpivot_long",
 )
+# Round-5 rotation candidates (registered late in round 4, after this
+# window was fixed; all hold committed GATE_r04 162/162 rows at sf0.01
+# AND sf0.1 on final code): tpch_q{1,4,7,8,9,10,13,16,17,19,21,22}_shape,
+# dpp_partitioned_join, bloom_pruned_join, dedup_fuzzy_apply,
+# bag_ops_all, corr_moments, kmeans_lloyd, window_nav,
+# zonemap_range_scan, bfs_recursive_cte.
 
 _queries = {}
 _oracles = {}
