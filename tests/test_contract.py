@@ -32,3 +32,36 @@ def test_entry_contract_importable():
 
     q, o = E.queries(), E.oracle_sql()
     assert set(q) == set(o) and len(q) >= 127
+
+
+def test_python_udtf_escape_hatch(spark):
+    """Spark 4 Python UDTFs complete the custom-operator escape-hatch
+    surface (scalar: pandas_udf; aggregate: applyInPandas UDAF;
+    table-valued: udtf) — a 1→N expansion whose logic genuinely needs
+    Python runs lateral-joined against a table, partition-parallel.
+    The engine's stance stands: this is the LAST resort (chunk_sliding
+    does its 1→N in pure codegen'd expressions); the test pins that
+    the hatch exists and composes with lateralJoin."""
+    from pyspark.sql.functions import col, udtf
+
+    @udtf(returnType="idx int, sent string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, s in enumerate(x.strip() for x in text.split(".") if x.strip()):
+                yield i, s
+
+    docs = spark.createDataFrame(
+        [(1, "A b. C d."), (2, "One"), (3, "")], "doc_id long, body string"
+    )
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        """
+        SELECT doc_id, s.idx, s.sent
+        FROM udtf_docs, LATERAL split_sentences(body) AS s
+        ORDER BY doc_id, idx
+        """
+    ).collect()
+    assert [(r["doc_id"], r["idx"], r["sent"]) for r in out] == [
+        (1, 0, "A b"), (1, 1, "C d"), (2, 0, "One"),
+    ]
