@@ -774,3 +774,32 @@ def test_zorder_layout_skips_on_both_dimensions(spark):
     on_user = (F.col("user_id") >= 100) & (F.col("user_id") < 110)
     assert scan_output_rows(tmp + "/z", on_value) * 3 < n * 2  # < 2/3 read
     assert scan_output_rows(tmp + "/z", on_user) * 3 < n * 2
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The automatic half of the skew story (`salted_equi_join` is the
+    manual half): under cluster conditions (no broadcast; thresholds
+    scaled to test data) a 90%-one-key join is re-planned by AQE as
+    SortMergeJoin(skew=true) with the oversized partition split —
+    runtime statistics, not programmer foresight, defeat the straggler."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    for k, v in {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }.items():
+        s2.conf.set(k, v)
+    left = s2.range(0, 400000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+    )
+    right = s2.range(0, 1000).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    j = left.join(right, "k")
+    j.collect()
+    p = plan_of(j)
+    assert "isFinalPlan=true" in p
+    assert "skew=true" in p
