@@ -206,3 +206,34 @@ def test_q17_below_group_average_filter_matches_model(spark, rows):
                       / sum(1 for pk2, _ in rows if pk2 == pk))
     )
     assert got == want
+
+
+_VALS = st.lists(st.integers(0, 1000), min_size=20, max_size=200)
+
+
+@settings(**_SETTINGS)
+@given(vals=_VALS)
+def test_approx_percentile_rank_error_bound(spark, vals):
+    """The quantile-sketch contract (completing the sketch family next
+    to CMS and HLL): `approx_percentile(col, q, accuracy)` must return
+    an element whose RANK is within n/accuracy of the true q-rank —
+    the published error model of Spark's KLL-style digest (rank
+    convention differences between implementations absorbed into the
+    window). Hypothesis drives duplicate-heavy and skewed lists."""
+    acc = 50
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    for q in (0.1, 0.5, 0.9):
+        got = df.agg(
+            F.expr(f"approx_percentile(v, {q}, {acc})").alias("p")
+        ).collect()[0]["p"]
+        import math
+
+        n = len(vals)
+        s = sorted(vals)
+        # rank window: the sketch may return any element within
+        # n/accuracy ranks of the target; the target itself spans the
+        # floor(q*(n-1))..ceil(q*n) convention range
+        err = math.ceil(n / acc)
+        lo = max(0, math.floor(q * (n - 1)) - err - 1)
+        hi = min(n - 1, math.ceil(q * n) + err + 1)
+        assert s[lo] <= got <= s[hi]
