@@ -144,17 +144,36 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_suite_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    # Full detail first (one JSON line + a committed file), then a compact
+    # summary as the FINAL stdout line: the driver records only a bounded
+    # tail of output, and with 90+ queries the full dict alone exceeds
+    # that window (BENCH_r04 `parsed: null`). The last line must stay
+    # short enough (~1.5 KB) that the tail-parse always lands, so its
+    # "queries" keeps only the slowest entries that fit the budget.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=True)
+    print(json.dumps(summary, separators=(",", ":")))
+    compact = dict(summary)
+    compact["n_queries"] = len(timings)
+    compact["detail"] = "bench_detail.json"
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    kept: dict[str, float] = {}
+    for name, sec in slowest:
+        kept[name] = sec
+        compact["queries"] = kept
+        if len(json.dumps(compact, separators=(",", ":"))) > 1400:
+            kept.pop(name)
+            break
+    compact["queries"] = kept
+    print(json.dumps(compact, separators=(",", ":")))
     spark.stop()
 
 

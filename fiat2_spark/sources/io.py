@@ -121,8 +121,14 @@ def write_zorder(
         b = 1 << bits_per_dim
         probs = [i / b for i in range(1, b)]
         cuts = sorted(set(df.approxQuantile(col, probs, 0.01)))
-        cut_arr = F.array(*[F.lit(c) for c in cuts])
-        idx = F.size(F.filter(cut_arr, lambda c: c < F.col(col).cast("double")))
+        if cuts:
+            cut_arr = F.array(*[F.lit(c) for c in cuts])
+            idx = F.size(F.filter(cut_arr, lambda c: c < F.col(col).cast("double")))
+        else:
+            # constant column: every quantile collapses to one value and
+            # F.array() would be array<void> (lambda comparison fails
+            # analysis) — the dimension carries no information, bucket 0
+            idx = F.lit(0)
         dim_off = 0 if z is None else 1
         bits = None
         for i in range(bits_per_dim):
@@ -153,8 +159,11 @@ def compact_files(
     later scans metadata-bound (one footer read + task per file). Read
     the directory, coalesce to ``target_files`` (narrow — no shuffle;
     partitions merge on the same executors), and rewrite. Returns the
-    number of data files written. In-place compaction writes to a temp
-    sibling and atomically swaps only when ``out_path`` is None."""
+    number of data files written. When ``out_path`` is None the swap is
+    two renames (original aside, compacted in) so the dataset path is
+    never missing: a crash between them leaves the data at
+    ``path + ".old"`` rather than gone. (True atomicity needs a table
+    format's metadata commit — Iceberg/Delta — not a filesystem move.)"""
     import shutil
     import tempfile
 
@@ -162,8 +171,12 @@ def compact_files(
     dest = out_path or tempfile.mkdtemp(prefix="compact_", dir=os.path.dirname(path))
     df.coalesce(target_files).write.mode("overwrite").parquet(dest)
     if out_path is None:
-        shutil.rmtree(path)
+        old = path.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
         os.rename(dest, path)
+        shutil.rmtree(old)
         dest = path
     return len([f for f in os.listdir(dest) if f.endswith(".parquet")])
 

@@ -2501,14 +2501,14 @@ def bag_ops_all(spark, sf_dir):
                                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-                 / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1)), 4)
+                 / NULLIF(CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1), 0), 4)
              AS covar_samp,
            round((CAST(COUNT(*) AS DOUBLE)
                     * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
                                * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                   - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                     * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-                 / sqrt((CAST(COUNT(*) AS DOUBLE)
+                 / NULLIF(sqrt((CAST(COUNT(*) AS DOUBLE)
                            * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
                                       * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
                          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
@@ -2517,7 +2517,7 @@ def bag_ops_all(spark, sf_dir):
                            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                                       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
                          - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 6)
+                           * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))), 0), 6)
              AS corr_qty_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -2534,7 +2534,10 @@ def corr_moments(spark, sf_dir):
     pass. Spark's native corr()/covar_samp() would give a
     statistically identical but bitwise-divergent answer; at 100 TB
     the moments form is also the one that composes with incremental
-    maintenance (MomentsView)."""
+    maintenance (MomentsView). Zero divisors (single-row or
+    zero-variance group) yield NULL in BOTH engines: Spark's non-ANSI
+    division already returns NULL but DuckDB's IEEE division returns
+    inf/NaN, so the guards here are mirrored by NULLIF in the oracle."""
     li = tbl(spark, sf_dir, "lineitem")
     x = dec2(F.col("l_quantity"))
     y = dec2(F.col("l_extendedprice"))
@@ -2544,13 +2547,15 @@ def corr_moments(spark, sf_dir):
     sxy = F.sum(x * y).cast("double")
     sxx = F.sum(x * x).cast("double")
     syy = F.sum(y * y).cast("double")
+    covar_den = n * (n - F.lit(1.0))
+    corr_den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 4).alias("covar_samp"),
         F.round(
-            (n * sxy - sx * sy)
-            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
-            6,
+            F.when(covar_den != 0, (n * sxy - sx * sy) / covar_den), 4
+        ).alias("covar_samp"),
+        F.round(
+            F.when(corr_den != 0, (n * sxy - sx * sy) / corr_den), 6
         ).alias("corr_qty_price"),
     )
 
@@ -2718,8 +2723,10 @@ def zonemap_range_scan(spark, sf_dir):
     groups), so the min/max footer statistics of each row group form
     disjoint value intervals and the pushed range filter skips whole
     row groups at the reader — the scan surfaces ~|matching interval|
-    rows instead of the table (metric-asserted in test_plans.py: 8×
-    fewer scan output rows than the unsorted layout at sf0.01). At
+    rows instead of the table (metric-asserted in test_plans.py: ≥3×
+    fewer scan output rows than the unsorted layout at sf0.01 — the
+    conservative bound the test enforces; observed skipping is
+    typically far higher but depends on row-group alignment). At
     100 TB this is the difference between reading one value stripe
     and the corpus for every range query — write-once layout, free at
     read time, composing with partition (categorical) and bucket

@@ -1880,11 +1880,15 @@ def dedup_fuzzy_apply(spark, sf_dir):
     connected components → keep each cluster's canonical (min-id)
     member, drop the rest, return the surviving corpus. Composes the
     driver-green `dedup_minhash` and `dedup_clusters` stages with one
-    final anti join (corpus vs non-canonical labels — |labels| is
-    bounded by docs *in* near-dup clusters, a small fraction, so the
-    anti side broadcasts at any scale). Untouched documents pass
-    through without ever joining. The oracle recomputes the whole
-    chain as a recursive-CTE closure."""
+    final key-equi anti join (corpus vs non-canonical labels). The
+    anti side's size is DATA-DEPENDENT — web-scale corpora routinely
+    carry 30-80% near-duplicates, so `losers` can be billions of ids —
+    therefore no broadcast hint is forced: the join is a plain equi
+    anti on doc_id and AQE picks broadcast only when the measured
+    build side actually fits (it does at test scale; at 100 TB it
+    degrades gracefully to a shuffled hash anti join instead of
+    OOMing the driver). The oracle recomputes the whole chain as a
+    recursive-CTE closure."""
     d = tbl(spark, sf_dir, "documents")
     pairs = D.minhash_dedup_pairs(
         d, "doc_id", "text", n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7
@@ -1894,9 +1898,9 @@ def dedup_fuzzy_apply(spark, sf_dir):
         .filter(F.col("cluster") != F.col("doc"))
         .select("doc")
     )
-    return d.join(
-        F.broadcast(losers), d.doc_id == losers.doc, "left_anti"
-    ).select("doc_id", "lang", "n_chars")
+    return d.join(losers, d.doc_id == losers.doc, "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
 
 
 def _kmeans_oracle(k: int = 4, iters: int = 3, dims: int = 64, q: int = 1_000_000) -> str:
@@ -1940,7 +1944,6 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dims: int = 64, q: int = 1_000_00
 
 @q("kmeans_lloyd", _kmeans_oracle())
 def kmeans_lloyd(spark, sf_dir):
-    k, iters = 4, 3  # frozen to match the registered _kmeans_oracle()
     """Iterative Lloyd's k-means over the embedding corpus — the
     training loop `embedding_centroids`/`ann_ivf` assume has already
     happened. Fully DECLARATIVE: no `.collect()` anywhere — each
@@ -1963,6 +1966,7 @@ def kmeans_lloyd(spark, sf_dir):
     broadcast."""
     from pyspark.sql import Window as W
 
+    k, iters = 4, 3  # frozen to match the registered _kmeans_oracle()
     e = tbl(spark, sf_dir, "embeddings")
     qe = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "v")

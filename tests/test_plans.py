@@ -803,3 +803,19 @@ def test_aqe_splits_skewed_join_partitions(spark):
     p = plan_of(j)
     assert "isFinalPlan=true" in p
     assert "skew=true" in p
+
+
+def test_fuzzy_apply_no_forced_broadcast(spark):
+    """`dedup_fuzzy_apply`'s anti side (non-canonical cluster members) is
+    data-dependent — web corpora can be 30-80% near-dups — so the query
+    must NOT bake in a build-side size assumption. The logical plan must
+    carry no broadcast hint; whatever strategy appears physically is
+    AQE/statistics choosing for THIS data size, free to degrade to a
+    shuffled hash anti join at 100 TB."""
+    df = QUERIES["dedup_fuzzy_apply"](spark, SF_SMOKE)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    # and the join is still a key-equi anti (never nested-loop)
+    p = plan_of(df)
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
