@@ -2999,3 +2999,103 @@ def tpch_q7_shape(spark, sf_dir):
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@q(
+    "tpch_q6_shape",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_shape(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting revenue change) — the PUREST
+    pushdown + vectorization probe in the suite: no join, no group
+    key, one scan whose four predicates (year band, discount band,
+    quantity cap) ALL reach the parquet reader as PushedFilters (row
+    groups outside the bands never decompress), reading exactly four
+    columns, feeding a map-side partial SUM whose exchange carries one
+    DECIMAL per partition. Plan-asserted in test_plans.py: every
+    predicate pushed, no Join, a single Exchange. At 100 TB this query
+    IS the scan — anything beyond `stats-pruned scan → partial agg →
+    one-row final` would be pure overhead. Revenue in DECIMAL per the
+    repo's float discipline (util.py), cast to double at the edge."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec2(F.col("l_extendedprice")) * dec2(F.col("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q15_shape",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15_shape(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier; the reference's CREATE VIEW is
+    the named revenue aggregate here): ONE quarter-gated per-supplier
+    revenue aggregate consumed TWICE — once reduced to its scalar MAX,
+    once as rows equi-filtered against that max — so the heavy
+    lineitem pass runs exactly once (persisted, InMemoryTableScan ×2,
+    the `agg_reuse` idiom; AQE does not canonically match the two
+    aggregate subtrees, measured not assumed). The 1-row max
+    broadcasts onto the |suppliers|-row aggregate (a decorrelated
+    scalar subquery, like `scalar_subquery`), and the tiny surviving
+    winner set broadcasts into the supplier join. Revenue max-compared
+    in exact DECIMAL — a double max-equality would be engine-dependent
+    — and cast to double only at the output edge."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = tbl(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                dec2(F.col("l_extendedprice")) * (F.lit(1) - dec2(F.col("l_discount")))
+            ).alias("total_rev")
+        )
+        .persist()
+    )
+    mx = rev.agg(F.max("total_rev").alias("__max"))
+    winners = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("__max")
+    )
+    return (
+        s.join(F.broadcast(winners), s.s_suppkey == winners.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

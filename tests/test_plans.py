@@ -819,3 +819,34 @@ def test_fuzzy_apply_no_forced_broadcast(spark):
     p = plan_of(df)
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q6_pure_scan_pipeline(spark):
+    """Q6 is the pushdown probe: every predicate must reach the parquet
+    reader, the plan must contain NO join, and the only Exchange is the
+    one-row-per-partition partial→final aggregate boundary — i.e. the
+    whole query is a single pipelined scan stage."""
+    p = plan_of(QUERIES["tpch_q6_shape"](spark, SF_SMOKE))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l][0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, frag
+    assert "Join" not in p
+    assert p.count("Exchange (") == 1  # tree lists each node once as "Name (id)"
+    # only the four referenced columns are read
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read and "l_orderkey" not in read
+
+
+def test_q15_single_revenue_pass_reused(spark):
+    """Q15's revenue view must be computed ONCE: both consumers (scalar
+    max, winner filter) read the persisted aggregate, and the tiny
+    winner set broadcasts into the supplier join."""
+    df = QUERIES["tpch_q15_shape"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert p.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
