@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fiat2_spark.plans import ast as A
 from fiat2_spark.plans.compile import compile_expr
+from fiat2_spark.plans.sugar import bind, check, comp, eq, field, loc, rec, ret, sort
 from fiat2_spark.plans.interp import Store, run_command
 from fiat2_spark.plans.typecheck import TypeError2
 from fiat2_spark.session import get_spark
@@ -37,10 +38,19 @@ def main() -> None:
     store.assign("nation", tbl(spark, sf_dir, "nation"))
     store.assign("supplier", tbl(spark, sf_dir, "supplier"))
 
-    # Ex_Employee.v:35 —
+    # Ex_Employee.v:35 in the reference's concrete syntax
+    # (Notations.v:144-149), via the plans/sugar comprehension builders —
     #   sort [ d <- nation, e <- supplier,
     #          check(e.s_nationkey = d.n_nationkey),
     #          ret {name: e.s_name, dept: d.n_name} ]
+    prog = sort(comp(
+        bind("d", loc("nation")),
+        bind("e", loc("supplier")),
+        check(eq(field("e", "s_nationkey"), field("d", "n_nationkey"))),
+        ret(rec(name=field("e", "s_name"), dept=field("d", "n_name"))),
+    ))
+
+    # the sugar is pure notation: it desugars to the exact raw-AST nodes
     guard = A.EIf(
         A.EBinop(
             "OEq",
@@ -59,7 +69,7 @@ def main() -> None:
         ),
         A.EAtom(A.ANil()),
     )
-    prog = A.ESort(
+    raw = A.ESort(
         "LikeList",
         A.EFlatmap(
             "LikeList",
@@ -68,6 +78,7 @@ def main() -> None:
             A.EFlatmap("LikeList", A.ELoc("supplier"), "e", guard),
         ),
     )
+    assert prog == raw, "sugar must desugar to the identical AST"
 
     df = compile_expr(prog, {}, store, spark)
     print("== physical plan (note: hash join, no cartesian product) ==")

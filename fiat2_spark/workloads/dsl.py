@@ -431,3 +431,40 @@ def dsl_command_pipeline(spark, sf_dir):
         [Row(sum_price=st.get("out_sum"), min_price=st.get("out_min"), n=st.get("out_n"))],
         "sum_price long, min_price long, n long",
     )
+
+
+@q(
+    "dsl_comprehension",
+    """
+    SELECT c_name AS name, o_orderpriority AS prio,
+           CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice < 30000.0
+    """,
+)
+def dsl_comprehension(spark, sf_dir):
+    """The reference's concrete comprehension syntax (Notations.v:144-149
+    ``x <- e1; check(p); ret e``) via the `plans/sugar` builders — the
+    program READS like the Coq source and desugars to byte-identical
+    EFlatmap/EIf/OCons nodes (structural equality pinned in
+    tests/test_dsl.py), so compile.py still recognizes flatmap+guard as
+    a θ-join: the equality conjunct drives a hash join and the price
+    predicate pushes to the orders scan."""
+    from fiat2_spark.plans.sugar import (
+        and_, bind, check, comp, eq, field, lit, loc, lt, rec, ret, sort,
+    )
+
+    prog = sort(comp(
+        bind("o", loc("orders")),
+        bind("c", loc("customer")),
+        check(and_(
+            eq(field("o", "o_custkey"), field("c", "c_custkey")),
+            lt(field("o", "o_totalprice"), lit(30000)),
+        )),
+        ret(rec(
+            name=field("c", "c_name"),
+            prio=field("o", "o_orderpriority"),
+            price=field("o", "o_totalprice"),
+        )),
+    ))
+    return compile_expr(prog, {}, _store(spark, sf_dir, "orders", "customer"), spark)

@@ -1240,7 +1240,10 @@ def udaf_mad(spark, sf_dir):
     grouped-pandas op): one group = one task and the group's values
     materialize in memory — use it for statistics a built-in can't
     express, over groups that fit an executor; here |langs| groups of
-    |corpus|/|langs| int64s."""
+    |corpus|/|langs| int64s. This query is registered as the PINNED
+    applyInPandas contract demo; at scale prefer `mad_scalable`, which
+    computes the identical output JVM-side via two
+    `grouped_percentiles` passes with bounded group state."""
     import pandas as pd
 
     d = tbl(spark, sf_dir, "documents").select("lang", "n_chars")
@@ -1261,6 +1264,45 @@ def udaf_mad(spark, sf_dir):
 
     return d.groupBy("lang").applyInPandas(
         mad, "lang string, med double, mad double, n long"
+    )
+
+
+@q(
+    "mad_scalable",
+    """
+    WITH m AS (
+      SELECT lang, median(CAST(n_chars AS DOUBLE)) AS med
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, m.med,
+           median(abs(CAST(d.n_chars AS DOUBLE) - m.med)) AS mad,
+           COUNT(*) AS n
+    FROM documents d JOIN m USING (lang)
+    GROUP BY d.lang, m.med
+    """,
+)
+def mad_scalable(spark, sf_dir):
+    """`udaf_mad` WITHOUT Python — the form a 100 TB run should use:
+    median absolute deviation per language as two JVM-side
+    `grouped_percentiles` passes (distributed quantile-bucket ranking,
+    ~2 bracketing order statistics per group survive to the final
+    aggregate — group size is unbounded, nothing materializes a
+    group's values in one task, unlike the applyInPandas twin). The
+    |langs|-row median relation broadcasts between the passes. The
+    interpolation is PERCENTILE_CONT's v_lo + (h−⌊h⌋)·(v_hi−v_lo)
+    with h = q·(n−1) — exactly numpy's and DuckDB's median formula,
+    so the same oracle as `udaf_mad` checks both twins."""
+    from fiat2_spark.operators.relational import grouped_percentiles
+
+    d = tbl(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("v")
+    )
+    med = grouped_percentiles(d, ["lang"], "v", {"med": 0.5}).select("lang", "med")
+    dev = d.join(F.broadcast(med), "lang").select(
+        "lang", "med", F.abs(F.col("v") - F.col("med")).alias("absdev")
+    )
+    return grouped_percentiles(dev, ["lang", "med"], "absdev", {"mad": 0.5}).select(
+        "lang", "med", "mad", "n"
     )
 
 

@@ -213,3 +213,70 @@ def test_foreach_self_referential_body_stays_sequential(spark):
     run_command(A.CForeach(A.ELoc("src"), "x", body), st, {}, spark)
     vals = sorted(r["k"] for r in st.get("t").collect())
     assert vals == [1, 1, 2, 3]
+
+
+def test_sugar_desugars_to_identical_ast():
+    """`plans/sugar` is PURE notation (Notations.v:144-149): the
+    comprehension builders must produce structurally identical frozen
+    dataclass nodes to the raw constructors — same typecheck, same
+    compiled plan, byte-for-byte."""
+    from fiat2_spark.plans import ast as A
+    from fiat2_spark.plans.sugar import (
+        bind, check, comp, eq, field, loc, rec, ret, sort,
+    )
+
+    sugar = sort(comp(
+        bind("d", loc("nation")),
+        bind("e", loc("supplier")),
+        check(eq(field("e", "s_nationkey"), field("d", "n_nationkey"))),
+        ret(rec(name=field("e", "s_name"), dept=field("d", "n_name"))),
+    ))
+    raw = A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("nation"),
+            "d",
+            A.EFlatmap(
+                "LikeList",
+                A.ELoc("supplier"),
+                "e",
+                A.EIf(
+                    A.EBinop(
+                        "OEq",
+                        A.EAccess(A.EVar("e"), "s_nationkey"),
+                        A.EAccess(A.EVar("d"), "n_nationkey"),
+                    ),
+                    A.EBinop(
+                        "OCons",
+                        A.ERecord((
+                            ("name", A.EAccess(A.EVar("e"), "s_name")),
+                            ("dept", A.EAccess(A.EVar("d"), "n_name")),
+                        )),
+                        A.EAtom(A.ANil()),
+                    ),
+                    A.EAtom(A.ANil()),
+                ),
+            ),
+        ),
+    )
+    assert sugar == raw
+
+
+def test_sugar_comprehension_plans_as_hash_join(spark):
+    """The desugared flatmap+guard must still hit compile.py's θ-join
+    recognition — a sugar-built program may never degrade to a
+    cartesian plan."""
+    import contextlib
+    import io
+
+    from fiat2_spark.workloads import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    df = QUERIES["dsl_comprehension"](spark, SF_SMOKE)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p
