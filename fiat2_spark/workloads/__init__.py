@@ -22,11 +22,30 @@ from fiat2_spark.workloads import core, dsl, graphs, pipeline, server, stream
 
 MODULES = (pipeline, stream, server, dsl, graphs, core)
 
-# First 50 = driver-checked window. Order: the 30 previously-unchecked
-# queries, then DSL + graphs, then core picks that cover otherwise
-# unevidenced SURVEY §2 rows this round (incl. the freshly fixed
-# nested_collections).
-PRIORITY = (
+# First 50 = driver-checked window. Round-5 rotation (VERDICT r4 task 1):
+# (A) all 28 queries that have NEVER held a driver row — the post-window
+# round-4 wave (gate-green in GATE_r04 at both SFs, but builder-produced
+# evidence only); (B) the two stale-premise re-checks: dsl_command_pipeline
+# (its r1/r2 row's premise was violated by the r4 _foreach_bulk_insert
+# interp rewrite) and udaf_mad (docstring cross-ref to mad_scalable changed
+# its function source this round); (C) the four round-5 additions; (D) 16
+# oldest-evidence refreshes — core queries holding only r1/r2 rows, rotated
+# back in so no row's premise is more than a few rounds old.
+#
+# Rotation-out justification (hardened rule, tools/fingerprints.py):
+# every rotated-out query keeps a green r3/r4 row; their @q function
+# sources and oracle strings are byte-identical since the row-earning
+# round, and the module-closure deltas this round (pipeline.py gained
+# mad_scalable + the dedup_fuzzy_apply hint removal, core.py gained
+# Q6/Q15 + corr_moments NULLIF, dsl.py gained dsl_comprehension,
+# sources/io.py changed compact_files/write_zorder) are unreachable from
+# them: no rotated-out query calls dedup_fuzzy_apply's block, the new
+# query functions, or compact_files/write_zorder (grep-verified — io.py
+# consumers among queries are csv_roundtrip/sink_roundtrip/
+# partition_pruned_lookup/bucketed_join/zonemap/bfs_recursive_cte via
+# read/write_table, write_bucketed, write_sorted, register_views, all
+# untouched).
+PRIORITY_R4 = (  # kept for the r4 row-premise audit trail
     # pipeline: text / dedup / ANN / multimodal / sampling (cms_tokens
     # rotated out on its green CORRECTNESS_r03 row, code unchanged)
     # text_tokens/text_quality rotate out on green CORRECTNESS_r03 rows
@@ -120,12 +139,32 @@ PRIORITY = (
     # with no driver row yet (ADVICE r3) — first driver check this round
     "group_concat", "salted_join", "unpivot_long",
 )
-# Round-5 rotation candidates (registered late in round 4, after this
-# window was fixed; all hold committed GATE_r04 162/162 rows at sf0.01
-# AND sf0.1 on final code): tpch_q{1,4,7,8,9,10,13,16,17,19,21,22}_shape,
-# dpp_partitioned_join, bloom_pruned_join, dedup_fuzzy_apply,
-# bag_ops_all, corr_moments, kmeans_lloyd, window_nav,
-# zonemap_range_scan, bfs_recursive_cte.
+
+PRIORITY = (
+    # (A) the 14 TPC-H shapes never driver-checked
+    "tpch_q1_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q7_shape",
+    "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape", "tpch_q13_shape",
+    "tpch_q14_shape", "tpch_q16_shape", "tpch_q17_shape", "tpch_q19_shape",
+    "tpch_q21_shape", "tpch_q22_shape",
+    # (A) runtime pruning, layout, iterative, and misc never-checked
+    "dpp_partitioned_join", "bloom_pruned_join", "dedup_fuzzy_apply",
+    "kmeans_lloyd", "corr_moments", "bag_ops_all", "window_nav",
+    "zonemap_range_scan", "bfs_recursive_cte",
+    # (A) the event-analytics family
+    "funnel_conversion", "retention_cohorts", "anomaly_zscore",
+    "gapfill_daily", "length_histogram",
+    # (B) stale-premise re-checks
+    "dsl_command_pipeline", "udaf_mad",
+    # (C) round-5 additions: the last two expressible TPC-H shapes, the
+    # JVM-only MAD twin, the Notations.v comprehension-sugar program
+    "tpch_q6_shape", "tpch_q15_shape", "mad_scalable", "dsl_comprehension",
+    # (D) oldest-evidence refresh: r1/r2-row core queries
+    "filter_scan", "proj_compute", "join_fk", "theta_join_nonequi",
+    "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
+    "sort_canonical", "top_k", "coq_div_mod", "word_arith",
+    "eq_nullsafe", "dict_ops_lookup", "groupby_agg", "agg_sum_count",
+)
+assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 
 _queries = {}
 _oracles = {}

@@ -119,7 +119,7 @@ def grandchildren(spark, sf_dir):
       UNION
       SELECT e.dst, w.depth + 1
       FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.depth < 15
+      WHERE w.depth < 6
     )
     SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
     """,
@@ -132,7 +132,10 @@ def bfs(spark, sf_dir):
     each level is one join + anti-join, and the visited set stays a
     DataFrame (no driver materialization). The oracle is a recursive CTE
     (UNION-dedup, depth-capped) — min depth = BFS depth for any graph of
-    diameter < 15; the derived 30-node graph is far denser than that."""
+    diameter < 6; the derived 30-node graph's source eccentricity is ≤3
+    at every shipped SF (measured, see bfs_recursive_cte), and the
+    driver loop's own 15 bound is a dead backstop behind the
+    empty-frontier early exit."""
     e = _edges(spark, sf_dir).persist()
     # localCheckpoint (eager) per level truncates lineage: without it the
     # visited plan grows by one join+union per level and iteration k
@@ -267,7 +270,7 @@ def pagerank(edges, iters: int = 3):
       UNION
       SELECT e.dst, w.depth + 1
       FROM walk w JOIN edges e ON e.src = w.node
-      WHERE w.depth < 15
+      WHERE w.depth < 6
     )
     SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
     """,
@@ -286,7 +289,17 @@ def bfs_recursive_cte(spark, sf_dir):
     UNION-dedup closure. The driver-orchestrated `bfs` remains the
     scale path (localCheckpoint lineage truncation, early exit on an
     empty frontier); this form is the parity proof that the SQL
-    surface covers recursion."""
+    surface covers recursion.
+
+    Depth cap: Spark's recursive CTE has no convergence test, so on
+    this cyclic graph every round up to the cap runs a frontier join —
+    the cap IS the cost. 6 is derived, not guessed: the part-derived
+    30-node contraction has source eccentricity ≤3 at sf0.001/0.01/0.1
+    (measured by uncapped closure; it FALLS with SF as the contraction
+    densifies, so smaller test SFs are the worst case), doubled for
+    margin. Sufficiency is asserted in tests/test_cluster_ops.py: the
+    capped result must equal the driver `bfs` fixpoint, which exits on
+    the true empty frontier."""
     from fiat2_spark.sources.io import register_views
 
     register_views(spark, sf_dir, ("part",))
@@ -297,7 +310,7 @@ def bfs_recursive_cte(spark, sf_dir):
           UNION ALL
           SELECT DISTINCT e.dst, w.depth + 1
           FROM walk w JOIN ({_EDGES_SQL}) e ON e.src = w.node
-          WHERE w.depth < 15
+          WHERE w.depth < 6
         )
         SELECT node, MIN(depth) AS depth FROM walk GROUP BY node
         """

@@ -102,3 +102,21 @@ def test_dup_clusters_star_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert dup_clusters_star(pairs).count() == 0
+
+
+def test_recursive_cte_cap_reaches_fixpoint(spark):
+    """bfs_recursive_cte's depth cap (6, derived from measured source
+    eccentricity <=3 across shipped SFs, x2 margin) must be SUFFICIENT:
+    the capped engine-run closure has to equal the driver-orchestrated
+    `bfs` fixpoint, which terminates on the true empty frontier. If the
+    testdata generator ever reshapes the part graph past the cap, this
+    fails before the oracle window does."""
+    from fiat2_spark.workloads import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    cte = {
+        (r["node"], r["depth"])
+        for r in QUERIES["bfs_recursive_cte"](spark, SF_SMOKE).collect()
+    }
+    fix = {(r["node"], r["depth"]) for r in QUERIES["bfs"](spark, SF_SMOKE).collect()}
+    assert cte == fix

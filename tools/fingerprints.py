@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Per-query code fingerprints — the hardened window-rotation premise.
+
+Round 4 showed that "query block unchanged" is too weak a premise for
+keeping an old CORRECTNESS row: `dsl_command_pipeline`'s @q block was
+untouched while `plans/interp.py` gained a rewrite that fires on exactly
+its loop. A rotated-out query's green row is only valid evidence if the
+query block AND every module its execution can transit are unchanged
+since the round that earned the row.
+
+Fingerprint(query) = sha256 over:
+  * the @q function's own source (inspect.getsource) + its oracle SQL
+    (oracle strings are materialized, so SQL-building helpers are
+    covered by value), and
+  * the FULL text of every `fiat2_spark` module transitively imported
+    by the query's defining module — module-level AND function-local
+    imports both land in the file text this scan reads, so e.g. a
+    `from fiat2_spark.operators.relational import ...` inside a query
+    body is covered. The defining workloads module itself is excluded
+    (its churn is what the per-function hash already scopes precisely);
+    everything beneath it (operators/, plans/, functions/, streaming/,
+    sources/, session, util) is included whole.
+
+Usage:  python tools/fingerprints.py            # JSON to stdout
+Compare round-over-round: a query may keep a prior green row only if
+its fingerprint equals the one committed with that round's gate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_IMPORT_RE = re.compile(
+    r"^\s*(?:from\s+(fiat2_spark(?:\.\w+)*)\s+import\s+([\w, ]+)|import\s+(fiat2_spark(?:\.\w+)*))",
+    re.M,
+)
+
+
+def _module_path(modname: str) -> str | None:
+    p = os.path.join(REPO, *modname.split(".")) + ".py"
+    if os.path.exists(p):
+        return p
+    p = os.path.join(REPO, *modname.split("."), "__init__.py")
+    return p if os.path.exists(p) else None
+
+
+def _imports_of(path: str) -> set[str]:
+    """fiat2_spark modules imported anywhere in this file's text."""
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    out: set[str] = set()
+    for m in _IMPORT_RE.finditer(text):
+        if m.group(1):
+            base = m.group(1)
+            # `from fiat2_spark.operators import dedup as D` names the
+            # submodule in the import list — resolve both forms
+            out.add(base)
+            for name in (m.group(2) or "").split(","):
+                cand = f"{base}.{name.strip().split(' ')[0]}"
+                if _module_path(cand):
+                    out.add(cand)
+        elif m.group(3):
+            out.add(m.group(3))
+    return {m for m in out if _module_path(m)}
+
+
+def _closure(modname: str) -> set[str]:
+    seen: set[str] = set()
+    frontier = [modname]
+    while frontier:
+        m = frontier.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        frontier.extend(_imports_of(_module_path(m)) - seen)
+    return seen
+
+
+def _file_sha(path: str) -> str:
+    with open(path, "rb") as fh:
+        return hashlib.sha256(fh.read()).hexdigest()
+
+
+def fingerprints() -> dict[str, str]:
+    from fiat2_spark.workloads import ORACLES, QUERIES
+
+    module_sha = {}
+    closures: dict[str, list[str]] = {}
+    out = {}
+    for name, fn in QUERIES.items():
+        defmod = fn.__module__
+        if defmod not in closures:
+            # session.py is reachable from no workloads import but its
+            # confs (AQE, bloom/DPP gates, tz) shape every query's
+            # behavior — include it in every premise
+            deps = sorted((_closure(defmod) | {"fiat2_spark.session"}) - {defmod})
+            closures[defmod] = deps
+            for d in deps:
+                if d not in module_sha:
+                    module_sha[d] = _file_sha(_module_path(d))
+        h = hashlib.sha256()
+        h.update(inspect.getsource(fn).encode())
+        h.update(ORACLES.get(name, "").encode())
+        for d in closures[defmod]:
+            h.update(f"{d}={module_sha[d]}\n".encode())
+        out[name] = h.hexdigest()
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(fingerprints(), indent=1, sort_keys=True))

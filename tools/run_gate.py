@@ -40,6 +40,21 @@ def main() -> None:
         if not ok:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed", flush=True)
+    if not only:
+        # full-registry run: emit the per-query transitive-code
+        # fingerprints that gate window rotation (tools/fingerprints.py);
+        # rounds commit this beside GATE_r0N as FINGERPRINTS_r0N.json
+        import json
+
+        from tools.fingerprints import fingerprints
+
+        fp_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "FINGERPRINTS.json",
+        )
+        with open(fp_path, "w") as fh:
+            json.dump(fingerprints(), fh, indent=1, sort_keys=True)
+        print(f"fingerprints -> {fp_path}", flush=True)
     if failures:
         print("FAILURES:", ", ".join(failures), flush=True)
         sys.exit(1)
