@@ -112,6 +112,13 @@ HEADLINE = [
     "tpch_q13_shape",               # count-of-counts distribution
     "tpch_q17_shape",               # below-group-average correlated filter
     "tpch_q7_shape",                # dual-role dimension nation pairs
+    # round-5 additions
+    "tpch_q6_shape",                # purest pushdown probe, single stage
+    "tpch_q15_shape",               # revenue view reused twice + scalar max
+    "mad_scalable",                 # JVM-only MAD via two percentile passes
+    "quality_filter_apply",         # applied C4/Gopher corpus gate
+    "knn_label_vote",               # kNN label-vote embedding eval
+    "dsl_comprehension",            # Notations.v sugar -> theta-join plan
 ]
 
 

@@ -156,13 +156,17 @@ PRIORITY = (
     # (B) stale-premise re-checks
     "dsl_command_pipeline", "udaf_mad",
     # (C) round-5 additions: the last two expressible TPC-H shapes, the
-    # JVM-only MAD twin, the Notations.v comprehension-sugar program
+    # JVM-only MAD twin, the Notations.v comprehension-sugar program,
+    # the applied C4/Gopher corpus gate, and the kNN label-vote eval
     "tpch_q6_shape", "tpch_q15_shape", "mad_scalable", "dsl_comprehension",
-    # (D) oldest-evidence refresh: r1/r2-row core queries
+    "quality_filter_apply", "knn_label_vote",
+    # (D) oldest-evidence refresh: r1/r2-row core queries (eq_nullsafe /
+    # dict_ops_lookup ceded their slots to the two extra (C) entries —
+    # both keep r1/r2 rows on scalar/collection code untouched since)
     "filter_scan", "proj_compute", "join_fk", "theta_join_nonequi",
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
     "sort_canonical", "top_k", "coq_div_mod", "word_arith",
-    "eq_nullsafe", "dict_ops_lookup", "groupby_agg", "agg_sum_count",
+    "groupby_agg", "agg_sum_count",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 

@@ -292,6 +292,99 @@ def text_repetition(spark, sf_dir):
     return TX.repetition_stats(base, "toks", "doc_id")
 
 
+@q(
+    "quality_filter_apply",
+    f"""
+    WITH toks AS ({_TOKS}),
+    s AS (
+      SELECT doc_id, len(toks) AS nt,
+             len(list_distinct(toks)) AS nd,
+             CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS nc,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS np,
+             length(text) AS nl
+      FROM toks
+    ),
+    tri AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+            FROM toks WHERE len(toks) >= 3)
+      GROUP BY 1, 2
+    ),
+    trid AS (
+      SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc, SUM(c) AS tot
+      FROM tri GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN s USING (doc_id) LEFT JOIN trid USING (doc_id)
+    WHERE s.nt >= 20
+      AND 3 * s.nt <= s.nc AND s.nc <= 10 * s.nt
+      AND 10 * s.np < 3 * s.nl
+      AND 10 * s.nd > 3 * s.nt
+      AND COALESCE(10 * trid.dupc < 3 * trid.tot, TRUE)
+    """,
+)
+def quality_filter_apply(spark, sf_dir):
+    """The APPLIED quality gate — the C4/Gopher-style rulebook run as a
+    corpus filter, returning the surviving documents (what a training
+    build executes; `text_quality`/`text_repetition` are the signal
+    views this composes). Rules, all in INTEGER arithmetic so both
+    engines decide every boundary bitwise-identically (no float
+    threshold can disagree): ≥20 tokens; mean token length in [3,10]
+    as 3·nt ≤ Σlen ≤ 10·nt; punctuation ratio < 0.3 as 10·np < 3·nl;
+    type-token ratio > 0.3 as 10·distinct > 3·nt; duplicate-trigram
+    fraction < 0.3 as 10·dup < 3·tot (Rae et al. 2021 App. A,
+    C4: Raffel et al. 2020 §2.2, thresholds adapted to synthetic
+    single-line docs). Plan: one stats projection (pure codegen
+    higher-order functions, no explode) + one trigram explode →
+    doc-keyed partial agg — the only shuffle carries (doc_id, two
+    longs); the corpus text never shuffles, and the final keep-join is
+    doc_id-keyed. At 100 TB: identical shape to `text_repetition`, one
+    scan, map-side combine on grams."""
+    d = tbl(spark, sf_dir, "documents")
+    base = d.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("nt"),
+        F.size(F.array_distinct("toks")).alias("nd"),
+        F.aggregate(
+            F.transform("toks", lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("nc"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+        ).alias("np"),
+        F.length("text").alias("nl"),
+    )
+    tri = (
+        base.filter(F.size("toks") >= 3)
+        .select("doc_id", F.explode(TX.word_ngrams(F.col("toks"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dupc"),
+            F.sum("c").alias("tot"),
+        )
+    )
+    keep = (
+        stats.join(tri, "doc_id", "left")
+        .filter(
+            (F.col("nt") >= 20)
+            & (3 * F.col("nt") <= F.col("nc"))
+            & (F.col("nc") <= 10 * F.col("nt"))
+            & (10 * F.col("np") < 3 * F.col("nl"))
+            & (10 * F.col("nd") > 3 * F.col("nt"))
+            & F.coalesce(10 * F.col("dupc") < 3 * F.col("tot"), F.lit(True))
+        )
+        .select("doc_id")
+    )
+    return d.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
+
+
 _CMS_TOKENS = "'join', 'scan', 'window', 'zzz_absent'"
 
 
@@ -775,6 +868,79 @@ def ann_bruteforce(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return SIM.cosine_topk(e, queries, k=5)
+
+
+@q(
+    "knn_label_vote",
+    f"""
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 29 = 0),
+    tr AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 29 <> 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.label AS label,
+             round({{cos}}, 6) AS cos
+      FROM tr e, q
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS c FROM ranked WHERE rnk <= 5 GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT query_id, label AS pred_label,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, label) AS pr
+      FROM votes
+    )
+    SELECT q.vec_id AS vec_id, CAST(q.label AS INTEGER) AS true_label,
+           CAST(p.pred_label AS INTEGER) AS pred_label,
+           CAST(CASE WHEN q.label = p.pred_label THEN 1 ELSE 0 END AS INTEGER) AS correct
+    FROM q JOIN pred p ON p.query_id = q.vec_id AND p.pr = 1
+    """.replace("{cos}", _ANN_COS),
+)
+def knn_label_vote(spark, sf_dir):
+    """k-NN label-vote evaluation — the standard embedding-quality
+    harness a training pipeline runs after producing vectors: hold out
+    every 29th vector as a query, classify it by majority label of its
+    k=5 exact-cosine neighbors in the remainder (ties: smaller label),
+    report per-query truth/prediction/hit. Builds on `cosine_topk`'s
+    partial-WindowGroupLimit ranking (queries broadcast, corpus
+    streams) and resolves the vote WINDOWLESSLY via one struct-max
+    argmax per query — (count, −label) max ≡ count-desc-label-asc
+    first row, no second window, no skew surface. Ranking compares
+    6dp-rounded cosines with a vec_id tiebreak, the repo's
+    deterministic-ranking discipline for float scores. At 100 TB the
+    holdout is a fraction of the corpus but still too big to collect —
+    everything stays join+agg; the eval composes with `ann_lsh`/
+    `ann_ivf` by swapping the neighbor source."""
+    e = tbl(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 29 == 0)
+    train = e.filter(F.col("vec_id") % 29 != 0)
+    nn = SIM.cosine_topk(
+        train,
+        qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),
+        k=5,
+    )
+    votes = (
+        nn.join(train.select("vec_id", "label"), "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.max(
+            F.struct(F.col("c"), (-F.col("label")).cast("long").alias("neg"))
+        ).alias("m")
+    ).select("query_id", (-F.col("m.neg")).cast("int").alias("pred_label"))
+    return (
+        qs.select(F.col("vec_id"), F.col("label").alias("true_label"))
+        .join(pred, F.col("vec_id") == F.col("query_id"))
+        .select(
+            "vec_id",
+            "true_label",
+            "pred_label",
+            (F.col("true_label") == F.col("pred_label")).cast("int").alias("correct"),
+        )
+    )
 
 
 def _lsh_oracle(n_planes: int = 4) -> str:

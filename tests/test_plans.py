@@ -850,3 +850,32 @@ def test_q15_single_revenue_pass_reused(spark):
     assert p.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_quality_filter_text_never_shuffles(spark):
+    """quality_filter_apply's only shuffles are doc_id-keyed aggregates
+    of scalar counters — the document text must never cross an
+    exchange, and the candidate joins stay hash joins."""
+    df = QUERIES["quality_filter_apply"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in exec_plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "text" not in ln, ln
+    # trigram counting is map-side combined before its exchange
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_knn_vote_keeps_partial_group_limit(spark):
+    """knn_label_vote rides cosine_topk: the partial WindowGroupLimit
+    below the exchange must survive the extra vote stages, and the
+    vote argmax must be windowless (exactly ONE Window operator in the
+    whole plan — the ranking's)."""
+    df = QUERIES["knn_label_vote"](spark, SF_SMOKE)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    partial_line = next(
+        (ln for ln in p.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln), None
+    )
+    assert partial_line is not None, "grouped-limit rewrite did not fire"
+    assert sum("Window " in ln or ln.strip().startswith("Window") for ln in p.splitlines() if "WindowGroupLimit" not in ln) <= 2
