@@ -212,6 +212,104 @@ def asof_join(spark, sf_dir):
 
 
 @q(
+    "asof_tolerance_join",
+    """
+    WITH r AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT l.event_id, l.user_id, l.ts, r.click_id, r.ts AS click_ts
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_id END AS click_id,
+           CASE WHEN click_ts >= ts - INTERVAL 1 HOUR THEN click_ts END AS click_ts
+    FROM m
+    """,
+)
+def asof_tolerance_join(spark, sf_dir):
+    """As-of join with a STALENESS BOUND — the feature-store form of
+    `asof_join`: a purchase only matches the user's latest prior click
+    if it happened within the last hour; older state is considered
+    stale and the row keeps LEFT semantics with a NULL match. The
+    tolerance is a post-predicate on the matched pair, so the engine
+    plan is unchanged (union+window, one shuffle, no range explosion)
+    and the bound costs nothing — exactly how max-staleness reads
+    should run at 100 TB (never as a range join, whose candidate set
+    is |tolerance-window| per row). Oracle: DuckDB native ASOF LEFT
+    JOIN with the same post-case."""
+    from fiat2_spark.operators.relational import asof_join as aj
+
+    ev = tbl(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.col("ts"))
+    )
+    m = aj(left, right, ["user_id"], "ts", ["click_id", "click_ts"])
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return m.select(
+        "event_id", "user_id", "ts",
+        F.when(fresh, F.col("click_id")).alias("click_id"),
+        F.when(fresh, F.col("click_ts")).alias("click_ts"),
+    )
+
+
+@q(
+    "ewma_user_value",
+    """
+    WITH seq AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS vs
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
+           round(list_reduce(vs, (s, x) -> 0.5 * (s + x)), 6) AS ewma
+    FROM seq
+    """,
+)
+def ewma_user_value(spark, sf_dir):
+    """Exponentially weighted moving average of each user's view values
+    (final smoothed state per entity) — the classic time-series
+    smoother, with α = 1/2 chosen deliberately: s' = 0.5·(s + x) is an
+    exact halving of a two-term sum, and both engines fold the SAME
+    ts-ordered sequence left-to-right (F.aggregate here, list_reduce
+    in DuckDB), so every intermediate double is bit-identical — no
+    pow() library divergence, no summation-order hazard. EWMA is
+    inherently sequential per entity, so the per-user fold is the
+    honest shape: one shuffle keyed by the HIGH-cardinality user_id,
+    each group folding its own (bounded per-entity) history in one
+    codegen'd expression — the same per-entity contract as
+    `sessionize`. For unbounded histories the streaming form is
+    incremental state (s ← αs + (1−α)x per event), not a bigger
+    batch fold."""
+    ev = tbl(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s")
+    )
+    vs = F.transform(F.col("s"), lambda r: r["value"])
+    return seq.select(
+        "user_id",
+        F.size(vs).cast("long").alias("n"),
+        F.round(
+            F.aggregate(
+                F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+                F.element_at(vs, 1),
+                lambda acc, x: F.lit(0.5) * (acc + x),
+            ),
+            6,
+        ).alias("ewma"),
+    )
+
+
+@q(
     "json_extract",
     """
     SELECT event_type,
