@@ -119,6 +119,9 @@ HEADLINE = [
     "quality_filter_apply",         # applied C4/Gopher corpus gate
     "knn_label_vote",               # kNN label-vote embedding eval
     "dsl_comprehension",            # Notations.v sugar -> theta-join plan
+    "asof_tolerance_join",          # staleness-bounded as-of, post-predicate
+    "ewma_user_value",              # exact-fold EWMA, per-entity sequential
+    "hybrid_rrf_retrieval",         # BM25 + cosine reciprocal-rank fusion
 ]
 
 

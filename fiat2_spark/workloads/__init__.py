@@ -160,15 +160,16 @@ PRIORITY = (
     # the applied C4/Gopher corpus gate, and the kNN label-vote eval
     "tpch_q6_shape", "tpch_q15_shape", "mad_scalable", "dsl_comprehension",
     "quality_filter_apply", "knn_label_vote", "asof_tolerance_join",
-    "ewma_user_value",
-    # (D) oldest-evidence refresh: r1/r2-row core queries. Four picks
+    "ewma_user_value", "hybrid_rrf_retrieval",
+    # (D) oldest-evidence refresh: r1/r2-row core queries. Five picks
     # ceded slots to the extra (C) entries, chosen because their
     # premises are the most solid of the group: eq_nullsafe /
-    # dict_ops_lookup / word_arith sit on scalars/collections code
-    # untouched since their rows, and groupby_agg holds an r3 row
+    # dict_ops_lookup / word_arith / coq_div_mod sit on scalars/
+    # collections code untouched since their rows, and groupby_agg
+    # holds an r3 row
     "filter_scan", "proj_compute", "join_fk", "theta_join_nonequi",
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
-    "sort_canonical", "top_k", "coq_div_mod", "agg_sum_count",
+    "sort_canonical", "top_k", "agg_sum_count",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 

@@ -1946,6 +1946,103 @@ def bm25_retrieval(spark, sf_dir):
 
 
 @q(
+    "hybrid_rrf_retrieval",
+    f"""
+    WITH toks AS ({_TOKS}),
+    base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, SUM(dl)/CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM base
+    ),
+    hits AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(toks, t -> list_contains([{", ".join(f"'{t}'" for t in _BM25_TERMS)}], t))) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT doc_id,
+             CAST(round(
+               round(ln((n_docs - df + 0.5)/(df + 0.5) + 1.0), 9)
+               * (tf * 2.2) / (tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)),
+             9) AS DECIMAL(20,9)) AS c
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    ),
+    lex AS (
+      SELECT doc_id, CAST(round(CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS bm25
+      FROM contrib GROUP BY doc_id
+    ),
+    lexr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r FROM lex
+    ),
+    cosr AS (
+      SELECT e.vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY round({{cos}}, 6) DESC, e.vec_id) AS r
+      FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+             round(COALESCE(1.0/(60 + l.r), 0) + COALESCE(1.0/(60 + c.r), 0), 6) AS rrf
+      FROM (SELECT * FROM lexr WHERE r <= 50) l
+      FULL JOIN (SELECT * FROM cosr WHERE r <= 50) c ON l.doc_id = c.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """.replace("{cos}", _ANN_COS),
+)
+def hybrid_rrf_retrieval(spark, sf_dir):
+    """Hybrid retrieval — BM25 lexical ranking fused with exact-cosine
+    vector ranking by Reciprocal Rank Fusion (Cormack et al. 2009,
+    score = Σ 1/(60+rank)): the standard RAG retrieval stack, run as
+    one plan over the aligned documents/embeddings id space. Both
+    rankers keep the repo's deterministic-ranking discipline (6dp
+    scores + id tiebreak), and RRF then depends only on INTEGER ranks,
+    so fusion is engine-exact by construction — rank-based fusion is
+    how heterogeneous scores (an unbounded BM25 and a [−1,1] cosine)
+    combine without calibration. Plan: the two ranking legs are the
+    already-audited `bm25_scores` (pre-explode term filter, broadcast
+    stats) and `cosine_topk` (broadcast query, partial
+    WindowGroupLimit); each leg collapses to ≤50 (id, rank) rows
+    before the full-outer fuse, so the final windows and join touch a
+    CONSTANT-bounded set regardless of corpus size — at 100 TB the
+    fusion cost is unchanged while the legs scale like their parent
+    queries."""
+    from fiat2_spark.operators import relational as R
+    from pyspark.sql import Window as W
+
+    d = tbl(spark, sf_dir, "documents")
+    e = tbl(spark, sf_dir, "embeddings")
+    lex = SIM.bm25_scores(
+        d, "doc_id", TX.tokens(F.col("text")), list(_BM25_TERMS)
+    ).withColumnRenamed("doc", "doc_id")
+    lex50 = R.top_k(lex, 50, [F.col("bm25").desc(), F.col("doc_id").asc()])
+    # ≤50 rows by construction: the unpartitioned rank window is bounded
+    lexr = lex50.withColumn(
+        "r_lex",
+        F.row_number().over(W.orderBy(F.col("bm25").desc(), F.col("doc_id"))),
+    ).select("doc_id", "r_lex")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    cosr = SIM.cosine_topk(e, qv, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_vec")
+    )
+    fused = lexr.join(cosr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (60 + F.col("r_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return R.top_k(fused, 10, [F.col("rrf").desc(), F.col("doc_id").asc()])
+
+
+@q(
     "embedding_quantize",
     """
     WITH s AS (
