@@ -190,6 +190,51 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+EWMA_STATE_SCHEMA = "s double, n bigint"
+EWMA_OUT_SCHEMA = "user_id bigint, n bigint, ewma double"
+
+
+def _ewma_fn(key, pdf_iter, state):
+    """applyInPandasWithState body for the incremental EWMA: state is
+    the pair (smoothed value, count); each micro-batch's rows fold in
+    (ts, event_id) order via s' = 0.5·(s + x) — the identical exact
+    halving the batch `ewma_user_value` fold performs, so CPython and
+    JVM doubles agree bitwise."""
+    import pandas as pd  # noqa: PLC0415 — runs on executors
+
+    if state.exists:
+        s, n = state.get
+    else:
+        s, n = 0.0, 0
+    pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    for v in pdf["value"]:
+        s = float(v) if n == 0 else 0.5 * (s + float(v))
+        n += 1
+    state.update((s, n))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [round(s, 6)]})
+
+
+def stateful_ewma(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch `ewma_user_value` query: per-user
+    EWMA carried incrementally in GroupState — the unbounded-history
+    form the batch docstring points to (s ← αs + (1−α)x per event, α =
+    1/2, O(1) state per entity instead of a growing collected
+    sequence). Ordering contract: rows are folded in (ts, event_id)
+    order WITHIN each micro-batch; cross-batch order is the source's
+    arrival order, as for any streaming fold — with an in-order source
+    the final state equals the batch fold exactly (agreement-tested).
+    Keyed by high-cardinality user_id → horizontal scale."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=EWMA_OUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _staged_stream(spark: SparkSession, parquet_path: str):
     """File-source stream over a single parquet file (staged via symlink
     into a temp dir), with the events nanos→timestamp normalization."""

@@ -496,3 +496,24 @@ def test_moments_view_streaming_prequential(spark):
     flagged = {(r["k"], r["value"]) for r in sink}
     assert ("a", 500.0) in flagged
     assert not any(k == "b" for k, _ in flagged)
+
+
+def test_streaming_ewma_matches_batch_fold(spark):
+    """stateful_ewma's final GroupState equals the batch
+    `ewma_user_value` fold — same alpha=1/2 exact-halving recurrence,
+    same (ts, event_id) order, CPython vs JVM doubles bit-identical."""
+    from fiat2_spark.streaming.stream_agg import stateful_ewma
+    from fiat2_spark.workloads import QUERIES
+
+    batch = {
+        (r["user_id"], r["n"]): r["ewma"]
+        for r in QUERIES["ewma_user_value"](spark, SF_SMOKE).collect()
+    }
+    rows = run_streaming_smoke(
+        spark,
+        f"{SF_SMOKE}/events.parquet",
+        lambda s: stateful_ewma(s.filter(F.col("event_type") == "view")),
+        "ewma_smoke",
+    )
+    stream = {(r["user_id"], r["n"]): r["ewma"] for r in rows}
+    assert stream == batch and len(batch) > 0
