@@ -122,6 +122,7 @@ HEADLINE = [
     "asof_tolerance_join",          # staleness-bounded as-of, post-predicate
     "ewma_user_value",              # exact-fold EWMA, per-entity sequential
     "hybrid_rrf_retrieval",         # BM25 + cosine reciprocal-rank fusion
+    "rolling_7day_revenue",         # time-interval RANGE frame per customer
 ]
 
 

@@ -28,9 +28,10 @@ MODULES = (pipeline, stream, server, dsl, graphs, core)
 # evidence only); (B) the two stale-premise re-checks: dsl_command_pipeline
 # (its r1/r2 row's premise was violated by the r4 _foreach_bulk_insert
 # interp rewrite) and udaf_mad (docstring cross-ref to mad_scalable changed
-# its function source this round); (C) the four round-5 additions; (D) 16
-# oldest-evidence refreshes — core queries holding only r1/r2 rows, rotated
-# back in so no row's premise is more than a few rounds old.
+# its function source this round); (C) the ten round-5 additions — every
+# query registered this round gets driver evidence in the same round;
+# (D) ten oldest-evidence refreshes — core queries holding only r1/r2
+# rows, rotated back in so no row's premise is more than a few rounds old.
 #
 # Rotation-out justification (hardened rule, tools/fingerprints.py):
 # every rotated-out query keeps a green r3/r4 row; their @q function
@@ -160,7 +161,7 @@ PRIORITY = (
     # the applied C4/Gopher corpus gate, and the kNN label-vote eval
     "tpch_q6_shape", "tpch_q15_shape", "mad_scalable", "dsl_comprehension",
     "quality_filter_apply", "knn_label_vote", "asof_tolerance_join",
-    "ewma_user_value", "hybrid_rrf_retrieval",
+    "ewma_user_value", "hybrid_rrf_retrieval", "rolling_7day_revenue",
     # (D) oldest-evidence refresh: r1/r2-row core queries. Five picks
     # ceded slots to the extra (C) entries, chosen because their
     # premises are the most solid of the group: eq_nullsafe /
@@ -169,7 +170,7 @@ PRIORITY = (
     # holds an r3 row
     "filter_scan", "proj_compute", "join_fk", "theta_join_nonequi",
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
-    "sort_canonical", "top_k", "agg_sum_count",
+    "sort_canonical", "top_k",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 

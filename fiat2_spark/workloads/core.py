@@ -3099,3 +3099,46 @@ def tpch_q15_shape(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+
+
+@q(
+    "rolling_7day_revenue",
+    """
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rev_7d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate
+      RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_7day_revenue(spark, sf_dir):
+    """TIME-interval rolling frame — the rolling-7-day-revenue idiom
+    `window_range_frame`'s value-range form doesn't cover: for each
+    order, the same customer's order count and revenue over the
+    trailing week, frame membership decided by EVENT-TIME distance.
+    Spark's RANGE frames need a numeric order key, so the date rides
+    as epoch seconds with a 6-day offset in seconds — semantically
+    identical to the oracle's INTERVAL frame (same-timestamp peers
+    enter/leave together in both engines; no tiebreak belongs in the
+    ORDER BY). DECIMAL frame sum as everywhere. One shuffle on the
+    HIGH-cardinality customer key; the frame is a partition-local
+    two-pointer scan — at 100 TB this beats a self-range-join by the
+    candidate-window factor, the same argument as
+    `asof_tolerance_join`."""
+    from pyspark.sql import Window as W
+
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_7d"),
+        F.sum(dec2(F.col("o_totalprice"))).over(w).cast("double").alias("rev_7d"),
+    )
