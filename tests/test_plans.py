@@ -819,6 +819,14 @@ def test_fuzzy_apply_no_forced_broadcast(spark):
     p = plan_of(df)
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    # runtime statistics, not a hint, pick the strategy: at test scale
+    # the measured losers side is small, so AQE's FINAL plan converts
+    # the anti join to broadcast — the initial plan's SortMergeJoin is
+    # what survives when the side is actually big
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed
+    assert "BroadcastHashJoin" in executed and "LeftAnti" in executed
 
 
 def test_q6_pure_scan_pipeline(spark):
