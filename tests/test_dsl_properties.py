@@ -146,3 +146,50 @@ def test_compiled_filter_project_matches_python(spark, pred, out):
         if ev(pred, r, {})
     )
     assert got == want, f"\npred={pred}\nout={out}\ngot={got}\nwant={want}"
+
+
+# -- sugar ≡ raw desugaring (Notations.v:144-149) ---------------------------
+
+_names = st.sampled_from(["a", "b", "c", "d"])
+_fields = st.sampled_from(["f1", "f2"])
+
+
+def _pred(var):
+    return A.EBinop(
+        "OLess", A.EAccess(A.EVar(var), "f1"), A.EAtom(A.AInt(7))
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(st.booleans(), _names), min_size=1, max_size=6
+    ),
+    st.booleans(),
+)
+@settings(deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sugar_fold_equals_manual_nesting(steps, wrap_sort):
+    """For ANY sequence of generators and guards, comp() must produce
+    exactly the right-nested EFlatmap/EIf tree the Coq notations build —
+    the sugar is a pure fold, no normalization, no reassociation."""
+    from fiat2_spark.plans import sugar as S
+
+    sugar_steps = []
+    for is_bind, name in steps:
+        if is_bind:
+            sugar_steps.append(S.bind(name, A.ELoc(name)))
+        else:
+            sugar_steps.append(S.check(_pred(name)))
+    terminal = S.ret(A.ERecord((("out", A.EAccess(A.EVar("a"), "f2")),)))
+    got = S.comp(*sugar_steps, terminal)
+    if wrap_sort:
+        got = S.sort(got)
+
+    want = terminal
+    for is_bind, name in reversed(steps):
+        if is_bind:
+            want = A.EFlatmap("LikeList", A.ELoc(name), name, want)
+        else:
+            want = A.EIf(_pred(name), want, A.EAtom(A.ANil()))
+    if wrap_sort:
+        want = A.ESort("LikeList", want)
+    assert got == want

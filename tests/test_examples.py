@@ -44,3 +44,11 @@ def test_olap_demo_runs(spark, capsys):
     out = _run("examples/olap_demo.py", capsys)
     assert "tpch_q1_shape rows:" in out
     assert "MISSING" not in out  # every plan property held
+
+
+def test_retrieval_demo_runs(spark, capsys):
+    out = _run("examples/retrieval_demo.py", capsys)
+    assert "quality gate:" in out
+    assert "hybrid top-10" in out
+    assert "label-vote accuracy" in out
+    assert "top-k prune present" in out
