@@ -211,7 +211,9 @@ def _ewma_fn(key, pdf_iter, state):
         s = float(v) if n == 0 else 0.5 * (s + float(v))
         n += 1
     state.update((s, n))
-    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [round(s, 6)]})
+    # raw final double — the fold is bit-exact across engines, rounding
+    # renderings are not (see ewma_user_value)
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "ewma": [s]})
 
 
 def stateful_ewma(events: DataFrame) -> DataFrame:

@@ -271,7 +271,7 @@ def asof_tolerance_join(spark, sf_dir):
       FROM events WHERE event_type = 'view' GROUP BY user_id
     )
     SELECT user_id, CAST(len(vs) AS BIGINT) AS n,
-           round(list_reduce(vs, (s, x) -> 0.5 * (s + x)), 6) AS ewma
+           list_reduce(vs, (s, x) -> 0.5 * (s + x)) AS ewma
     FROM seq
     """,
 )
@@ -282,7 +282,12 @@ def ewma_user_value(spark, sf_dir):
     exact halving of a two-term sum, and both engines fold the SAME
     ts-ordered sequence left-to-right (F.aggregate here, list_reduce
     in DuckDB), so every intermediate double is bit-identical — no
-    pow() library divergence, no summation-order hazard. EWMA is
+    pow() library divergence, no summation-order hazard. The output is
+    the RAW final double, not a rounded rendering: the fold is
+    bit-exact across engines while round(x, 6) is not (Spark's
+    BigDecimal HALF_UP vs DuckDB's float rounding diverge by 1 ulp on
+    .xxxxxx5 boundaries — observed at sf0.1), so rounding would only
+    ADD divergence here. EWMA is
     inherently sequential per entity, so the per-user fold is the
     honest shape: one shuffle keyed by the HIGH-cardinality user_id,
     each group folding its own (bounded per-entity) history in one
@@ -298,13 +303,10 @@ def ewma_user_value(spark, sf_dir):
     return seq.select(
         "user_id",
         F.size(vs).cast("long").alias("n"),
-        F.round(
-            F.aggregate(
-                F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
-                F.element_at(vs, 1),
-                lambda acc, x: F.lit(0.5) * (acc + x),
-            ),
-            6,
+        F.aggregate(
+            F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+            F.element_at(vs, 1),
+            lambda acc, x: F.lit(0.5) * (acc + x),
         ).alias("ewma"),
     )
 
