@@ -23,7 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fiat2_spark.plans import ast as A
 from fiat2_spark.plans.compile import compile_expr
-from fiat2_spark.plans.sugar import bind, check, comp, eq, field, loc, rec, ret, sort
+from fiat2_spark.plans.sugar import (
+    bind, check, comp, eq, field, let_mut, loc, rec, ret, set_, sort,
+)
 from fiat2_spark.plans.interp import Store, run_command
 from fiat2_spark.plans.typecheck import TypeError2
 from fiat2_spark.session import get_spark
@@ -101,15 +103,17 @@ def main() -> None:
     except TypeError2 as e:
         print(f"== typechecker rejected the ill-typed variant: {e} ==")
 
-    # The command layer (Interpret.v:501-524): CLetMut a table, insert a
-    # row (OCons), read back — the insert loop every Ex_* benchmark runs.
+    # The command layer (Interpret.v:501-524) in the reference's command
+    # notation (Notations.v:52-76): let mut a table, insert a row
+    # (OCons), read back — the insert loop every Ex_* benchmark runs.
     row = A.ERecord(
         (
             ("n_nationkey", A.EAtom(A.AInt(99))),
             ("n_name", A.EAtom(A.AString("ATLANTIS"))),
         )
     )
-    prog2 = A.CLetMut(
+    prog2 = let_mut(
+        "t",
         A.EProj(
             "LikeList",
             A.ELoc("nation"),
@@ -121,11 +125,10 @@ def main() -> None:
                 )
             ),
         ),
-        "t",
-        A.CAssign("t", A.EBinop("OCons", row, A.ELoc("t"))),
+        set_("t", A.EBinop("OCons", row, A.ELoc("t"))),
     )
     run_command(prog2, store, {}, spark)
-    print("== command layer ran (CLetMut + OCons insert + CAssign) ==")
+    print("== command layer ran (let mut + OCons insert + set) ==")
 
 
 if __name__ == "__main__":

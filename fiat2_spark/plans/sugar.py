@@ -137,3 +137,50 @@ def not_(a: A.Expr) -> A.Expr:
 def sort(l: A.Expr) -> A.Expr:
     """``sort [...]`` — canonical ordering of a list comprehension."""
     return A.ESort("LikeList", l)
+
+
+# -- command notations (Notations.v:52-76) ---------------------------------
+#
+#   skip            = CSkip          |  c1 ; c2          = CSeq c1 c2
+#   let x = e in c  = CLet e x c     |  let mut x := e   = CLetMut e x c
+#   set x := e      = CAssign x e    |  if e then/else   = CIf e c1 c2
+#   for x in e : c  = CForeach e x c
+#
+# `seq(...)` right-associates like the level-90 `;` notation.
+
+skip = A.CSkip()
+
+
+def seq(*cs: A.Command) -> A.Command:
+    """``c1 ; c2 ; ...`` — right-associative sequencing (empty = skip)."""
+    if not cs:
+        return skip
+    out = cs[-1]
+    for c in reversed(cs[:-1]):
+        out = A.CSeq(c, out)
+    return out
+
+
+def let(x: str, e: A.Expr, c: A.Command) -> A.Command:
+    """``let x = e in c`` — immutable binding."""
+    return A.CLet(e, x, c)
+
+
+def let_mut(x: str, e: A.Expr, c: A.Command) -> A.Command:
+    """``let mut x := e in c`` — a mutable store location in scope."""
+    return A.CLetMut(e, x, c)
+
+
+def set_(x: str, e: A.Expr) -> A.Command:
+    """``set x := e`` — assignment to a mutable location."""
+    return A.CAssign(x, e)
+
+
+def if_(e: A.Expr, c1: A.Command, c2: A.Command = skip) -> A.Command:
+    """``if e then c1 else c2 end`` (else defaults to skip)."""
+    return A.CIf(e, c1, c2)
+
+
+def for_(x: str, e: A.Expr, c: A.Command) -> A.Command:
+    """``for x in e : c end`` — iterate a collection, binding each row."""
+    return A.CForeach(e, x, c)

@@ -280,3 +280,35 @@ def test_sugar_comprehension_plans_as_hash_join(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "Join" in p
+
+
+def test_command_sugar_desugars_to_identical_ast():
+    """The command notations (Notations.v:52-76: skip, `;`, let/set/if/
+    for) must desugar to the raw CSkip/CSeq/CLet/CLetMut/CAssign/CIf/
+    CForeach nodes with the `;` right-associativity the Coq grammar
+    declares."""
+    from fiat2_spark.plans import ast as A
+    from fiat2_spark.plans import sugar as S
+
+    row = A.ERecord((("k", A.EAtom(A.AInt(1))),))
+    sugar = S.let_mut(
+        "t",
+        A.ELoc("nation"),
+        S.seq(
+            S.set_("t", A.EBinop("OCons", row, A.ELoc("t"))),
+            S.if_(A.EAtom(A.ABool(True)), S.set_("t", A.ELoc("t"))),
+            S.for_("x", A.ELoc("t"), S.skip),
+        ),
+    )
+    raw = A.CLetMut(
+        A.ELoc("nation"),
+        "t",
+        A.CSeq(
+            A.CAssign("t", A.EBinop("OCons", row, A.ELoc("t"))),
+            A.CSeq(
+                A.CIf(A.EAtom(A.ABool(True)), A.CAssign("t", A.ELoc("t")), A.CSkip()),
+                A.CForeach(A.ELoc("t"), "x", A.CSkip()),
+            ),
+        ),
+    )
+    assert sugar == raw
