@@ -172,6 +172,19 @@ PRIORITY = (
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
     "sort_canonical", "top_k",
 )
+# Round-6 rotation candidates, in priority order (baseline for premise
+# checks = FINGERPRINTS_r05.json): the core/dsl/graph queries still
+# holding only r1/r2 rows — if_then_else, join_three_way, flatmap_cross,
+# pivot_wide, bag_canonical, set_of_distinct, union_all_concat,
+# cons_insert, int_range, word_range, bag_set_insert, word_arith,
+# string_ops, eq_nullsafe, opt_match_coalesce, agg_min_max_option,
+# fold_right_concat, dict_ops_lookup, survey_join, proj_feed_pipeline,
+# sql_entrypoint, distinct_agg, set_ops, outer_join, topk_per_group,
+# quantile_disc, dsl_filter_project, dsl_grandchildren, dsl_employee_join,
+# dsl_orders_agg, grandchildren, triangle, bfs — plus agg_sum_count /
+# groupby_agg / coq_div_mod / dict_fold (r2/r3 rows), and any query whose
+# r6 fingerprint diverges from FINGERPRINTS_r05.json via a reachable
+# delta.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 
 _queries = {}
