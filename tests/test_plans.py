@@ -887,3 +887,15 @@ def test_knn_vote_keeps_partial_group_limit(spark):
     )
     assert partial_line is not None, "grouped-limit rewrite did not fire"
     assert sum("Window " in ln or ln.strip().startswith("Window") for ln in p.splitlines() if "WindowGroupLimit" not in ln) <= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["rolling_7day_revenue", "asof_tolerance_join", "ewma_user_value", "mad_scalable"]
+)
+def test_round5_queries_stay_parallel(spark, name):
+    """The round-5 per-entity/per-group queries must keep every stage
+    parallel (their partition keys are high-cardinality: customer,
+    user, language×bucket) and never degenerate to a nested loop."""
+    p = plan_of(QUERIES[name](spark, SF_SMOKE))
+    assert "SinglePartition" not in p, name
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
