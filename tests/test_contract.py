@@ -65,3 +65,18 @@ def test_python_udtf_escape_hatch(spark):
     assert [(r["doc_id"], r["idx"], r["sent"]) for r in out] == [
         (1, 0, "A b"), (1, 1, "C d"), (2, 0, "One"),
     ]
+
+
+def test_fingerprint_closure_sees_parenthesized_imports():
+    """The rotation-premise closure must catch function-local
+    parenthesized multiline imports (`from fiat2_spark.plans.sugar
+    import (...)` inside dsl_comprehension) — the line-regex scanner
+    this replaced missed them, which would have kept stale rows valid
+    under sugar changes."""
+    from tools.fingerprints import _closure
+
+    dsl = _closure("fiat2_spark.workloads.dsl")
+    assert "fiat2_spark.plans.sugar" in dsl
+    assert "fiat2_spark.plans.compile" in dsl
+    # and docstring cross-references must NOT connect the world
+    assert "fiat2_spark.serving" not in dsl

@@ -13,10 +13,11 @@ Fingerprint(query) = sha256 over:
     (oracle strings are materialized, so SQL-building helpers are
     covered by value), and
   * the FULL text of every `fiat2_spark` module transitively imported
-    by the query's defining module — module-level AND function-local
-    imports both land in the file text this scan reads, so e.g. a
-    `from fiat2_spark.operators.relational import ...` inside a query
-    body is covered. The defining workloads module itself is excluded
+    by the query's defining module — imports are collected from the
+    parsed AST (module-level, function-local, and parenthesized
+    multiline forms alike), so e.g. a `from
+    fiat2_spark.operators.relational import ...` inside a query body
+    is covered. The defining workloads module itself is excluded
     (its churn is what the per-function hash already scopes precisely);
     everything beneath it (operators/, plans/, functions/, streaming/,
     sources/, session, util) is included whole.
@@ -32,16 +33,11 @@ import hashlib
 import inspect
 import json
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-_IMPORT_RE = re.compile(
-    r"^\s*(?:from\s+(fiat2_spark(?:\.\w+)*)\s+import\s+([\w, ]+)|import\s+(fiat2_spark(?:\.\w+)*))",
-    re.M,
-)
 
 
 def _module_path(modname: str) -> str | None:
@@ -53,22 +49,29 @@ def _module_path(modname: str) -> str | None:
 
 
 def _imports_of(path: str) -> set[str]:
-    """fiat2_spark modules imported anywhere in this file's text."""
+    """fiat2_spark modules imported anywhere in this file — module-level
+    AND function-local, parsed from the AST (a line regex misses
+    parenthesized multiline import lists, which silently kept stale rows
+    valid for queries importing `plans.sugar` that way)."""
+    import ast as pyast
+
     with open(path, encoding="utf-8") as fh:
-        text = fh.read()
+        tree = pyast.parse(fh.read())
     out: set[str] = set()
-    for m in _IMPORT_RE.finditer(text):
-        if m.group(1):
-            base = m.group(1)
-            # `from fiat2_spark.operators import dedup as D` names the
-            # submodule in the import list — resolve both forms
-            out.add(base)
-            for name in (m.group(2) or "").split(","):
-                cand = f"{base}.{name.strip().split(' ')[0]}"
-                if _module_path(cand):
-                    out.add(cand)
-        elif m.group(3):
-            out.add(m.group(3))
+    for node in pyast.walk(tree):
+        if isinstance(node, pyast.ImportFrom):
+            if node.module and node.module.startswith("fiat2_spark"):
+                out.add(node.module)
+                # `from fiat2_spark.operators import dedup as D` names
+                # the submodule in the import list — resolve both forms
+                for a in node.names:
+                    cand = f"{node.module}.{a.name}"
+                    if _module_path(cand):
+                        out.add(cand)
+        elif isinstance(node, pyast.Import):
+            for a in node.names:
+                if a.name.startswith("fiat2_spark"):
+                    out.add(a.name)
     return {m for m in out if _module_path(m)}
 
 
