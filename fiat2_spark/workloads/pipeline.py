@@ -873,8 +873,10 @@ def ann_bruteforce(spark, sf_dir):
 @q(
     "knn_label_vote",
     f"""
-    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 29 = 0),
-    tr AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 29 <> 0),
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
+               WHERE vec_id % 29 = 0 AND vec_id < 5800),
+    tr AS (SELECT vec_id, embedding, label FROM embeddings
+           WHERE NOT (vec_id % 29 = 0 AND vec_id < 5800)),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.label AS label,
              round({{cos}}, 6) AS cos
@@ -901,9 +903,14 @@ def ann_bruteforce(spark, sf_dir):
 def knn_label_vote(spark, sf_dir):
     """k-NN label-vote evaluation — the standard embedding-quality
     harness a training pipeline runs after producing vectors: hold out
-    every 29th vector as a query, classify it by majority label of its
-    k=5 exact-cosine neighbors in the remainder (ties: smaller label),
-    report per-query truth/prediction/hit. Builds on `cosine_topk`'s
+    a FIXED-SIZE eval panel (every 29th vector, capped at 200 — the
+    cap is what keeps the exact eval linear in corpus size; a panel
+    proportional to the corpus makes brute-force cost grow with the
+    product of both sides, measured at 74× on 10× data in
+    SCALING_r05.md before the cap), classify each by majority label of
+    its k=5 exact-cosine neighbors in the remainder (ties: smaller
+    label), report per-query truth/prediction/hit. Builds on
+    `cosine_topk`'s
     partial-WindowGroupLimit ranking (queries broadcast, corpus
     streams) and resolves the vote WINDOWLESSLY via one struct-max
     argmax per query — (count, −label) max ≡ count-desc-label-asc
@@ -914,8 +921,9 @@ def knn_label_vote(spark, sf_dir):
     everything stays join+agg; the eval composes with `ann_lsh`/
     `ann_ivf` by swapping the neighbor source."""
     e = tbl(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") % 29 == 0)
-    train = e.filter(F.col("vec_id") % 29 != 0)
+    panel = (F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 5800)
+    qs = e.filter(panel)
+    train = e.filter(~panel)
     nn = SIM.cosine_topk(
         train,
         qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),

@@ -47,6 +47,15 @@ HEAVY = [
     "dedup_clusters_star",
     "span_dedup",
     "pipeline_training_set",
+    # round-5 ops: the first four scale like their audited parents; the
+    # kNN eval is the DELIBERATELY quadratic exact baseline (queries and
+    # corpus both grow, work grows ~factor² — the number the ANN paths
+    # exist to beat), kept in the probe so the trade is measured, not
+    # assumed
+    "quality_filter_apply",
+    "mad_scalable",
+    "hybrid_rrf_retrieval",
+    "knn_label_vote",
 ]
 
 
