@@ -172,20 +172,29 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=True)
     print(json.dumps(summary, separators=(",", ":")))
+    print(compact_summary(summary))
+    spark.stop()
+
+
+def compact_summary(summary: dict, budget: int = 1400) -> str:
+    """The FINAL stdout line: a budget-bounded JSON summary whose
+    "queries" keeps only the slowest entries that fit, so the driver's
+    bounded tail-capture always lands a parseable object (BENCH_r04's
+    `parsed: null` came from a full per-query dict overflowing the tail
+    window). Contract pinned in tests/test_contract.py."""
+    timings = summary["queries"]
     compact = dict(summary)
     compact["n_queries"] = len(timings)
     compact["detail"] = "bench_detail.json"
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
     kept: dict[str, float] = {}
-    for name, sec in slowest:
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         kept[name] = sec
         compact["queries"] = kept
-        if len(json.dumps(compact, separators=(",", ":"))) > 1400:
+        if len(json.dumps(compact, separators=(",", ":"))) > budget:
             kept.pop(name)
             break
     compact["queries"] = kept
-    print(json.dumps(compact, separators=(",", ":")))
-    spark.stop()
+    return json.dumps(compact, separators=(",", ":"))
 
 
 if __name__ == "__main__":

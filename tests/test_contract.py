@@ -80,3 +80,27 @@ def test_fingerprint_closure_sees_parenthesized_imports():
     assert "fiat2_spark.plans.compile" in dsl
     # and docstring cross-references must NOT connect the world
     assert "fiat2_spark.serving" not in dsl
+
+
+def test_bench_final_line_stays_parseable_under_budget():
+    """bench.py's last stdout line must stay a single parseable JSON
+    object within the tail-capture budget no matter how many headline
+    queries exist — the regression behind BENCH_r04's `parsed: null`."""
+    import json
+
+    from bench import compact_summary
+
+    summary = {
+        "metric": "headline_suite_total",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {f"query_with_a_long_name_{i:03d}": i / 7.0 for i in range(500)},
+        "sf": 0.1,
+    }
+    line = compact_summary(summary)
+    assert len(line) <= 1500
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_suite_total" and obj["n_queries"] == 500
+    # the kept entries are the slowest ones
+    kept = obj["queries"]
+    assert kept and max(summary["queries"].values()) == max(kept.values())
