@@ -290,3 +290,34 @@ def test_gapfill_daily_matches_python_model(spark, rows):
         for r in QUERIES["gapfill_daily"](spark, tmpdir).collect()
     }
     assert got == model
+
+
+def test_asof_tolerance_boundary_inclusive(spark):
+    """A match exactly AT the staleness bound (click_ts == ts − 1h) must
+    survive (>= semantics), one second older must be NULLed, and LEFT
+    rows without any prior match keep NULLs — the three regimes of
+    `asof_tolerance_join`, pinned on synthetic rows."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.relational import asof_join as aj
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 12:00:00"),
+         (2, 20, "2024-01-01 12:00:00"),
+         (3, 30, "2024-01-01 12:00:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 11:00:00", 100),   # exactly 1h old → keep
+         (20, "2024-01-01 10:59:59", 200)],  # 1s past the bound → drop
+        "user_id long, ts string, click_id long",
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("click_ts", F.col("ts"))
+    m = aj(left, right, ["user_id"], "ts", ["click_id", "click_ts"])
+    fresh = F.col("click_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    out = {
+        r["event_id"]: r["click_id"]
+        for r in m.select(
+            "event_id", F.when(fresh, F.col("click_id")).alias("click_id")
+        ).collect()
+    }
+    assert out == {1: 100, 2: None, 3: None}
