@@ -195,6 +195,9 @@ for _m in MODULES:
 
 _missing = [n for n in PRIORITY if n not in _queries]
 assert not _missing, f"PRIORITY names not registered: {_missing}"
+# the audit-trail window must not silently rot under renames either
+_missing_r4 = [n for n in PRIORITY_R4 if n not in _queries]
+assert not _missing_r4, f"PRIORITY_R4 names no longer registered: {_missing_r4}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
