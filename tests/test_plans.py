@@ -899,3 +899,21 @@ def test_round5_queries_stay_parallel(spark, name):
     p = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "SinglePartition" not in p, name
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_hybrid_rrf_rank_window_is_bounded_by_topk(spark):
+    """hybrid_rrf_retrieval's only unpartitioned window (the lexical
+    rank over ≤50 rows) must sit DIRECTLY above the TakeOrderedAndProject
+    prune — a SinglePartition stage is acceptable exactly when a top-k
+    bound precedes it, never over data-scale input. The vector leg keeps
+    cosine_topk's WindowGroupLimit prune."""
+    p = plan_of(QUERIES["hybrid_rrf_retrieval"](spark, SF_SMOKE))
+    lines = [l.strip() for l in p.splitlines()]
+    # tree form: find a Window whose immediate child line is the top-k prune
+    found = any(
+        "Window (" in lines[i] and "TakeOrderedAndProject (" in lines[i + 1]
+        for i in range(len(lines) - 1)
+        if "Window (" in lines[i]
+    )
+    assert found, "lexical rank window is not fed by the top-k prune"
+    assert "WindowGroupLimit" in p  # cosine leg prune intact
