@@ -147,11 +147,15 @@ def minhash_dedup_pairs(
         F.col(id_col).alias("doc"),
         shingles(toks, shingle_n).alias("sh"),
     ).filter(F.size(F.col("sh")) > 0)
-    # materialize the cache NOW: the downstream plan reads it from three
-    # stages (band-left, band-right, verify) that otherwise race to
-    # populate it and each recompute the shingle pass
-    sh = sh.persist()
-    sh.count()
+    # materialize NOW via localCheckpoint (eager): the downstream plan
+    # reads it from three stages (band-left, band-right, verify) that
+    # otherwise race to populate a lazy cache and each recompute the
+    # shingle pass. Checkpoint blocks (not a CacheManager entry) so the
+    # shared intermediate is reclaimable by the session owner's
+    # `release_checkpoint_blocks` sweep once results are consumed —
+    # a DataFrame-level persist would pin it in the CacheManager for
+    # the life of the session (run_gate asserts zero such entries).
+    sh = sh.localCheckpoint()
 
     # per-seed lane-min folds: ONE md5 transform + ONE aggregate per seed
     # computes all 4 lanes' minima as a struct (vs 4 transform+array_min
@@ -187,10 +191,10 @@ def minhash_dedup_pairs(
         "doc",
         F.explode(minhash_bands(F.array(*sigs), n_bands, rows)).alias("b"),
     ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
-    # persist the band digests: the self-join otherwise evaluates the
+    # checkpoint the band digests: the self-join otherwise evaluates the
     # signature pass once per join side (the digests are tiny — a few
-    # short strings per doc)
-    banded = banded.persist()
+    # short strings per doc; blocks, not a CacheManager pin)
+    banded = banded.localCheckpoint()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -321,7 +325,7 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         pairs.select(F.col("id_a").alias("doc"))
         .unionByName(pairs.select(F.col("id_b").alias("doc")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
@@ -450,7 +454,7 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_dist: int
     ~n²/2^16 per band — a 16-bit signature (2^4-value nibble bands) made
     the join quadratic at 5k docs (measured 6M+ candidate rows)."""
     assert max_dist <= 3, "4-band banding is lossless only for dist <= 3"
-    sh = simhash60_table(df, id_col, text_col).persist()
+    sh = simhash60_table(df, id_col, text_col).localCheckpoint()
     band = sh.select(
         "doc",
         "sh",
@@ -532,9 +536,9 @@ def ngram_jaccard_pairs(
         "bkt",
         F.floor(F.log(F.greatest(F.col("sz"), F.lit(1)).cast("double")) / F.lit(ln_base)),
     )
-    # persist + materialize: both join sides read the shingle pass
-    base = base.persist()
-    base.count()
+    # checkpoint (eager): both join sides read the shingle pass;
+    # blocks are sweep-reclaimable, not CacheManager-pinned
+    base = base.localCheckpoint()
     r = base.alias("r")
     l = base.withColumn(
         "probe", F.explode(F.array(F.col("bkt"), F.col("bkt") + F.lit(1)))
@@ -633,11 +637,11 @@ def embedding_dedup_pairs_lsh(
         norm(F.col(vec_col)).alias("nv"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
-    # persist + materialize: both join sides and the verify read this —
+    # checkpoint (eager): both join sides and the verify read this —
     # without it the n_planes×dims bucket fold (and the hoisted norm) is
-    # recomputed per side (and racing stages each recompute the cache)
-    base = base.persist()
-    base.count()
+    # recomputed per side (and racing stages each recompute a lazy
+    # cache); blocks are sweep-reclaimable, not CacheManager-pinned
+    base = base.localCheckpoint()
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(

@@ -294,8 +294,11 @@ def _atom_column(a: A.Atom) -> Column:
         case A.ANil(t) | A.AEmptyBag(t) | A.AEmptySet(t):
             arr = F.array()
             return arr.cast(f"array<{_spark_type_str(t)}>") if t else arr
-        case A.ANone(_):
-            return F.lit(None)
+        case A.ANone(t):
+            # a typed None must carry its element type: an untyped NULL is
+            # VOID, which breaks positions that need a concrete type (e.g.
+            # the accumulator of the Ex_Orders.v:54 min fold)
+            return F.lit(None).cast(_spark_type_str(t)) if t else F.lit(None)
         case A.AEmptyDict(t):
             m = F.map_from_arrays(F.array(), F.array())
             if t:
@@ -583,12 +586,199 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
 
 # -- driver-side evaluation (scalar contexts of the command layer) ---------
 
+_NO_DRIVER = object()
+
+
+def _try_driver_eval(e: A.Expr, env: dict):
+    """Pure-driver evaluation of expressions whose leaves are all
+    driver-side values — the command layer's scalar work (loop-variable
+    arithmetic, maintained-index reads/updates, dict lookups) must not
+    pay a Spark job, let alone re-literalize a large store value into a
+    plan per iteration (an auto-index dict lookup through a map literal
+    would be O(|dict|) per read — worse than the scan it replaced).
+    Covers only operators whose Python semantics are EXACTLY the
+    engine's (int +/-/*, comparisons, cons/append, dict lookup/insert,
+    option match on None, record access); anything else —
+    word wrap-around, Coq div/mod, collection canonicalization —
+    returns the _NO_DRIVER sentinel and takes the Spark path.
+    Value conventions follow collect(): Row = record, dict = map,
+    list = array (the _AFoldVal conventions)."""
+    from pyspark.sql import Row
+
+    def ev(x: A.Expr, env2: dict):
+        match x:
+            case A.EAtom(A.AInt(n)) | A.EAtom(A.AWord(n)):
+                return n
+            case A.EAtom(A.ABool(b)):
+                return b
+            case A.EAtom(A.AString(s)):
+                return s
+            case A.EAtom(A.ANone(_)) | A.EAtom(A.AUnit()):
+                return None
+            case A.EAtom(A.ANil(_)) | A.EAtom(A.AEmptyBag(_)) | A.EAtom(A.AEmptySet(_)):
+                return []
+            case A.EAtom(A.AEmptyDict(_)):
+                return {}
+            case A.EAtom(_AFoldVal(v)):
+                return v
+            case A.EAtom(_ALit(v)) if not isinstance(v, dict):
+                # _ALit dicts are fiat2 records (struct convention) —
+                # mixing them into map-convention results would corrupt
+                # downstream OLookups; leave those to the compiled path
+                return v
+            case A.EVar(name):
+                b = env2.get(name)
+                if b is not None and b[0] == "py":
+                    return b[1]
+                return _NO_DRIVER
+            case A.EAccess(r, s):
+                rv = ev(r, env2)
+                if rv is _NO_DRIVER:
+                    return _NO_DRIVER
+                if isinstance(rv, Row):
+                    return rv[s]
+                if isinstance(rv, dict):  # env "py" rows are plain dicts
+                    return rv[s]
+                return _NO_DRIVER
+            case A.EBinop(op, e1, e2):
+                v1 = ev(e1, env2)
+                if v1 is _NO_DRIVER:
+                    return _NO_DRIVER
+                v2 = ev(e2, env2)
+                if v2 is _NO_DRIVER:
+                    return _NO_DRIVER
+                if op in ("OPlus", "OMinus", "OTimes") and isinstance(v1, int) and isinstance(v2, int):
+                    return {"OPlus": v1 + v2, "OMinus": v1 - v2, "OTimes": v1 * v2}[op]
+                if op == "OLess" and v1 is not None and v2 is not None:
+                    return v1 < v2
+                if op == "OEq" and not isinstance(v1, (list, dict, Row)) and not isinstance(v2, (list, dict, Row)):
+                    return v1 == v2
+                if op == "OConcatString" and isinstance(v1, str) and isinstance(v2, str):
+                    return v1 + v2
+                if op == "OCons" and isinstance(v2, list):
+                    return [v1] + v2
+                if op == "OLookup" and isinstance(v1, dict):
+                    return v1.get(v2)
+                return _NO_DRIVER
+            case A.ETernop("OInsert", d, k, v):
+                dv = ev(d, env2)
+                kv = ev(k, env2)
+                vv = ev(v, env2)
+                if _NO_DRIVER in (dv, kv, vv) or not isinstance(dv, dict):
+                    return _NO_DRIVER
+                return {**dv, kv: vv}
+            case A.EIf(p, e1, e2):
+                pv = ev(p, env2)
+                if not isinstance(pv, bool):
+                    return _NO_DRIVER
+                return ev(e1 if pv else e2, env2)
+            case A.ELet(e1, name, e2):
+                v1 = ev(e1, env2)
+                if v1 is _NO_DRIVER:
+                    return _NO_DRIVER
+                return ev(e2, {**env2, name: ("py", v1)})
+            case A.EOptMatch(e1, e_none, name, e_some):
+                v1 = ev(e1, env2)
+                if v1 is _NO_DRIVER:
+                    return _NO_DRIVER
+                if v1 is None:
+                    return ev(e_none, env2)
+                return ev(e_some, {**env2, name: ("py", v1)})
+            case A.ERecord(fields):
+                vals = {}
+                for n, fe in fields:
+                    fv = ev(fe, env2)
+                    if fv is _NO_DRIVER:
+                        return _NO_DRIVER
+                    vals[n] = fv
+                return Row(**{k: vals[k] for k in sorted(vals)})
+            case A.ESort(tag, l):
+                lv = ev(l, env2)
+                if lv is _NO_DRIVER or not isinstance(lv, list):
+                    return _NO_DRIVER
+                try:
+                    return _retag_list(lv, "LikeSet" if tag == "LikeSet" else "LikeBag")
+                except TypeError:  # incomparable/unhashable elements (NULLs)
+                    return _NO_DRIVER
+            case A.EFlatmap(tag, e1, name, e2):
+                lv = ev(e1, env2)
+                if lv is _NO_DRIVER or not isinstance(lv, list):
+                    return _NO_DRIVER
+                out = []
+                for item in lv:
+                    iv = ev(e2, {**env2, name: ("py", item)})
+                    if iv is _NO_DRIVER or not isinstance(iv, list):
+                        return _NO_DRIVER
+                    out.extend(iv)
+                try:
+                    return _retag_list(out, tag)
+                except TypeError:
+                    return _NO_DRIVER
+            case A.EFilter(tag, l, name, p):
+                lv = ev(l, env2)
+                if lv is _NO_DRIVER or not isinstance(lv, list):
+                    return _NO_DRIVER
+                out = []
+                for item in lv:
+                    pv = ev(p, {**env2, name: ("py", item)})
+                    if not isinstance(pv, bool):
+                        return _NO_DRIVER
+                    if pv:
+                        out.append(item)
+                try:
+                    return _retag_list(out, tag)
+                except TypeError:
+                    return _NO_DRIVER
+            case A.EProj(tag, l, name, r):
+                lv = ev(l, env2)
+                if lv is _NO_DRIVER or not isinstance(lv, list):
+                    return _NO_DRIVER
+                out = []
+                for item in lv:
+                    rv = ev(r, {**env2, name: ("py", item)})
+                    if rv is _NO_DRIVER:
+                        return _NO_DRIVER
+                    out.append(rv)
+                try:
+                    return _retag_list(out, tag)
+                except TypeError:
+                    return _NO_DRIVER
+            case A.EUnop("OLength", l):
+                lv = ev(l, env2)
+                if isinstance(lv, (list, dict, str)):
+                    return len(lv)
+                return _NO_DRIVER
+            case A.EUnop("OSome", e1):
+                v1 = ev(e1, env2)
+                return _NO_DRIVER if v1 is _NO_DRIVER or v1 is None else v1
+            case A.EUnop("ONot", e1):
+                v1 = ev(e1, env2)
+                return (not v1) if isinstance(v1, bool) else _NO_DRIVER
+        return _NO_DRIVER
+
+    return ev(e, env)
+
+
+def _retag_list(v: list, tag: str) -> list:
+    """Driver twin of _retag_array: canonical sort for bags, sort+dedup
+    for sets, identity for lists."""
+    if tag == "LikeSet":
+        return sorted(set(v))
+    if tag == "LikeBag":
+        return sorted(v)
+    return v
+
+
 def eval_value(e: A.Expr, env: dict, store, spark: SparkSession) -> Any:
     """Evaluate a scalar-typed expression to a Python value. Table-rooted
     aggregates (EACFold/EACIFold/OLength over a table) are computed as
     DataFrame aggregations; the residual scalar expression is evaluated
-    in a single-row select."""
+    in a single-row select — unless the whole expression is pure driver
+    work (_try_driver_eval), which short-circuits without a Spark job."""
     lifted = _lift_table_aggs(e, env, store, spark)
+    v = _try_driver_eval(lifted, env)
+    if v is not _NO_DRIVER:
+        return v
     col = compile_column(lifted, env)
     row = spark.range(1).select(col.alias("v")).collect()[0]
     return row["v"]
@@ -649,10 +839,70 @@ def _fold_table(e1, e2, v, acc, e3, env, store, spark) -> Any:
     return folded.collect()[0]["v"]
 
 
+def _as_to_idx_fold(init: A.Expr, v: str, acc: str, body: A.Expr) -> str | None:
+    """Recognize the reference's to_idx fold (DictIndexImpl.v:25-33):
+    ``fold t {} (x acc. insert acc x.attr (x :: lookup-or-nil))``.
+    Returns the key attribute, or None. The auto-index rewrite
+    (plans/autoindex.py) emits this verbatim shape; recognizing it lets
+    the engine build the dict with ONE distributed group-by
+    (operators.aggregates.dict_index) instead of the naive sequential
+    fold — the same special-casing the reference's verified index
+    implementation applies to its own to_idx."""
+    if not (isinstance(init, A.EAtom) and isinstance(init.a, A.AEmptyDict)):
+        return None
+    match body:
+        case A.ETernop(
+            "OInsert",
+            A.EVar(d),
+            A.EAccess(A.EVar(kx), attr),
+            A.EBinop(
+                "OCons",
+                A.EVar(rx),
+                A.EOptMatch(
+                    A.EBinop("OLookup", A.EVar(d2), A.EAccess(A.EVar(kx2), attr2)),
+                    nil,
+                    b,
+                    A.EVar(b2),
+                ),
+            ),
+        ) if (
+            d == acc
+            and d2 == acc
+            and kx == v
+            and kx2 == v
+            and rx == v
+            and attr == attr2
+            and b == b2
+            and isinstance(nil, A.EAtom)
+            and isinstance(nil.a, (A.ANil, A.AEmptyBag, A.AEmptySet))
+        ):
+            return attr
+    return None
+
+
 def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
     def lift(sub: A.Expr) -> A.Expr:
         match sub:
             case A.EFold(e1, e2, v, acc, e3) if is_table_expr(e1, env, store):
+                attr = _as_to_idx_fold(e2, v, acc, e3)
+                if attr is not None:
+                    df = compile_expr(e1, env, store, spark)
+                    if attr in df.columns:
+                        n = df.count()
+                        if n > FOLD_COLLECT_LIMIT:
+                            raise CompileError(
+                                f"to_idx over {n} rows exceeds FOLD_COLLECT_LIMIT "
+                                f"({FOLD_COLLECT_LIMIT}); command-layer dict indexes "
+                                "are driver-side by contract — use "
+                                "streaming.maintenance.GroupIndex for batch-scale "
+                                "keyed state"
+                            )
+                        from fiat2_spark.operators.aggregates import dict_index
+
+                        rows = dict_index(df, attr).collect()
+                        return A.EAtom(
+                            _AFoldVal({r[attr]: list(r["rows"]) for r in rows})
+                        )
                 val = _fold_table(e1, lift(e2), v, acc, e3, env, store, spark)
                 return A.EAtom(_AFoldVal(val))
             case A.EACFold(ag, t) if is_table_expr(t, env, store):

@@ -49,7 +49,45 @@ class Store:
         self._m = snap
 
 
+def _subst_scalar_locs(e, store: Store):
+    """Substitute ``ELoc x`` where the store holds a DRIVER-SIDE value
+    (scalar / option / record / dict / list — anything but a DataFrame)
+    with its literal — Interpret.v's get_local over Gstore for scalar
+    locations (Interpret.v:501-524 reads locations by value; only
+    table-typed locations stay symbolic so compile_expr can plan them).
+    Store values follow Spark collect() conventions (Row = record,
+    dict = map), so the splice uses compile's ``_AFoldVal`` atom."""
+    import dataclasses
+
+    from fiat2_spark.plans.compile import _AFoldVal
+
+    if isinstance(e, A.ELoc):
+        if e.x in store and not isinstance(store.get(e.x), DataFrame):
+            return A.EAtom(_AFoldVal(store.get(e.x)))
+        return e
+    if not (dataclasses.is_dataclass(e) and isinstance(e, (A.Expr,))):
+        return e
+    changed = False
+    kwargs = {}
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, A.Expr):
+            nv = _subst_scalar_locs(v, store)
+            kwargs[f.name] = nv
+            changed = changed or nv is not v
+        elif isinstance(v, tuple) and v and all(
+            isinstance(i, tuple) and len(i) == 2 for i in v
+        ):
+            nv = tuple((n, _subst_scalar_locs(fe, store)) for n, fe in v)
+            kwargs[f.name] = nv
+            changed = changed or nv != v
+        else:
+            kwargs[f.name] = v
+    return dataclasses.replace(e, **kwargs) if changed else e
+
+
 def _eval(e: A.Expr, env: dict, store: Store, spark: SparkSession):
+    e = _subst_scalar_locs(e, store)
     if is_table_expr(e, env, store):
         return compile_expr(e, env, store, spark)
     return eval_value(e, env, store, spark)
@@ -118,7 +156,7 @@ def run_command(
             store.assign(x, _eval(e, env, store, spark))
             return store
         case A.CIf(e, c1, c2):
-            cond = eval_value(e, env, store, spark)
+            cond = eval_value(_subst_scalar_locs(e, store), env, store, spark)
             return run_command(c1 if cond else c2, store, env, spark, typecheck=False)
         case A.CForeach(e, x, body):
             v = _eval(e, env, store, spark)

@@ -66,3 +66,38 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cache_entries(spark: SparkSession) -> tuple[list[str], list[str]]:
+    """Classify the session's resident persistent RDDs into
+    (checkpoint_blocks, cache_entries). Checkpoint blocks are
+    `localCheckpoint` materializations — the engine's shared-intermediate
+    mechanism (iterative state, multi-consumer aggregates); they belong
+    to returned results and are reclaimed by `release_checkpoint_blocks`
+    once consumed. Cache entries are DataFrame-level persists pinned by
+    Spark's CacheManager for the session's life — the engine treats any
+    entry that survives a query's return as a leak (run_gate asserts
+    zero)."""
+    ckpt, cache = [], []
+    for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+        (ckpt if "ocalCheckpoint" in rdd.toString() else cache).append(
+            f"[{rid}] {rdd.toString()[:80]}"
+        )
+    return ckpt, cache
+
+
+def release_checkpoint_blocks(spark: SparkSession) -> int:
+    """Free every resident localCheckpoint block. Call ONLY when no
+    DataFrame returned by an engine operator is still live — checkpoint
+    blocks are the sole copy of their data (lineage is truncated), so a
+    later action on a swept DataFrame fails. This is the session owner's
+    between-batches reclamation hook: on this Spark build, dropping the
+    Python references does NOT drain the blocks (measured: the JVM holds
+    the checkpointed RDDs strongly; GC/ContextCleaner never fires), so
+    reclamation must be explicit. Returns the number of RDDs freed."""
+    n = 0
+    for _rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+        if "ocalCheckpoint" in rdd.toString():
+            rdd.unpersist(False)
+            n += 1
+    return n

@@ -125,15 +125,15 @@ class GroupIndex:
         return merged.groupBy(*self.keys).agg(*cols)
 
     def init(self, base: DataFrame) -> None:
-        self.state = self._partial(base).persist()
-        self.state.count()  # pin
+        # eager localCheckpoint, not a DataFrame persist: blocks (not a
+        # CacheManager entry that would pin the state plan for the
+        # session's life); retired snapshots are superseded per insert
+        # and reclaimed by `session.release_checkpoint_blocks`
+        self.state = self._partial(base).localCheckpoint()
 
     def insert(self, batch: DataFrame) -> None:
         assert self.state is not None
-        new_state = self._merge(self.state, self._partial(batch)).persist()
-        new_state.count()
-        self.state.unpersist()
-        self.state = new_state
+        self.state = self._merge(self.state, self._partial(batch)).localCheckpoint()
 
     def read(self) -> DataFrame:
         assert self.state is not None

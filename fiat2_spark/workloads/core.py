@@ -1958,9 +1958,13 @@ def tpch_q14_shape(spark, sf_dir):
 def agg_reuse(spark, sf_dir):
     """Per-nation revenue compared against the average across nations —
     ONE aggregation consumed twice (once as rows, once reduced to its
-    mean). The |groups|-row aggregate is persisted and both consumers
-    read the materialization (InMemoryTableScan ×2, plan-asserted), so
-    the orders⋈customer scan-join-aggregate runs exactly once — the
+    mean). The |groups|-row aggregate is materialized eagerly
+    (localCheckpoint — checkpoint blocks both consumers scan, NOT a
+    CacheManager persist: a DataFrame-level cache would pin the entry
+    for the life of the session, while blocks are reclaimable by
+    `session.release_checkpoint_blocks` once results are consumed;
+    run_gate asserts zero CacheManager entries post-gate), so the
+    orders⋈customer scan-join-aggregate runs exactly once — the
     engine-native 'pay the heavy pass once' that the reference gets by
     naming an index. (AQE does not canonically match the two aggregate
     subtrees into a ReusedExchange here — measured, not assumed — so
@@ -1975,7 +1979,7 @@ def agg_reuse(spark, sf_dir):
             .cast("double")
             .alias("rev")
         )
-        .persist()
+        .localCheckpoint()
     )
     avg = rev.agg(F.avg("rev").alias("__avg"))
     return rev.crossJoin(F.broadcast(avg)).select(
@@ -3065,14 +3069,19 @@ def tpch_q15_shape(spark, sf_dir):
     the named revenue aggregate here): ONE quarter-gated per-supplier
     revenue aggregate consumed TWICE — once reduced to its scalar MAX,
     once as rows equi-filtered against that max — so the heavy
-    lineitem pass runs exactly once (persisted, InMemoryTableScan ×2,
-    the `agg_reuse` idiom; AQE does not canonically match the two
+    lineitem pass runs exactly once (persisted for the duration of the
+    winner computation only; AQE does not canonically match the two
     aggregate subtrees, measured not assumed). The 1-row max
     broadcasts onto the |suppliers|-row aggregate (a decorrelated
-    scalar subquery, like `scalar_subquery`), and the tiny surviving
-    winner set broadcasts into the supplier join. Revenue max-compared
-    in exact DECIMAL — a double max-equality would be engine-dependent
-    — and cast to double only at the output edge."""
+    scalar subquery, like `scalar_subquery`), and the winner set —
+    bounded by the FINAL RESULT's own cardinality (suppliers tied at
+    the max; ~1 row) — is materialized eagerly so the revenue cache
+    can be released before returning: the query leaves ZERO resident
+    cache entries (asserted post-gate in tools/run_gate.py), unlike a
+    lazy plan over a persisted view which would pin the cache until
+    GC. Revenue max-compared in exact DECIMAL — a double max-equality
+    would be engine-dependent — and cast to double only at the output
+    edge."""
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
@@ -3086,10 +3095,16 @@ def tpch_q15_shape(spark, sf_dir):
         )
         .persist()
     )
-    mx = rev.agg(F.max("total_rev").alias("__max"))
-    winners = rev.crossJoin(F.broadcast(mx)).filter(
-        F.col("total_rev") == F.col("__max")
-    )
+    try:
+        mx = rev.agg(F.max("total_rev").alias("__max"))
+        lazy_winners = rev.crossJoin(F.broadcast(mx)).filter(
+            F.col("total_rev") == F.col("__max")
+        ).select("supplier_no", "total_rev")
+        win_schema = lazy_winners.schema
+        win_rows = lazy_winners.collect()
+    finally:
+        rev.unpersist()
+    winners = spark.createDataFrame(win_rows, win_schema)
     return (
         s.join(F.broadcast(winners), s.s_suppkey == winners.supplier_no)
         .select(

@@ -468,3 +468,138 @@ def dsl_comprehension(spark, sf_dir):
         )),
     ))
     return compile_expr(prog, {}, _store(spark, sf_dir, "orders", "customer"), spark)
+
+
+@q(
+    "dsl_auto_index",
+    """
+    WITH base AS (SELECT o_orderkey AS id, o_custkey AS price FROM orders),
+    inv AS (SELECT p_partkey AS id, p_partkey * 3 AS price FROM part),
+    ins AS (SELECT id, price FROM inv WHERE id IN (17, 34, 51, 68, 85)),
+    all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+    SELECT CAST(SUM(price) AS BIGINT) AS sum_price,
+           CAST(MIN(price) AS BIGINT) AS min_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM all_rows
+    """,
+)
+def dsl_auto_index(spark, sf_dir):
+    """AUTOMATIC index selection — the OptimizeAnno heuristic driver
+    (OptimizeAnno.v:25-29 index_choice, :139-173 mk_idx, :298-309
+    apply_optimize_anno) with the CHOICE derived from the program
+    instead of hand annotations (Ex_Orders.v:69-76 supplies them
+    manually as ``AC [...] [[DictIdx "id"]; [SumAgg "price"; MinAgg
+    "price"]]``). The program is the Ex_Orders.v:54 lifecycle with NO
+    manual view wiring: a CForeach loop that (a) looks items up in a
+    read-only `inv` table by an eq-filter on a loop-varying key — the
+    analyzer picks DictIdx("id") and execution builds the to_idx dict
+    (DictIndexImpl.v:25-33, evaluated as one distributed group-by) so
+    each iteration's lookup is O(1) instead of a table scan — and (b)
+    OCons-inserts the found rows into the mutated `orders_mut` table,
+    which the program later reads through the VERBATIM Ex_Orders sum
+    and min folds — the analyzer picks SumAgg("price") +
+    MinAgg("price"), init runs ONE distributed aggregate each, every
+    insert maintains them in O(1) (cons_to_add SumAgg.v:150-156 /
+    cons_to_min MinAgg.v:150-162), and the final reads are O(1) store
+    lookups, never a rescan. `plans/autoindex.py`; rewrite structure
+    pinned in tests/test_autoindex.py."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.plans.autoindex import run_command_auto
+
+    st = Store()
+    part = tbl(spark, sf_dir, "part")
+    st.assign(
+        "inv",
+        part.select(
+            F.col("p_partkey").alias("id"),
+            (F.col("p_partkey") * 3).cast("long").alias("price"),
+        ),
+    )
+    orders = tbl(spark, sf_dir, "orders")
+    st.assign(
+        "orders_mut",
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_custkey").cast("long").alias("price"),
+        ),
+    )
+
+    int_nil = A.EAtom(A.ANil(A.TInt()))
+    lookup = A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("inv"),
+            "item",
+            A.EIf(
+                A.EBinop(
+                    "OEq",
+                    A.EAccess(A.EVar("item"), "id"),
+                    A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(17))),
+                ),
+                A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), int_nil),
+                int_nil,
+            ),
+        ),
+    )
+    insert = A.CAssign(
+        "orders_mut",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(17)))),
+                ("price", A.EVar("price")),
+            )),
+            A.ELoc("orders_mut"),
+        ),
+    )
+    loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(6))),
+        "n",
+        A.CLet(lookup, "item_price", A.CForeach(A.EVar("item_price"), "price", insert)),
+    )
+    price_proj = A.EFlatmap(
+        "LikeList",
+        A.ELoc("orders_mut"),
+        "item",
+        A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), int_nil),
+    )
+    sum_fold = A.EFold(
+        price_proj, A.EAtom(A.AInt(0)), "_v", "_acc",
+        A.EBinop("OPlus", A.EVar("_v"), A.EVar("_acc")),
+    )
+    min_fold = A.EFold(
+        price_proj, A.EAtom(A.ANone(A.TInt())), "_v", "_acc",
+        A.EOptMatch(
+            A.EVar("_acc"),
+            A.EUnop("OSome", A.EVar("_v")),
+            "_x",
+            A.EIf(
+                A.EBinop("OLess", A.EVar("_v"), A.EVar("_x")),
+                A.EUnop("OSome", A.EVar("_v")),
+                A.EVar("_acc"),
+            ),
+        ),
+    )
+    prog = A.CSeq(
+        loop,
+        A.CSeq(
+            A.CAssign("out_sum", sum_fold),
+            A.CSeq(
+                A.CAssign("out_min", min_fold),
+                A.CAssign("out_n", A.EUnop("OLength", A.ELoc("orders_mut"))),
+            ),
+        ),
+    )
+    _, report = run_command_auto(prog, st, {}, spark)
+    assert {a for a in report.aux} == {
+        "__idx_dict__inv__id",
+        "__idx_sum__orders_mut__price",
+        "__idx_min__orders_mut__price",
+    }, report.aux
+    return spark.createDataFrame(
+        [Row(sum_price=st.get("out_sum"), min_price=st.get("out_min"), n=st.get("out_n"))],
+        "sum_price long, min_price long, n long",
+    )

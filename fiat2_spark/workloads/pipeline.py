@@ -873,10 +873,12 @@ def ann_bruteforce(spark, sf_dir):
 @q(
     "knn_label_vote",
     f"""
-    WITH q AS (SELECT vec_id, embedding, label FROM embeddings
-               WHERE vec_id % 29 = 0 AND vec_id < 5800),
+    WITH panel AS (SELECT vec_id FROM embeddings WHERE vec_id % 29 = 0
+                   ORDER BY vec_id LIMIT 200),
+    q AS (SELECT e.vec_id, e.embedding, e.label
+          FROM embeddings e JOIN panel p ON e.vec_id = p.vec_id),
     tr AS (SELECT vec_id, embedding, label FROM embeddings
-           WHERE NOT (vec_id % 29 = 0 AND vec_id < 5800)),
+           WHERE vec_id NOT IN (SELECT vec_id FROM panel)),
     scored AS (
       SELECT q.vec_id AS query_id, e.vec_id AS vec_id, e.label AS label,
              round({{cos}}, 6) AS cos
@@ -903,11 +905,13 @@ def ann_bruteforce(spark, sf_dir):
 def knn_label_vote(spark, sf_dir):
     """k-NN label-vote evaluation — the standard embedding-quality
     harness a training pipeline runs after producing vectors: hold out
-    a FIXED-SIZE eval panel (every 29th vector, capped at 200 — the
-    cap is what keeps the exact eval linear in corpus size; a panel
-    proportional to the corpus makes brute-force cost grow with the
-    product of both sides, measured at 74× on 10× data in
-    SCALING_r05.md before the cap), classify each by majority label of
+    a FIXED-SIZE eval panel (the first 200 of every-29th-vector in
+    vec_id order — a rank cap, exact on ANY id distribution, computed
+    as TakeOrderedAndProject over the 1/29 sliver rather than an
+    unpartitioned window; the cap is what keeps the exact eval linear
+    in corpus size — a panel proportional to the corpus makes
+    brute-force cost grow with the product of both sides, measured at
+    74× on 10× data in SCALING_r05.md), classify each by majority label of
     its k=5 exact-cosine neighbors in the remainder (ties: smaller
     label), report per-query truth/prediction/hit. Builds on
     `cosine_topk`'s
@@ -921,9 +925,14 @@ def knn_label_vote(spark, sf_dir):
     everything stays join+agg; the eval composes with `ann_lsh`/
     `ann_ivf` by swapping the neighbor source."""
     e = tbl(spark, sf_dir, "embeddings")
-    panel = (F.col("vec_id") % 29 == 0) & (F.col("vec_id") < 5800)
-    qs = e.filter(panel)
-    train = e.filter(~panel)
+    panel_ids = (
+        e.filter(F.col("vec_id") % 29 == 0)
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+    qs = e.join(F.broadcast(panel_ids), "vec_id")
+    train = e.join(F.broadcast(panel_ids), "vec_id", "left_anti")
     nn = SIM.cosine_topk(
         train,
         qs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")),

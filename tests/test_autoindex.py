@@ -1,0 +1,342 @@
+"""Automatic index selection (plans/autoindex.py) — the OptimizeAnno
+heuristic driver. Differential: the rewritten command must produce the
+same store as the plain interpreter; structural: the auxes the analyzer
+introduces must match Ex_Orders.v:69-76's manual annotation and the
+rewritten loop must do O(1) work per insert (no table scans)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fiat2_spark.plans import ast as A
+from fiat2_spark.plans.autoindex import (
+    BitmapIdxChoice,
+    DictIdxChoice,
+    MinAggChoice,
+    SumAggChoice,
+    apply_auto_index,
+    choose_indexes,
+    run_command_auto,
+)
+from fiat2_spark.plans.interp import Store, run_command
+
+INT_NIL = A.EAtom(A.ANil(A.TInt()))
+
+
+def _inventory_lookup(key: A.Expr) -> A.Expr:
+    """Ex_Orders.v:54's inventory read: ``sort [ item <- !inv,
+    check(item.id = key), ret item.price ]``."""
+    return A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("inv"),
+            "item",
+            A.EIf(
+                A.EBinop("OEq", A.EAccess(A.EVar("item"), "id"), key),
+                A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), INT_NIL),
+                INT_NIL,
+            ),
+        ),
+    )
+
+
+def _price_proj(t: str) -> A.Expr:
+    return A.EFlatmap(
+        "LikeList",
+        A.ELoc(t),
+        "item",
+        A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), INT_NIL),
+    )
+
+
+def _sum_fold(t: str) -> A.Expr:
+    """Ex_Orders.v:54's verbatim sum fold."""
+    return A.EFold(
+        _price_proj(t),
+        A.EAtom(A.AInt(0)),
+        "_v",
+        "_acc",
+        A.EBinop("OPlus", A.EVar("_v"), A.EVar("_acc")),
+    )
+
+
+def _min_fold(t: str) -> A.Expr:
+    """Ex_Orders.v:54's verbatim option-folding min."""
+    return A.EFold(
+        _price_proj(t),
+        A.EAtom(A.ANone(A.TInt())),
+        "_v",
+        "_acc",
+        A.EOptMatch(
+            A.EVar("_acc"),
+            A.EUnop("OSome", A.EVar("_v")),
+            "_x",
+            A.EIf(
+                A.EBinop("OLess", A.EVar("_v"), A.EVar("_x")),
+                A.EUnop("OSome", A.EVar("_v")),
+                A.EVar("_acc"),
+            ),
+        ),
+    )
+
+
+def _orders_prog() -> A.Command:
+    """The Ex_Orders lifecycle: loop {lookup inv by loop key; insert
+    found rows into orders_mut}; then read sum/min/count."""
+    insert = A.CAssign(
+        "orders_mut",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2)))),
+                ("price", A.EVar("price")),
+            )),
+            A.ELoc("orders_mut"),
+        ),
+    )
+    loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(4))),
+        "n",
+        A.CLet(
+            _inventory_lookup(A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2)))),
+            "item_price",
+            A.CForeach(A.EVar("item_price"), "price", insert),
+        ),
+    )
+    return A.CSeq(
+        loop,
+        A.CSeq(
+            A.CAssign("out_sum", _sum_fold("orders_mut")),
+            A.CSeq(
+                A.CAssign("out_min", _min_fold("orders_mut")),
+                A.CAssign("out_n", A.EUnop("OLength", A.ELoc("orders_mut"))),
+            ),
+        ),
+    )
+
+
+def _mk_store(spark) -> Store:
+    st = Store()
+    st.assign(
+        "inv",
+        spark.createDataFrame(
+            [(2, 20), (4, 40), (6, 60), (7, 70)], "id long, price long"
+        ),
+    )
+    st.assign(
+        "orders_mut",
+        spark.createDataFrame([(100, 5), (101, 9)], "id long, price long"),
+    )
+    return st
+
+
+def test_choices_match_ex_orders_annotation(spark):
+    """The analyzer must derive exactly the Ex_Orders.v:69-76 manual
+    annotation: DictIdx "id" for the looked-up table, SumAgg "price" +
+    MinAgg "price" for the insert-mutated one."""
+    ch = choose_indexes(_orders_prog(), {"inv", "orders_mut"})
+    assert ch["inv"] == [DictIdxChoice(attr="id")]
+    assert set(ch["orders_mut"]) == {
+        SumAggChoice(attr="price"),
+        MinAggChoice(attr="price"),
+    }
+
+
+def test_auto_index_differential(spark):
+    """run_command_auto ≡ run_command on the Ex_Orders lifecycle."""
+    prog = _orders_prog()
+    st_plain = _mk_store(spark)
+    run_command(prog, st_plain, {}, spark)
+    st_auto = _mk_store(spark)
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    for slot in ("out_sum", "out_min", "out_n"):
+        assert st_plain.get(slot) == st_auto.get(slot), slot
+    # expected concrete values: inserts are ids 2,4,6 → prices 20,40,60
+    assert st_auto.get("out_sum") == 5 + 9 + 20 + 40 + 60
+    assert st_auto.get("out_min") == 5
+    assert st_auto.get("out_n") == 5
+    assert set(report.aux) == {
+        "__idx_dict__inv__id",
+        "__idx_sum__orders_mut__price",
+        "__idx_min__orders_mut__price",
+    }
+
+
+def _count_scans(e, t: str) -> int:
+    """How many sub-expressions scan ``ELoc(t)``?"""
+    import dataclasses
+
+    if isinstance(e, A.ELoc):
+        return 1 if e.x == t else 0
+    if dataclasses.is_dataclass(e):
+        vals = [getattr(e, f.name) for f in dataclasses.fields(e)]
+    elif isinstance(e, (tuple, list)):
+        vals = list(e)
+    else:
+        return 0
+    return sum(_count_scans(v, t) for v in vals)
+
+
+def _loop_bodies(c):
+    match c:
+        case A.CForeach(_, _, body):
+            yield body
+            yield from _loop_bodies(body)
+        case A.CSeq(c1, c2) | A.CIf(_, c1, c2):
+            yield from _loop_bodies(c1)
+            yield from _loop_bodies(c2)
+        case A.CLet(_, _, body) | A.CLetMut(_, _, body):
+            yield from _loop_bodies(body)
+        case _:
+            return
+
+
+def test_rewrite_is_o1_per_insert(spark):
+    """After the rewrite, the loop does NO table work beyond the insert
+    itself: the inventory is never scanned inside the loop (lookups hit
+    the dict aux — eq_filter_to_lookup, DictIndexImpl.v:374-390), and
+    orders_mut appears only as the OCons insert target (the sum/min
+    reads were folded into O(1) aux updates — cons_to_add
+    SumAgg.v:83-92 / cons_to_min MinAgg.v:82-90)."""
+    from fiat2_spark.plans.typecheck import schema_type
+
+    prog = _orders_prog()
+    st = _mk_store(spark)
+    gstore = {k: schema_type(v) for k, v in st.snapshot().items()}
+    c2, report = apply_auto_index(prog, gstore, {})
+
+    # aux slots were introduced (CLetMut wrappers at the root, since
+    # both tables are store-resident)
+    names = []
+    c = c2
+    while isinstance(c, A.CLetMut):
+        names.append(c.x)
+        c = c.c
+    assert set(names) == set(report.aux)
+
+    bodies = list(_loop_bodies(c))
+    assert bodies, "loop not found"
+    for body in bodies:
+        # no inventory scan anywhere inside a loop body
+        assert _count_scans(body, "inv") == 0
+        # orders_mut referenced only by the insert's own cons target
+        match body:
+            case A.CForeach(_, _, _) | A.CLet(_, _, _):
+                continue
+        scans = _count_scans(body, "orders_mut")
+        inserts = 1 if isinstance(body, A.CSeq) else 0
+        assert scans <= 1 + inserts  # OCons target only
+
+    # the post-loop reads are O(1) store lookups of the aux slots
+    tail = c
+    reads = []
+    def walk(cmd):
+        match cmd:
+            case A.CSeq(a, b):
+                walk(a); walk(b)
+            case A.CAssign(x, e):
+                reads.append((x, e))
+            case A.CForeach(_, _, b) | A.CLet(_, _, b) | A.CLetMut(_, _, b):
+                walk(b)
+            case _:
+                pass
+    walk(tail)
+    read_map = dict(reads)
+    assert read_map["out_sum"] == A.ELoc("__idx_sum__orders_mut__price")
+    assert read_map["out_min"] == A.ELoc("__idx_min__orders_mut__price")
+
+
+def test_bitmap_idx_choice_and_rewrite(spark):
+    """An eq-filter against a string CONSTANT chooses BitmapIdx and the
+    read collapses to the maintained filtered sub-table; inserts append
+    to it only when the row matches (cons_to_bitmap_update)."""
+    prog = A.CSeq(
+        A.CForeach(
+            A.EBinop("ORange", A.EAtom(A.AInt(0)), A.EAtom(A.AInt(3))),
+            "n",
+            A.CAssign(
+                "t",
+                A.EBinop(
+                    "OCons",
+                    A.ERecord((
+                        ("cat", A.EIf(
+                            A.EBinop("OEq", A.EVar("n"), A.EAtom(A.AInt(1))),
+                            A.EAtom(A.AString("hot")),
+                            A.EAtom(A.AString("cold")),
+                        )),
+                        ("v", A.EVar("n")),
+                    )),
+                    A.ELoc("t"),
+                ),
+            ),
+        ),
+        A.CAssign(
+            "out",
+            A.EUnop(
+                "OLength",
+                A.EFilter(
+                    "LikeBag",
+                    A.ELoc("t"),
+                    "x",
+                    A.EBinop(
+                        "OEq", A.EAccess(A.EVar("x"), "cat"), A.EAtom(A.AString("hot"))
+                    ),
+                ),
+            ),
+        ),
+    )
+    ch = choose_indexes(prog, {"t"})
+    assert ch["t"] == [BitmapIdxChoice(attr="cat", val="hot")]
+
+    def mk():
+        st = Store()
+        st.assign(
+            "t",
+            spark.createDataFrame([("hot", 10), ("cold", 11)], "cat string, v long"),
+        )
+        return st
+
+    st_plain = mk()
+    run_command(prog, st_plain, {}, spark)
+    st_auto = mk()
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    assert st_plain.get("out") == st_auto.get("out") == 2  # base hot + n==1
+    assert "__idx_bitmap__t__cat__hot" in report.aux
+
+
+def test_disqualified_by_reassignment(spark):
+    """A table mutated by anything other than the OCons insert gets NO
+    indexes — its aux state could go stale (the soundness side-condition
+    the reference's transf lemmas carry)."""
+    prog = A.CSeq(
+        A.CAssign("t", A.EProj("LikeBag", A.ELoc("t"), "x", A.EVar("x"))),
+        A.CAssign("out", A.EACFold("AGSum", _price_proj("t"))),
+    )
+    assert choose_indexes(prog, {"t"}) == {}
+
+
+def test_to_idx_fast_path_equals_naive(spark):
+    """The to_idx dict built by the distributed group-by fast path must
+    equal the naive sequential fold's result (DictIndexImpl.v:25-33 —
+    same dict, canonically ordered bags)."""
+    from fiat2_spark.plans.autoindex import to_idx_fold
+    from fiat2_spark.plans.compile import _as_to_idx_fold, _fold_table, _lift_table_aggs, _AFoldVal
+
+    st = Store()
+    st.assign(
+        "t",
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (1, 11)], "id long, price long"
+        ),
+    )
+    row_ty = A.TRecord((("id", A.TInt()), ("price", A.TInt())))
+    fold = to_idx_fold("t", "id", A.TInt(), row_ty)
+    assert _as_to_idx_fold(fold.e2, fold.v, fold.acc, fold.e3) == "id"
+    fast = _lift_table_aggs(fold, {}, st, spark)
+    assert isinstance(fast.a, _AFoldVal)
+    naive = _fold_table(fold.e1, fold.e2, fold.v, fold.acc, fold.e3, {}, st, spark)
+    assert {k: [tuple(r) for r in v] for k, v in fast.a.v.items()} == {
+        k: [tuple(r) for r in v] for k, v in naive.items()
+    }
+    assert fast.a.v[1] == sorted(fast.a.v[1])

@@ -127,11 +127,15 @@ def test_tpch_q18_shape_plan(spark):
 
 def test_agg_reuse_reads_materialization_twice(spark):
     """agg_reuse must consume ONE materialized aggregate from both
-    sides (InMemoryTableScan ×2) — the heavy join-aggregate pass runs
-    once."""
+    sides — the heavy join-aggregate pass runs once, eagerly, into
+    checkpoint blocks (Scan ExistingRDD ×2), and the returned plan must
+    not recompute the orders⋈customer join. No CacheManager entry may
+    be introduced (the cache-hygiene contract)."""
     df = QUERIES["agg_reuse"](spark, SF_SMOKE)
     p = df._jdf.queryExecution().executedPlan().toString()
-    assert p.count("InMemoryTableScan") == 2
+    assert p.count("Scan ExistingRDD") == 2
+    assert "orders" not in p  # the heavy pass already ran
+    assert "InMemoryTableScan" not in p
 
 
 def test_ann_bruteforce_partial_window_group_limit(spark):
@@ -850,14 +854,21 @@ def test_q6_pure_scan_pipeline(spark):
 
 
 def test_q15_single_revenue_pass_reused(spark):
-    """Q15's revenue view must be computed ONCE: both consumers (scalar
-    max, winner filter) read the persisted aggregate, and the tiny
-    winner set broadcasts into the supplier join."""
+    """Q15's revenue view is computed ONCE — both consumers (scalar
+    max, winner filter) read the transiently-persisted aggregate during
+    the eager winner materialization — and the query releases that
+    cache before returning: zero resident cache entries afterwards
+    (ADVICE r5 / VERDICT r5 task 5), the winner set (bounded by the
+    final result's own cardinality) broadcasts into the supplier join,
+    and the returned plan no longer touches lineitem at all."""
+    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
     df = QUERIES["tpch_q15_shape"](spark, SF_SMOKE)
+    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    assert len(after) <= len(before), "tpch_q15_shape leaked a cache entry"
     p = plan_of(df)
-    assert p.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+    assert "lineitem" not in p  # revenue already materialized eagerly
 
 
 def test_quality_filter_text_never_shuffles(spark):

@@ -11,16 +11,28 @@ since the round that earned the row.
 Fingerprint(query) = sha256 over:
   * the @q function's own source (inspect.getsource) + its oracle SQL
     (oracle strings are materialized, so SQL-building helpers are
-    covered by value), and
+    covered by value),
+  * the source/repr of every SAME-MODULE name the function's code
+    transitively references (ADVICE r5: module-level Spark-side helpers
+    like `_edges` in graphs.py are shared by several queries and can
+    change behavior without touching the @q block — co_names are
+    resolved against the defining module, function/class sources are
+    hashed, plain-data constants are hashed by repr, and helper code is
+    walked recursively so helper-of-helper changes are covered), and
   * the FULL text of every `fiat2_spark` module transitively imported
     by the query's defining module — imports are collected from the
     parsed AST (module-level, function-local, and parenthesized
     multiline forms alike), so e.g. a `from
     fiat2_spark.operators.relational import ...` inside a query body
-    is covered. The defining workloads module itself is excluded
-    (its churn is what the per-function hash already scopes precisely);
-    everything beneath it (operators/, plans/, functions/, streaming/,
-    sources/, session, util) is included whole.
+    is covered. The defining workloads module itself is excluded whole
+    (its churn is scoped precisely by the per-function + same-module-
+    helper hashes above); everything beneath it (operators/, plans/,
+    functions/, streaming/, sources/, session, util) is included whole.
+
+The algorithm changed in round 6 (same-module helper closure added), so
+r6 premise checks compare against FINGERPRINTS_r05_rehash.json — the r5
+HEAD re-fingerprinted with THIS tool in a clean worktree — not against
+the r5-algorithm FINGERPRINTS_r05.json.
 
 Usage:  python tools/fingerprints.py            # JSON to stdout
 Compare round-over-round: a query may keep a prior green row only if
@@ -92,6 +104,57 @@ def _file_sha(path: str) -> str:
         return hashlib.sha256(fh.read()).hexdigest()
 
 
+def _code_names(code) -> set[str]:
+    """All global names a code object references, nested lambdas /
+    comprehensions / inner defs included."""
+    import types
+
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _code_names(c)
+    return names
+
+
+_PLAIN = (str, bytes, int, float, bool, tuple, list, dict, set, frozenset, type(None))
+
+
+def _same_module_closure(fn) -> list[tuple[str, str]]:
+    """(name, source-or-repr) for every module-level name in the @q
+    function's defining module that its code can transitively reach:
+    same-module functions/classes by source (recursed), plain-data
+    constants by repr. Imported modules are skipped (the import closure
+    hashes them whole); objects defined elsewhere are skipped likewise."""
+    import types
+
+    mod = sys.modules[fn.__module__]
+    seen: dict[str, str] = {}
+    frontier = sorted(_code_names(fn.__code__))
+    while frontier:
+        nm = frontier.pop()
+        # dunders (__file__, __name__, …) are interpreter-supplied and
+        # path-dependent, not code — a worktree re-fingerprint must not
+        # diverge on them
+        if nm in seen or (nm.startswith("__") and nm.endswith("__")):
+            continue
+        if not hasattr(mod, nm):
+            continue
+        obj = getattr(mod, nm)
+        if isinstance(obj, types.ModuleType):
+            continue
+        if callable(obj) and getattr(obj, "__module__", None) == fn.__module__:
+            try:
+                seen[nm] = inspect.getsource(obj)
+            except (OSError, TypeError):
+                seen[nm] = repr(obj)
+            code = getattr(obj, "__code__", None)
+            if code is not None:
+                frontier.extend(_code_names(code) - set(seen))
+        elif isinstance(obj, _PLAIN):
+            seen[nm] = repr(obj)
+    return sorted(seen.items())
+
+
 def fingerprints() -> dict[str, str]:
     from fiat2_spark.workloads import ORACLES, QUERIES
 
@@ -112,6 +175,10 @@ def fingerprints() -> dict[str, str]:
         h = hashlib.sha256()
         h.update(inspect.getsource(fn).encode())
         h.update(ORACLES.get(name, "").encode())
+        for helper_name, helper_src in _same_module_closure(fn):
+            h.update(f"helper:{helper_name}=".encode())
+            h.update(helper_src.encode())
+            h.update(b"\n")
         for d in closures[defmod]:
             h.update(f"{d}={module_sha[d]}\n".encode())
         out[name] = h.hexdigest()

@@ -40,6 +40,35 @@ def main() -> None:
         if not ok:
             failures.append(name)
     print(f"\n{len(names) - len(failures)}/{len(names)} passed", flush=True)
+
+    # Cache hygiene (VERDICT r5 task 5): no query may leave a
+    # DataFrame-level cache entry behind — those are pinned by Spark's
+    # CacheManager for the session's life and only explicit unpersist
+    # releases them (GC/ContextCleaner reclamation does not fire on this
+    # build — measured in session.release_checkpoint_blocks). Shared
+    # intermediates ride localCheckpoint BLOCKS instead, owned by the
+    # returned results; the gate is the session owner here, so after all
+    # results are consumed it sweeps them and the map must drain to
+    # EMPTY — any survivor would be a persist leak.
+    from fiat2_spark.session import cache_entries, release_checkpoint_blocks
+
+    ckpt, cache = cache_entries(spark)
+    if cache:
+        print(f"FAIL cache-hygiene: {len(cache)} CacheManager entr(ies) survive the gate:", flush=True)
+        for c in cache:
+            print(f"  {c}", flush=True)
+        failures.append("__cache_hygiene__")
+    freed = release_checkpoint_blocks(spark)
+    leftover = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    if leftover:
+        print(f"FAIL cache-hygiene: {len(leftover)} RDD(s) resident after sweep", flush=True)
+        failures.append("__cache_hygiene_sweep__")
+    else:
+        print(
+            f"cache-hygiene: 0 CacheManager entries post-gate; "
+            f"{freed} checkpoint block RDD(s) swept; 0 resident",
+            flush=True,
+        )
     if not only:
         # full-registry run: emit the per-query transitive-code
         # fingerprints that gate window rotation (tools/fingerprints.py);

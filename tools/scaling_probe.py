@@ -17,8 +17,19 @@ most of the corpus". Embeddings likewise replicate with a per-replica
 1e-6 nudge on every component. All other tables are symlinked from
 sf0.1 unchanged.
 
-Usage: python tools/scaling_probe.py [factor] [out_md]
-Writes SCALING_r05.md (or out_md) at the repo root.
+Round 6 widens the probe to the shuffle-heavy OLAP family (VERDICT r5
+task 7): lineitem and orders are ALSO replicated — orderkeys offset by
+10M per replica so orders⋈lineitem referential integrity holds and
+lineitem self-joins (Q21) keep constant per-order group sizes, while
+dimension keys (custkey/suppkey/partkey) stay unchanged so per-dim
+groups and window partitions grow ~FACTOR — the realistic fact-growth
+regime for TPC-H shapes and per-entity windows.
+
+Usage: python tools/scaling_probe.py [factor] [out_md] [query ...]
+Writes SCALING_r05.md (or out_md) at the repo root; an explicit query
+list overrides the default HEAVY set. The derived-corpus marker records
+the factor (_BUILT_<factor>), so switching factors rebuilds instead of
+silently reusing the old corpus (ADVICE r5).
 """
 
 from __future__ import annotations
@@ -60,7 +71,7 @@ HEAVY = [
 
 
 def build(spark, factor: int) -> None:
-    if os.path.exists(os.path.join(DST, "_BUILT")):
+    if os.path.exists(os.path.join(DST, f"_BUILT_{factor}")):
         return
     shutil.rmtree(DST, ignore_errors=True)
     os.makedirs(DST, exist_ok=True)
@@ -94,10 +105,23 @@ def build(spark, factor: int) -> None:
     )
     emb_n.write.mode("overwrite").parquet(os.path.join(DST, "embeddings.parquet"))
 
+    # fact tables for the OLAP probe: orderkeys offset per replica so
+    # orders⋈lineitem joins stay 1:N with constant per-order group
+    # sizes; dim keys untouched → per-dim groups grow ~factor
+    for name, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        t = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        t_n = (
+            t.crossJoin(reps)
+            .withColumn(key, F.col(key) + F.col("__r").cast(t.schema[key].dataType.simpleString()) * OFFSET)
+            .drop("__r")
+        )
+        t_n.write.mode("overwrite").parquet(os.path.join(DST, f"{name}.parquet"))
+
+    replicated = ("documents.parquet", "embeddings.parquet", "lineitem.parquet", "orders.parquet")
     for f in os.listdir(SRC):
-        if f.endswith(".parquet") and f not in ("documents.parquet", "embeddings.parquet"):
+        if f.endswith(".parquet") and f not in replicated:
             os.symlink(os.path.join(SRC, f), os.path.join(DST, f))
-    open(os.path.join(DST, "_BUILT"), "w").close()
+    open(os.path.join(DST, f"_BUILT_{factor}"), "w").close()
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
@@ -114,11 +138,12 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "SCALING_r05.md")
+    queries = sys.argv[3:] or HEAVY
     spark = get_spark(app_name="fiat2-scaling-probe")
     build(spark, factor)
     n_docs = spark.read.parquet(os.path.join(DST, "documents.parquet")).count()
     rows = []
-    for name in HEAVY:
+    for name in queries:
         base = run_once(spark, name, SRC)
         big = run_once(spark, name, DST)
         rows.append((name, base, big, big / base))
@@ -126,12 +151,15 @@ def main() -> None:
                           "ratio": round(big / base, 2)}), flush=True)
     with open(out_md, "w") as fh:
         fh.write(
-            "# SCALING_r05 — sf0.1 → ~sf1 wall-time scaling probe\n\n"
-            f"Derived corpus: {factor}x documents ({n_docs:,} docs) / embeddings via\n"
-            "`tools/scaling_probe.py` (deterministic replication, near-dup-heavy by\n"
-            "construction — ~90 percent of docs sit in a near-dup cluster, the\n"
-            "adversarial regime for the dedup family). Other tables unchanged\n"
-            "(symlinked sf0.1). local[32], min of 2 reps, noop sink, cache cleared\n"
+            f"# {os.path.basename(out_md).removesuffix('.md')} — sf0.1 → ~sf1 wall-time scaling probe\n\n"
+            f"Derived corpus: {factor}x documents ({n_docs:,} docs) / embeddings /\n"
+            "lineitem / orders via `tools/scaling_probe.py` (deterministic\n"
+            "replication; docs near-dup-heavy by construction — ~90 percent sit in\n"
+            "a near-dup cluster, the adversarial regime for the dedup family;\n"
+            "fact-table orderkeys offset per replica so joins keep referential\n"
+            "integrity with constant per-order group sizes while per-dim groups\n"
+            "and window partitions grow ~factor). Dim tables unchanged (symlinked\n"
+            "sf0.1). local[32], min of 2 reps, noop sink, cache cleared\n"
             "between runs.\n\n"
             f"| query | sf0.1 (s) | ~sf1 (s) | ratio (data x{factor}) |\n|---|---|---|---|\n"
         )
