@@ -123,6 +123,10 @@ HEADLINE = [
     "ewma_user_value",              # exact-fold EWMA, per-entity sequential
     "hybrid_rrf_retrieval",         # BM25 + cosine reciprocal-rank fusion
     "rolling_7day_revenue",         # time-interval RANGE frame per customer
+    # round-6 additions
+    "dsl_auto_index",               # OptimizeAnno auto index selection, O(1) loop
+    "multimodal_wav_real",          # real RIFF/WAVE parse + windowed RMS
+    "multimodal_ppm_real",          # real PPM parse + channel statistics
 ]
 
 

@@ -141,7 +141,7 @@ PRIORITY_R4 = (  # kept for the r4 row-premise audit trail
     "group_concat", "salted_join", "unpivot_long",
 )
 
-PRIORITY = (
+PRIORITY_R5 = (  # kept for the r5 row-premise audit trail
     # (A) the 14 TPC-H shapes never driver-checked
     "tpch_q1_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q7_shape",
     "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape", "tpch_q13_shape",
@@ -172,20 +172,66 @@ PRIORITY = (
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
     "sort_canonical", "top_k",
 )
-# Round-6 rotation candidates, in priority order (baseline for premise
-# checks = FINGERPRINTS_r05.json): the core/dsl/graph queries still
-# holding only r1/r2 rows — if_then_else, join_three_way, flatmap_cross,
-# pivot_wide, bag_canonical, set_of_distinct, union_all_concat,
-# cons_insert, int_range, word_range, bag_set_insert, word_arith,
-# string_ops, eq_nullsafe, opt_match_coalesce, agg_min_max_option,
-# fold_right_concat, dict_ops_lookup, survey_join, proj_feed_pipeline,
-# sql_entrypoint, distinct_agg, set_ops, outer_join, topk_per_group,
-# quantile_disc, dsl_filter_project, dsl_grandchildren, dsl_employee_join,
-# dsl_orders_agg, grandchildren, triangle, bfs — plus agg_sum_count /
-# groupby_agg / coq_div_mod / dict_fold (r2/r3 rows), and any query whose
-# r6 fingerprint diverges from FINGERPRINTS_r05.json via a reachable
-# delta.
+# Round-6 window. The fingerprint ALGORITHM changed this round (same-
+# module helper closure added, ADVICE r5), so the premise baseline for
+# every rotation-out decision is FINGERPRINTS_r05_rehash.json — the r5
+# HEAD re-fingerprinted with the r6 tool in a clean worktree.
+PRIORITY = (
+    # (A) round-6 additions — driver evidence in the same round they land
+    "dsl_auto_index", "multimodal_wav_real", "multimodal_ppm_real",
+    # (B) directly-changed query bodies: q15's eager-winner cache
+    # release, knn's rank-based eval panel, agg_reuse's checkpoint-block
+    # materialization — all three r5/r4 rows' premises are broken by the
+    # cache-hygiene work
+    "tpch_q15_shape", "knn_label_vote", "agg_reuse",
+    # (C) compile/interp-reachable deltas: compile_column gained the
+    # typed-ANone cast and eval_value the pure-driver evaluator +
+    # scalar-loc substitution — every AST-compiled program transits
+    # these, so the whole DSL suite re-enters (graph AST programs are in
+    # (E))
+    "dsl_command_pipeline", "dsl_fold_table", "dsl_let_if_table",
+    "dsl_comprehension", "dsl_filter_project", "dsl_grandchildren",
+    "dsl_employee_join", "dsl_orders_agg",
+    # (D) persist→localCheckpoint migration (dedup.py shared
+    # intermediates, GroupIndex state): semantics-preserving by design,
+    # but the materialization timing changed — re-checked rather than
+    # argued
+    "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+    "dedup_embedding", "dedup_clusters", "dedup_clusters_star",
+    "dedup_fuzzy_apply", "dedup_incremental_batch",
+    "incremental_groupby", "keyed_agg_maintenance", "incremental_multi_index",
+    # (E) oldest-evidence refresh: r1/r2-row queries from the r5 note,
+    # graph AST programs (bfs/triangle/grandchildren — r1/r2 rows AND
+    # compile-reachable deltas) first, then the core r1/r2 backlog
+    "bfs", "triangle", "grandchildren",
+    "if_then_else", "join_three_way", "flatmap_cross", "pivot_wide",
+    "bag_canonical", "set_of_distinct", "union_all_concat", "cons_insert",
+    "int_range", "word_range", "bag_set_insert", "word_arith",
+    "string_ops", "eq_nullsafe", "opt_match_coalesce", "agg_min_max_option",
+    "fold_right_concat", "dict_ops_lookup", "survey_join",
+    "proj_feed_pipeline", "sql_entrypoint", "distinct_agg",
+)
+# Rotation-out justification (vs FINGERPRINTS_r05_rehash.json): rotated-
+# out queries keep green r3-r5 rows. This round's module deltas are
+# compile.py/interp.py (reachable only from AST-compiled programs — all
+# rotated IN under (C)/(E); pure-DataFrame queries never enter
+# compile_column/eval_value), operators/dedup.py + streaming/
+# maintenance.py persist→localCheckpoint (consumers rotated in under
+# (D); SumIndex/MinIndex untouched, so incremental_sum/
+# incremental_min_orders keep their rows on unchanged classes),
+# workloads/core.py (only q15/agg_reuse blocks — in (B); other core
+# queries' @q sources + helper closures byte-identical), pipeline.py
+# (knn block — in (B); the two new multimodal queries append after every
+# existing block), multimodal.py (new codec functions appended; the
+# stubbed-operator blocks the r3/r4 multimodal rows cover are
+# byte-identical), session.py gained two NEW functions (sweep API —
+# unreachable from queries), dsl.py gained dsl_auto_index (appended).
+# Round-7 rotation candidates: set_ops, outer_join, topk_per_group,
+# quantile_disc, agg_sum_count, groupby_agg, coq_div_mod, dict_fold,
+# pagerank3, plus any query whose r7 fingerprint diverges from
+# FINGERPRINTS_r06.json via a reachable delta.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R5) == 50 and len(set(PRIORITY_R5)) == 50
 
 _queries = {}
 _oracles = {}
@@ -198,6 +244,8 @@ assert not _missing, f"PRIORITY names not registered: {_missing}"
 # the audit-trail window must not silently rot under renames either
 _missing_r4 = [n for n in PRIORITY_R4 if n not in _queries]
 assert not _missing_r4, f"PRIORITY_R4 names no longer registered: {_missing_r4}"
+_missing_r5 = [n for n in PRIORITY_R5 if n not in _queries]
+assert not _missing_r5, f"PRIORITY_R5 names no longer registered: {_missing_r5}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)

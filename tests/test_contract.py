@@ -104,3 +104,23 @@ def test_bench_final_line_stays_parseable_under_budget():
     # the kept entries are the slowest ones
     kept = obj["queries"]
     assert kept and max(summary["queries"].values()) == max(kept.values())
+
+
+def test_readme_query_count_matches_registry():
+    """README's registry-size claim is generated evidence, not prose —
+    it must equal len(QUERIES) (the r5 verdict caught it stale at 166
+    when the registry held 172)."""
+    import os
+    import re
+
+    from fiat2_spark.workloads import QUERIES
+
+    readme = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "README.md"),
+        encoding="utf-8",
+    ).read()
+    m = re.search(r"\| `fiat2_spark/workloads/` \| (\d+) named queries", readme)
+    assert m, "README workloads row missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README says {m.group(1)} queries; registry has {len(QUERIES)}"
+    )

@@ -33,6 +33,7 @@ MODULES = [
     "fiat2_spark.plans.typecheck",
     "fiat2_spark.plans.compile",
     "fiat2_spark.plans.interp",
+    "fiat2_spark.plans.autoindex",
     "fiat2_spark.streaming.maintenance",
     "fiat2_spark.streaming.stream_agg",
     "fiat2_spark.sources.io",
