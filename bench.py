@@ -127,6 +127,7 @@ HEADLINE = [
     "dsl_auto_index",               # OptimizeAnno auto index selection, O(1) loop
     "multimodal_wav_real",          # real RIFF/WAVE parse + windowed RMS
     "multimodal_ppm_real",          # real PPM parse + channel statistics
+    "tfidf_retrieval",              # classical TF-IDF ranking, hits-only shuffle
 ]
 
 

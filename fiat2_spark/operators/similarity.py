@@ -307,3 +307,46 @@ def bm25_scores(
         .groupBy("doc")
         .agg(F.round(F.sum("c").cast("double"), 6).alias("bm25"))
     )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    id_col: str,
+    toks_col: "Column",
+    terms: list[str],
+) -> DataFrame:
+    """Length-normalized TF-IDF (Salton & Buckley 1988's ntc weighting,
+    simplified to the query-side-constant case) of every document
+    against a fixed bag of query terms — BM25's classical sibling, kept
+    because corpus pipelines often want BOTH (BM25 for retrieval,
+    TF-IDF for salience/feature vectors). Returns (doc, tfidf) for
+    documents with at least one hit.
+
+    Same Spark shape as `bm25_scores` (the scale posture is identical):
+    query-term filter BEFORE the explode so the (doc, term) shuffle
+    carries only hits; df/N stats broadcast back; corpus never
+    re-shuffles. Float discipline: idf = ln(N/df) rounded at the libm
+    boundary, contribution = idf · tf/dl rounded to 9dp, summed in
+    DECIMAL, final score rounded to 6dp — bitwise oracle agreement."""
+    base = docs.select(F.col(id_col).alias("doc"), toks_col.alias("toks"))
+    base = base.select("doc", "toks", F.size("toks").cast("double").alias("dl"))
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+    hits = base.select(
+        "doc",
+        "dl",
+        F.explode(F.filter("toks", lambda t: t.isin(*terms))).alias("term"),
+    )
+    tf = hits.groupBy("doc", "dl", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    scored = tf.join(F.broadcast(df_t), "term").join(F.broadcast(stats))
+    idf = F.round(F.log(F.col("n_docs") / F.col("df")), 9)
+    contrib = F.round(idf * F.col("tf") / F.col("dl"), 9)
+    return (
+        scored.select("doc", contrib.cast("decimal(20,9)").alias("c"))
+        .groupBy("doc")
+        .agg(F.round(F.sum("c").cast("double"), 6).alias("tfidf"))
+    )

@@ -567,6 +567,45 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
             )
             return _retag_df(_project_record(joined, r, env2, spark), tag)
 
+    # to_join (n-ary, depth ≥ 3): flatmap t1 x1 (flatmap t2 x2 (… (if p
+    # then [r] else []))) — the Ex_Triangle.v-style chained
+    # comprehension. All generators must be independent tables; the
+    # single innermost guard is applied as a filter over the chained
+    # cross join, which Catalyst's predicate-into-join pushdown turns
+    # into hash joins for the equi conjuncts (found by the relational
+    # fuzzer: the 2-level recognizer above left the 3-level shape to the
+    # column path, which cannot host a table scan).
+    def _chain(body: A.Expr, bound: frozenset):
+        g2 = _as_guarded_singleton(body)
+        if g2 is not None:
+            return [], g2[0], g2[1]
+        if (
+            isinstance(body, A.EFlatmap)
+            and is_table_expr(body.e1, env, store)
+            and not (A.free_vars(body.e1) & bound)
+        ):
+            rest = _chain(body.e2, bound | {body.x})
+            if rest is not None:
+                binders, p2, r2 = rest
+                return [(body.tag, body.x, body.e1)] + binders, p2, r2
+        return None
+
+    if isinstance(e2, A.EFlatmap):
+        chain = _chain(e2, frozenset({x}))
+        if chain is not None and len(chain[0]) >= 2:
+            binders, p, r = chain
+            a1 = f"j{next(_alias_counter)}"
+            joined = df1.alias(a1)
+            env2 = {**env, x: _bind_row(df1, a1)}
+            for _tag_i, xi, ti in binders:
+                ai = f"j{next(_alias_counter)}"
+                di = compile_expr(ti, env, store, spark).alias(ai)
+                env2[xi] = _bind_row(di, ai)
+                joined = joined.crossJoin(di)
+            if p is not None:
+                joined = joined.filter(compile_column(p, env2))
+            return _retag_df(_project_record(joined, r, env2, spark), tag)
+
     # independent table body → cross product
     if x not in A.free_vars(e2) and is_table_expr(e2, env, store):
         return _retag_df(df1.crossJoin(compile_expr(e2, env, store, spark)), tag)

@@ -179,6 +179,7 @@ PRIORITY_R5 = (  # kept for the r5 row-premise audit trail
 PRIORITY = (
     # (A) round-6 additions — driver evidence in the same round they land
     "dsl_auto_index", "multimodal_wav_real", "multimodal_ppm_real",
+    "tfidf_retrieval",
     # (B) directly-changed query bodies: q15's eager-winner cache
     # release, knn's rank-based eval panel, agg_reuse's checkpoint-block
     # materialization — all three r5/r4 rows' premises are broken by the
@@ -209,7 +210,7 @@ PRIORITY = (
     "int_range", "word_range", "bag_set_insert", "word_arith",
     "string_ops", "eq_nullsafe", "opt_match_coalesce", "agg_min_max_option",
     "fold_right_concat", "dict_ops_lookup", "survey_join",
-    "proj_feed_pipeline", "sql_entrypoint", "distinct_agg",
+    "proj_feed_pipeline", "sql_entrypoint",
 )
 # Rotation-out justification (vs FINGERPRINTS_r05_rehash.json): rotated-
 # out queries keep green r3-r5 rows. This round's module deltas are
@@ -226,10 +227,12 @@ PRIORITY = (
 # stubbed-operator blocks the r3/r4 multimodal rows cover are
 # byte-identical), session.py gained two NEW functions (sweep API —
 # unreachable from queries), dsl.py gained dsl_auto_index (appended).
-# Round-7 rotation candidates: set_ops, outer_join, topk_per_group,
-# quantile_disc, agg_sum_count, groupby_agg, coq_div_mod, dict_fold,
-# pagerank3, plus any query whose r7 fingerprint diverges from
-# FINGERPRINTS_r06.json via a reachable delta.
+# Round-7 rotation candidates: distinct_agg (ceded its slot to the
+# late-round tfidf_retrieval addition), set_ops, outer_join,
+# topk_per_group, quantile_disc, agg_sum_count, groupby_agg,
+# coq_div_mod, dict_fold, pagerank3, plus any query whose r7
+# fingerprint diverges from FINGERPRINTS_r06.json via a reachable
+# delta.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 assert len(PRIORITY_R5) == 50 and len(set(PRIORITY_R5)) == 50
 

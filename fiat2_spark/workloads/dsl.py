@@ -473,13 +473,19 @@ def dsl_comprehension(spark, sf_dir):
 @q(
     "dsl_auto_index",
     """
-    WITH base AS (SELECT o_orderkey AS id, o_custkey AS price FROM orders),
+    WITH base AS (
+      SELECT o_orderkey AS id, o_custkey AS price,
+             CASE WHEN o_custkey < 500 THEN 'cold' ELSE 'hot' END AS tier
+      FROM orders),
     inv AS (SELECT p_partkey AS id, p_partkey * 3 AS price FROM part),
-    ins AS (SELECT id, price FROM inv WHERE id IN (17, 34, 51, 68, 85)),
+    ins AS (SELECT id, price,
+                   CASE WHEN price < 500 THEN 'cold' ELSE 'hot' END AS tier
+            FROM inv WHERE id IN (17, 34, 51, 68, 85)),
     all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
     SELECT CAST(SUM(price) AS BIGINT) AS sum_price,
            CAST(MIN(price) AS BIGINT) AS min_price,
-           CAST(COUNT(*) AS BIGINT) AS n
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN tier = 'hot' THEN 1 ELSE 0 END) AS BIGINT) AS n_hot
     FROM all_rows
     """,
 )
@@ -490,9 +496,10 @@ def dsl_auto_index(spark, sf_dir):
     instead of hand annotations (Ex_Orders.v:69-76 supplies them
     manually as ``AC [...] [[DictIdx "id"]; [SumAgg "price"; MinAgg
     "price"]]``). The program is the Ex_Orders.v:54 lifecycle with NO
-    manual view wiring: a CForeach loop that (a) looks items up in a
-    read-only `inv` table by an eq-filter on a loop-varying key — the
-    analyzer picks DictIdx("id") and execution builds the to_idx dict
+    manual view wiring, and it exercises ALL FOUR reference index
+    choices: a CForeach loop that (a) looks items up in a read-only
+    `inv` table by an eq-filter on a loop-varying key — the analyzer
+    picks DictIdx("id") and execution builds the to_idx dict
     (DictIndexImpl.v:25-33, evaluated as one distributed group-by) so
     each iteration's lookup is O(1) instead of a table scan — and (b)
     OCons-inserts the found rows into the mutated `orders_mut` table,
@@ -500,9 +507,13 @@ def dsl_auto_index(spark, sf_dir):
     and min folds — the analyzer picks SumAgg("price") +
     MinAgg("price"), init runs ONE distributed aggregate each, every
     insert maintains them in O(1) (cons_to_add SumAgg.v:150-156 /
-    cons_to_min MinAgg.v:150-162), and the final reads are O(1) store
-    lookups, never a rescan. `plans/autoindex.py`; rewrite structure
-    pinned in tests/test_autoindex.py."""
+    cons_to_min MinAgg.v:150-162) — plus (c) a count of rows whose
+    string `tier` equals the CONSTANT 'hot' — the analyzer picks
+    BitmapIdx("tier","hot") (BitmapIndex.v; filter_to_bitmap_lookup /
+    cons_to_bitmap_update), maintaining the selected sub-table per
+    insert so the read never rescans the base. Final reads are O(1)
+    store lookups. `plans/autoindex.py`; rewrite structure pinned in
+    tests/test_autoindex.py."""
     from pyspark.sql import Row
     from pyspark.sql import functions as F
 
@@ -523,6 +534,9 @@ def dsl_auto_index(spark, sf_dir):
         orders.select(
             F.col("o_orderkey").alias("id"),
             F.col("o_custkey").cast("long").alias("price"),
+            F.when(F.col("o_custkey") < 500, F.lit("cold"))
+            .otherwise(F.lit("hot"))
+            .alias("tier"),
         ),
     )
 
@@ -551,6 +565,11 @@ def dsl_auto_index(spark, sf_dir):
             A.ERecord((
                 ("id", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(17)))),
                 ("price", A.EVar("price")),
+                ("tier", A.EIf(
+                    A.EBinop("OLess", A.EVar("price"), A.EAtom(A.AInt(500))),
+                    A.EAtom(A.AString("cold")),
+                    A.EAtom(A.AString("hot")),
+                )),
             )),
             A.ELoc("orders_mut"),
         ),
@@ -583,13 +602,22 @@ def dsl_auto_index(spark, sf_dir):
             ),
         ),
     )
+    hot_filter = A.EFilter(
+        "LikeBag",
+        A.ELoc("orders_mut"),
+        "x",
+        A.EBinop("OEq", A.EAccess(A.EVar("x"), "tier"), A.EAtom(A.AString("hot"))),
+    )
     prog = A.CSeq(
         loop,
         A.CSeq(
             A.CAssign("out_sum", sum_fold),
             A.CSeq(
                 A.CAssign("out_min", min_fold),
-                A.CAssign("out_n", A.EUnop("OLength", A.ELoc("orders_mut"))),
+                A.CSeq(
+                    A.CAssign("out_n", A.EUnop("OLength", A.ELoc("orders_mut"))),
+                    A.CAssign("out_hot", A.EUnop("OLength", hot_filter)),
+                ),
             ),
         ),
     )
@@ -598,8 +626,14 @@ def dsl_auto_index(spark, sf_dir):
         "__idx_dict__inv__id",
         "__idx_sum__orders_mut__price",
         "__idx_min__orders_mut__price",
+        "__idx_bitmap__orders_mut__tier__hot",
     }, report.aux
     return spark.createDataFrame(
-        [Row(sum_price=st.get("out_sum"), min_price=st.get("out_min"), n=st.get("out_n"))],
-        "sum_price long, min_price long, n long",
+        [Row(
+            sum_price=st.get("out_sum"),
+            min_price=st.get("out_min"),
+            n=st.get("out_n"),
+            n_hot=st.get("out_hot"),
+        )],
+        "sum_price long, min_price long, n long, n_hot long",
     )

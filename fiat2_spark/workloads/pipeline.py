@@ -2443,3 +2443,47 @@ def multimodal_ppm_real(spark, sf_dir):
 
     ppms = docs.mapInPandas(encode, "doc_id bigint, payload binary")
     return M.image_channel_stats_ppm(ppms)
+
+
+@q(
+    "tfidf_retrieval",
+    f"""
+    WITH toks AS ({_TOKS}),
+    base AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM base),
+    hits AS (
+      SELECT doc_id, dl,
+             unnest(list_filter(toks, t -> list_contains([{", ".join(f"'{t}'" for t in _BM25_TERMS)}], t))) AS term
+      FROM base
+    ),
+    tf AS (
+      SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, dl, term
+    ),
+    dft AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    contrib AS (
+      SELECT doc_id,
+             CAST(round(round(ln(n_docs / df), 9) * tf / dl, 9) AS DECIMAL(20,9)) AS c
+      FROM tf JOIN dft USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(round(CAST(SUM(c) AS DOUBLE), 6) AS DOUBLE) AS tfidf
+    FROM contrib GROUP BY doc_id
+    ORDER BY tfidf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def tfidf_retrieval(spark, sf_dir):
+    """Length-normalized TF-IDF top-20 against the same fixed query-term
+    bag as `bm25_retrieval` — the classical ranking sibling
+    (`operators/similarity.py:tfidf_scores`; Salton & Buckley 1988).
+    Pipelines keep both scorers: BM25 for retrieval, TF-IDF for
+    salience features; sharing the pre-explode-filter + broadcast-stats
+    shape means both cost one hits-only shuffle at 100 TB. Ranking is
+    total (6dp-rounded score, doc_id tie-break)."""
+    from fiat2_spark.operators import relational as R
+
+    d = tbl(spark, sf_dir, "documents")
+    scored = SIM.tfidf_scores(
+        d, "doc_id", TX.tokens(F.col("text")), list(_BM25_TERMS)
+    ).withColumnRenamed("doc", "doc_id")
+    return R.top_k(scored, 20, [F.col("tfidf").desc(), F.col("doc_id").asc()])

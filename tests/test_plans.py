@@ -928,3 +928,40 @@ def test_hybrid_rrf_rank_window_is_bounded_by_topk(spark):
     )
     assert found, "lexical rank window is not fed by the top-k prune"
     assert "WindowGroupLimit" in p  # cosine leg prune intact
+
+
+def test_nary_comprehension_plans_as_hash_joins(spark):
+    """A 3-generator chained comprehension (the Ex_Triangle.v shape,
+    depth the 2-level to_join recognizer doesn't cover) must compile to
+    hash joins — the n-ary recognizer emits chained cross joins + the
+    innermost guard as a filter, and Catalyst's predicate-into-join
+    pushdown must recover the equi joins. Found by the relational
+    fuzzer: before the n-ary case, this shape failed to compile at all."""
+    from fiat2_spark.plans import ast as A
+    from fiat2_spark.plans.compile import compile_expr
+    from fiat2_spark.plans.interp import Store
+
+    st = Store()
+    st.assign("t1", spark.createDataFrame([(1, 10), (2, 20)], "a long, b long"))
+    st.assign("t2", spark.createDataFrame([(1, 5), (2, 6)], "k long, c long"))
+    nil = A.EAtom(A.ANil(A.TRecord((("u", A.TInt()), ("v", A.TInt()), ("w", A.TInt())))))
+    prog = A.EFlatmap("LikeBag", A.ELoc("t1"), "x",
+        A.EFlatmap("LikeBag", A.ELoc("t2"), "y",
+            A.EFlatmap("LikeBag", A.ELoc("t1"), "z",
+                A.EIf(A.EBinop("OAnd",
+                        A.EBinop("OEq", A.EAccess(A.EVar("x"), "a"), A.EAccess(A.EVar("y"), "k")),
+                        A.EBinop("OEq", A.EAccess(A.EVar("y"), "k"), A.EAccess(A.EVar("z"), "a"))),
+                    A.EBinop("OCons", A.ERecord((
+                        ("u", A.EAccess(A.EVar("x"), "b")),
+                        ("v", A.EAccess(A.EVar("y"), "c")),
+                        ("w", A.EAccess(A.EVar("z"), "b")))), nil),
+                    nil))))
+    df = compile_expr(prog, {}, st, spark)
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(10, 5, 10), (20, 6, 20)}
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # AQE's toString includes both initial and final plans — require at
+    # least the two equi joins, and zero non-hash join strategies above
+    n_hash = p.count("BroadcastHashJoin") + p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
+    assert n_hash >= 2, p

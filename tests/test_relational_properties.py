@@ -229,7 +229,51 @@ def _rel_program():
             ),
         )
     )
-    base = st.one_of(join, flat, guarded_single)
+    # three-table chained comprehension (t1 ⋈ t2 ⋈ t1 self): the
+    # deepest shape the reference's notation produces (Ex_Triangle.v) —
+    # exercises nested join recognition + the residual-theta fallback
+    _NIL3 = A.EAtom(A.ANil(A.TRecord((("u", A.TInt()), ("v", A.TInt()), ("w", A.TInt())))))
+    triple = st.tuples(
+        st.sampled_from(["OLess", "OEq"]), _scalar("z", _T1F)
+    ).map(
+        lambda t: A.EFlatmap(
+            "LikeBag",
+            A.ELoc("t1"),
+            "x",
+            A.EFlatmap(
+                "LikeBag",
+                A.ELoc("t2"),
+                "y",
+                A.EFlatmap(
+                    "LikeBag",
+                    A.ELoc("t1"),
+                    "z",
+                    A.EIf(
+                        A.EBinop(
+                            "OAnd",
+                            A.EBinop(
+                                "OAnd",
+                                A.EBinop("OEq", A.EAccess(A.EVar("x"), "a"), A.EAccess(A.EVar("y"), "k")),
+                                A.EBinop("OEq", A.EAccess(A.EVar("y"), "k"), A.EAccess(A.EVar("z"), "a")),
+                            ),
+                            A.EBinop(t[0], A.EAccess(A.EVar("z"), "b"), t[1]),
+                        ),
+                        A.EBinop(
+                            "OCons",
+                            A.ERecord((
+                                ("u", A.EAccess(A.EVar("x"), "b")),
+                                ("v", A.EAccess(A.EVar("y"), "c")),
+                                ("w", A.EAccess(A.EVar("z"), "b")),
+                            )),
+                            _NIL3,
+                        ),
+                        _NIL3,
+                    ),
+                ),
+            ),
+        )
+    )
+    base = st.one_of(join, flat, guarded_single, triple)
     wrapped = st.tuples(st.sampled_from(["none", "sort", "bag", "set"]), base).map(
         lambda t: {
             "none": t[1],
