@@ -502,11 +502,19 @@ def compile_expr(e: A.Expr, env: dict, store, spark: SparkSession) -> DataFrame:
             row_val = eval_value(row_e, env, store, spark)
             if hasattr(row_val, "asDict"):
                 row_val = row_val.asDict(recursive=True)
-            single = spark.createDataFrame(
-                [tuple(row_val[c] for c in df.columns)]
-                if isinstance(row_val, dict)
-                else [(row_val,)],
-                schema=df.schema,
+            # the 1-row leg is built JVM-side (range(1) + literal select,
+            # ONE partition), not via createDataFrame: parallelize slices
+            # a 1-row local list into defaultParallelism near-empty
+            # Python-RDD partitions, so an insert loop of n conses
+            # dragged n×32 no-op Python-worker tasks into every
+            # downstream job (measured: 161-task broadcast builds in
+            # dsl_auto_index's final count)
+            vals = row_val if isinstance(row_val, dict) else {"value": row_val}
+            single = spark.range(0, 1, 1, numPartitions=1).select(
+                *[
+                    _py_to_col(vals[c]).cast(df.schema[c].dataType).alias(c)
+                    for c in df.columns
+                ]
             )
             return single.unionByName(df)
         case A.EBinop("ORange", lo, hi):
