@@ -698,6 +698,8 @@ def _try_driver_eval(e: A.Expr, env: dict):
                     return {"OPlus": v1 + v2, "OMinus": v1 - v2, "OTimes": v1 * v2}[op]
                 if op == "OLess" and v1 is not None and v2 is not None:
                     return v1 < v2
+                if op in ("OAnd", "OOr") and isinstance(v1, bool) and isinstance(v2, bool):
+                    return (v1 and v2) if op == "OAnd" else (v1 or v2)
                 if op == "OEq" and not isinstance(v1, (list, dict, Row)) and not isinstance(v2, (list, dict, Row)):
                     return v1 == v2
                 if op == "OConcatString" and isinstance(v1, str) and isinstance(v2, str):
