@@ -340,3 +340,51 @@ def test_to_idx_fast_path_equals_naive(spark):
         k: [tuple(r) for r in v] for k, v in naive.items()
     }
     assert fast.a.v[1] == sorted(fast.a.v[1])
+
+
+def test_insert_inside_conditional_branch(spark):
+    """Inserts under CIf must still maintain the auxes on exactly the
+    branch that executes — the rewrite recurses through CIf (the
+    reference's fold_command_with_globals walks every command
+    constructor), and the differential catches a maintenance update
+    applied on the wrong branch."""
+    prog = A.CSeq(
+        A.CForeach(
+            A.EBinop("ORange", A.EAtom(A.AInt(0)), A.EAtom(A.AInt(6))),
+            "n",
+            A.CIf(
+                A.EBinop(
+                    "OEq",
+                    A.EBinop("OMinus", A.EVar("n"), A.EBinop("OTimes", A.EAtom(A.AInt(2)), A.EAtom(A.AInt(1)))),
+                    A.EVar("n"),
+                ),  # always false: n-2 == n
+                A.CSkip(),
+                A.CIf(
+                    A.EBinop("OLess", A.EVar("n"), A.EAtom(A.AInt(3))),
+                    A.CAssign(
+                        "t",
+                        A.EBinop(
+                            "OCons",
+                            A.ERecord((("price", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(10)))),)),
+                            A.ELoc("t"),
+                        ),
+                    ),
+                    A.CSkip(),
+                ),
+            ),
+        ),
+        A.CAssign("out", A.EACFold("AGSum", _price_proj("t"))),
+    )
+
+    def mk():
+        st = Store()
+        st.assign("t", spark.createDataFrame([(100,)], "price long"))
+        return st
+
+    st_plain = mk()
+    run_command(prog, st_plain, {}, spark)
+    st_auto = mk()
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    # only n in {0,1,2} insert: 0 + 10 + 20, plus base 100
+    assert st_plain.get("out") == st_auto.get("out") == 130
+    assert "__idx_sum__t__price" in report.aux
