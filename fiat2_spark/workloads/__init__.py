@@ -213,20 +213,27 @@ PRIORITY = (
     "proj_feed_pipeline", "sql_entrypoint",
 )
 # Rotation-out justification (vs FINGERPRINTS_r05_rehash.json): rotated-
-# out queries keep green r3-r5 rows. This round's module deltas are
-# compile.py/interp.py (reachable only from AST-compiled programs — all
-# rotated IN under (C)/(E); pure-DataFrame queries never enter
-# compile_column/eval_value), operators/dedup.py + streaming/
-# maintenance.py persist→localCheckpoint (consumers rotated in under
-# (D); SumIndex/MinIndex untouched, so incremental_sum/
-# incremental_min_orders keep their rows on unchanged classes),
-# workloads/core.py (only q15/agg_reuse blocks — in (B); other core
-# queries' @q sources + helper closures byte-identical), pipeline.py
-# (knn block — in (B); the two new multimodal queries append after every
-# existing block), multimodal.py (new codec functions appended; the
-# stubbed-operator blocks the r3/r4 multimodal rows cover are
-# byte-identical), session.py gained two NEW functions (sweep API —
-# unreachable from queries), dsl.py gained dsl_auto_index (appended).
+# out queries keep green r3-r5 rows. Audited precisely at round end: 126
+# rotated-out queries show fingerprint deltas, ALL from the module-level
+# import closure (compile.py/interp.py/dedup.py/maintenance.py/
+# session.py sit in every workloads module's closure), not from their
+# own @q sources or same-module helper closures. REACHABLE deltas are
+# scoped: compile.py's changes (pure-driver evaluator, typed-ANone cast,
+# n-ary join recognizer, JVM-side insert legs) execute only for
+# AST-compiled programs — every DSL/graph AST query is rotated IN under
+# (C)/(E); pure-DataFrame queries never enter compile_column/eval_value/
+# compile_expr. dedup.py + maintenance.py persist→localCheckpoint
+# consumers are rotated in under (D); SumIndex/MinIndex are untouched
+# classes, so incremental_sum/incremental_min_orders keep their rows.
+# core.py changed only in the q15/agg_reuse blocks (in (B)); pipeline.py
+# only in the knn block (in (B)) plus appended new queries; dsl.py
+# gained dsl_auto_index (appended); multimodal.py gained codec functions
+# (appended — the stubbed-operator blocks the r3/r4 multimodal rows
+# cover are byte-identical); session.py gained the sweep API (new
+# functions, unreachable from queries). Belt-and-suspenders: GATE_r06
+# re-ran EVERY rotated-out query at BOTH SFs on final HEAD (176/176) —
+# builder-level fresh evidence under the changed closure even where the
+# driver row is older.
 # Round-7 rotation candidates: distinct_agg (ceded its slot to the
 # late-round tfidf_retrieval addition), set_ops, outer_join,
 # topk_per_group, quantile_disc, agg_sum_count, groupby_agg,
