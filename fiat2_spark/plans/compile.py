@@ -425,17 +425,38 @@ def is_table_expr(e: A.Expr, env: dict, store) -> bool:
     return False
 
 
-def _project_record(df: DataFrame, r: A.Expr, env: dict, spark) -> DataFrame:
-    """Project the join/proj result expression ``r`` over ``df``."""
+def _record_cols(r: A.Expr, env: dict) -> list[Column]:
+    """The aliased output columns of a join/proj result expression."""
     if isinstance(r, A.ERecord):
-        return df.select(
-            *[compile_column(fe, env).alias(n) for n, fe in sorted(r.fields)]
-        )
+        return [compile_column(fe, env).alias(n) for n, fe in sorted(r.fields)]
     if isinstance(r, A.EVar) and env.get(r.x, ("",))[0] == "row":
         _, prefix, cols = env[r.x]
         p = f"{prefix}." if prefix else ""
-        return df.select(*[F.col(p + c).alias(c) for c in sorted(cols)])
-    return df.select(compile_column(r, env).alias("value"))
+        return [F.col(p + c).alias(c) for c in sorted(cols)]
+    return [compile_column(r, env).alias("value")]
+
+
+def _project_record(df: DataFrame, r: A.Expr, env: dict, spark) -> DataFrame:
+    """Project the join/proj result expression ``r`` over ``df``."""
+    return df.select(*_record_cols(r, env))
+
+
+def _project_dedup_uids(
+    joined: DataFrame, r: A.Expr, env: dict, uid_refs: list[str]
+) -> DataFrame:
+    """Project ``r`` keeping the listed binding-uid columns, dedupe on
+    (uids, result), then drop the uids — realizing an inner LikeSet
+    flatmap tag's per-outer-binding dedup (Interpret.v's retag applies
+    per evaluation of the body, i.e. per binding of the enclosing
+    variables) as one distributed ``dropDuplicates`` instead of a
+    driver loop. Distinct at the shallowest LikeSet level subsumes any
+    deeper LikeSet tags (coarser keys, same result values)."""
+    uid_names = [f"__fm_uid{k}" for k in range(len(uid_refs))]
+    out = joined.select(
+        *[F.col(ref).alias(n) for ref, n in zip(uid_refs, uid_names)],
+        *_record_cols(r, env),
+    )
+    return out.dropDuplicates().drop(*uid_names)
 
 
 def _retag_df(df: DataFrame, tag: str) -> DataFrame:
@@ -558,22 +579,37 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
         df = df1 if p is None else df1.filter(compile_column(p, env_row))
         return _retag_df(_project_record(df, r, env_row, spark), tag)
 
-    # to_join: flatmap t1 x (flatmap t2 y (if p then [r] else []))
+    # to_join: flatmap t1 x (flatmap t2 y (if p then [r] else [])).
+    # An inner LikeSet tag dedupes the body's results PER OUTER BINDING
+    # (Interpret.v retag-per-evaluation; the relational fuzzer's mixed-
+    # tag shapes pin this) — realized by tagging each outer row with a
+    # uid and deduping (uid, r) after the join. When the outermost tag
+    # is itself LikeSet, the global distinct subsumes it.
     if isinstance(e2, A.EFlatmap) and x not in A.free_vars(e2.e1):
         inner = _as_guarded_singleton(e2.e2)
         if inner is not None and is_table_expr(e2.e1, env, store):
             p, r = inner
             y = e2.x
             a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
-            d1 = df1.alias(a1)
+            env2 = {**env, x: _bind_row(df1, a1)}
+            need_uid = e2.tag == "LikeSet" and tag != "LikeSet"
+            d1s = (
+                df1.withColumn("__fm_uid", F.monotonically_increasing_id())
+                if need_uid
+                else df1
+            ).alias(a1)
             d2 = compile_expr(e2.e1, env, store, spark).alias(a2)
-            env2 = {**env, x: _bind_row(df1, a1), y: _bind_row(d2, a2)}
+            env2[y] = _bind_row(d2, a2)
             joined = (
-                d1.join(d2, on=compile_column(p, env2), how="inner")
+                d1s.join(d2, on=compile_column(p, env2), how="inner")
                 if p is not None
-                else d1.crossJoin(d2)
+                else d1s.crossJoin(d2)
             )
-            return _retag_df(_project_record(joined, r, env2, spark), tag)
+            if need_uid:
+                out = _project_dedup_uids(joined, r, env2, [f"{a1}.__fm_uid"])
+            else:
+                out = _project_record(joined, r, env2, spark)
+            return _retag_df(out, tag)
 
     # to_join (n-ary, depth ≥ 3): flatmap t1 x1 (flatmap t2 x2 (… (if p
     # then [r] else []))) — the Ex_Triangle.v-style chained
@@ -602,17 +638,40 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
         chain = _chain(e2, frozenset({x}))
         if chain is not None and len(chain[0]) >= 2:
             binders, p, r = chain
+            # shallowest inner LikeSet tag (binders[i] tags the flatmap
+            # nested under generators 0..i, generator 0 = df1): dedupe
+            # on the uids of generators 0..i plus the result — coarsest
+            # dedup, subsumes deeper LikeSet tags. Skipped when the
+            # outermost tag's global distinct subsumes everything.
+            s = next(
+                (i for i, (t_i, _, _) in enumerate(binders) if t_i == "LikeSet"),
+                None,
+            )
+            if tag == "LikeSet":
+                s = None
             a1 = f"j{next(_alias_counter)}"
-            joined = df1.alias(a1)
             env2 = {**env, x: _bind_row(df1, a1)}
-            for _tag_i, xi, ti in binders:
+            uid_refs = []
+            d0 = df1
+            if s is not None:
+                d0 = d0.withColumn("__fm_uid", F.monotonically_increasing_id())
+                uid_refs.append(f"{a1}.__fm_uid")
+            joined = d0.alias(a1)
+            for i, (_tag_i, xi, ti) in enumerate(binders):
                 ai = f"j{next(_alias_counter)}"
-                di = compile_expr(ti, env, store, spark).alias(ai)
+                di = compile_expr(ti, env, store, spark)
                 env2[xi] = _bind_row(di, ai)
-                joined = joined.crossJoin(di)
+                if s is not None and i < s:
+                    di = di.withColumn("__fm_uid", F.monotonically_increasing_id())
+                    uid_refs.append(f"{ai}.__fm_uid")
+                joined = joined.crossJoin(di.alias(ai))
             if p is not None:
                 joined = joined.filter(compile_column(p, env2))
-            return _retag_df(_project_record(joined, r, env2, spark), tag)
+            if uid_refs:
+                out = _project_dedup_uids(joined, r, env2, uid_refs)
+            else:
+                out = _project_record(joined, r, env2, spark)
+            return _retag_df(out, tag)
 
     # independent table body → cross product
     if x not in A.free_vars(e2) and is_table_expr(e2, env, store):

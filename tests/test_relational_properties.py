@@ -195,13 +195,18 @@ def _rel_program():
     join = st.tuples(_pred_xy(), _out_record()).map(
         lambda t: A.EJoin("LikeBag", A.ELoc("t1"), A.ELoc("t2"), "x", "y", t[0], t[1])
     )
-    flat = st.tuples(_pred_xy(), _out_record()).map(
+    # mixed inner/outer tags: an inner LikeSet dedupes per OUTER
+    # binding (found by the r6 advisor: the join recognizers discarded
+    # inner tags entirely — a LikeSet-tagged inner comprehension kept
+    # join duplicates)
+    _tags = st.sampled_from(["LikeBag", "LikeSet", "LikeList"])
+    flat = st.tuples(_pred_xy(), _out_record(), _tags, _tags).map(
         lambda t: A.EFlatmap(
-            "LikeBag",
+            t[2],
             A.ELoc("t1"),
             "x",
             A.EFlatmap(
-                "LikeBag",
+                t[3],
                 A.ELoc("t2"),
                 "y",
                 A.EIf(t[0], A.EBinop("OCons", t[1], _NIL), _NIL),
@@ -234,18 +239,18 @@ def _rel_program():
     # exercises nested join recognition + the residual-theta fallback
     _NIL3 = A.EAtom(A.ANil(A.TRecord((("u", A.TInt()), ("v", A.TInt()), ("w", A.TInt())))))
     triple = st.tuples(
-        st.sampled_from(["OLess", "OEq"]), _scalar("z", _T1F)
+        st.sampled_from(["OLess", "OEq"]), _scalar("z", _T1F), _tags, _tags
     ).map(
         lambda t: A.EFlatmap(
             "LikeBag",
             A.ELoc("t1"),
             "x",
             A.EFlatmap(
-                "LikeBag",
+                t[2],
                 A.ELoc("t2"),
                 "y",
                 A.EFlatmap(
-                    "LikeBag",
+                    t[3],
                     A.ELoc("t1"),
                     "z",
                     A.EIf(
@@ -361,3 +366,43 @@ def test_general_fold_over_table_matches_python(spark, pred):
     got = eval_value(fold, {}, _store(spark), spark)
     want = ev(fold, {})
     assert got == want, f"\npred={pred}\ngot={got}\nwant={want}"
+
+
+def test_inner_likeset_tag_dedupes_per_outer_binding(spark):
+    """Regression (r7): an inner LikeSet-tagged flatmap dedupes its
+    results PER OUTER BINDING before concatenation (Interpret.v's retag
+    applies per body evaluation). The r6 join recognizers discarded
+    inner tags, so two t2 matches for the same t1 row producing the
+    same record survived as join duplicates. Pinned at both depths."""
+    nil = A.EAtom(A.ANil(A.TRecord((("u", A.TInt()),))))
+    r = A.ERecord((("u", A.EAccess(A.EVar("x"), "a")),))
+    p = A.EBinop("OEq", A.EAccess(A.EVar("x"), "a"), A.EAccess(A.EVar("y"), "k"))
+    two = A.EFlatmap(
+        "LikeBag",
+        A.ELoc("t1"),
+        "x",
+        A.EFlatmap("LikeSet", A.ELoc("t2"), "y", A.EIf(p, A.EBinop("OCons", r, nil), nil)),
+    )
+    p3 = A.EBinop(
+        "OAnd",
+        p,
+        A.EBinop("OEq", A.EAccess(A.EVar("y"), "k"), A.EAccess(A.EVar("z"), "a")),
+    )
+    three = A.EFlatmap(
+        "LikeBag",
+        A.ELoc("t1"),
+        "x",
+        A.EFlatmap(
+            "LikeSet",
+            A.ELoc("t2"),
+            "y",
+            A.EFlatmap("LikeBag", A.ELoc("t1"), "z", A.EIf(p3, A.EBinop("OCons", r, nil), nil)),
+        ),
+    )
+    for prog in (two, three):
+        got = [
+            row.asDict()
+            for row in compile_expr(prog, {}, _store(spark), spark).collect()
+        ]
+        want = ev(prog, {})
+        assert _canon(got) == _canon(want), f"\nprog={prog}\ngot={got}\nwant={want}"
