@@ -503,8 +503,23 @@ def apply_auto_index(
             raise TypeError(f"auto-index target {t} is not a record table: {ty}")
         return et
 
-    def rewrite_expr(e: A.Expr, active: dict[str, list], row_tys: dict):
-        """Bottom-up read rewrite for every active (table, choice)."""
+    def rewrite_expr(
+        e: A.Expr, active: dict[str, list], row_tys: dict, canonical: bool = False
+    ):
+        """Bottom-up read rewrite for every active (table, choice).
+
+        ``canonical`` marks a site whose element ORDER is unobservable
+        (the direct child of ESort/EBagOf/ESetOf). LikeList-tagged read
+        sites are rewritten ONLY there: the aux buckets hold rows in
+        canonical/maintenance order, not base-table order, so a bare
+        list read through the index could reorder (the reference's
+        rewrite lemmas preserve order because its indexes store Gallina
+        lists in table order — ours are bags by construction)."""
+        if isinstance(e, (A.ESort, A.EBagOf, A.ESetOf)):
+            inner = rewrite_expr(e.l, active, row_tys, canonical=True)
+            if isinstance(e, A.ESort):
+                return A.ESort(e.tag, inner)
+            return type(e)(inner)
         for t, chs in active.items():
             for ch in chs:
                 aux = _aux_name(t, ch)
@@ -515,6 +530,8 @@ def apply_auto_index(
                 hit = _eq_lookup(e, t)
                 if hit is not None:
                     attr, key, x, body, tag = hit
+                    if tag == "LikeList" and not canonical:
+                        continue
                     if isinstance(ch, DictIdxChoice) and ch.attr == attr and _const_str(key) is None:
                         looked = A.EOptMatch(
                             A.EBinop(
@@ -527,7 +544,15 @@ def apply_auto_index(
                             A.EVar("__b"),
                         )
                         if body is None:
-                            return looked
+                            # re-canonicalize: buckets are built sorted
+                            # but maintained by O(1) prepend (bag
+                            # semantics); the original EFilter's tag
+                            # canonicalizes, so the rewrite must too
+                            if tag == "LikeSet":
+                                return A.ESetOf(looked)
+                            if tag == "LikeBag":
+                                return A.EBagOf(looked)
+                            return looked  # LikeList under a canonicalizer
                         return A.EFlatmap(
                             tag, looked, x, rewrite_expr(body, active, row_tys)
                         )

@@ -388,3 +388,107 @@ def test_insert_inside_conditional_branch(spark):
     # only n in {0,1,2} insert: 0 + 10 + 20, plus base 100
     assert st_plain.get("out") == st_auto.get("out") == 130
     assert "__idx_sum__t__price" in report.aux
+
+
+def _bare_lookup(key: A.Expr) -> A.Expr:
+    """A LikeList-tagged inventory lookup NOT wrapped in ESort — its
+    element order is base-table order, which the aux buckets (sorted
+    build + O(1) prepend maintenance) do not preserve."""
+    return A.EFlatmap(
+        "LikeList",
+        A.ELoc("inv"),
+        "item",
+        A.EIf(
+            A.EBinop("OEq", A.EAccess(A.EVar("item"), "id"), key),
+            A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), INT_NIL),
+            INT_NIL,
+        ),
+    )
+
+
+def _order_sensitive_fold(src: A.Expr) -> A.Expr:
+    """acc' = 2*acc - v: non-commutative, so fold ORDER is observable."""
+    return A.EFold(
+        src,
+        A.EAtom(A.AInt(0)),
+        "_v",
+        "_acc",
+        A.EBinop(
+            "OMinus",
+            A.EBinop("OTimes", A.EAtom(A.AInt(2)), A.EVar("_acc")),
+            A.EVar("_v"),
+        ),
+    )
+
+
+def _order_prog(read_src) -> A.Command:
+    """Insert ids=4 rows, then fold the lookup of key m*2 (m=2 → 4)
+    with an order-sensitive body."""
+    insert = A.CAssign(
+        "inv",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EAtom(A.AInt(4))),
+                ("price", A.EBinop("OMinus", A.EAtom(A.AInt(90)), A.EVar("n"))),
+            )),
+            A.ELoc("inv"),
+        ),
+    )
+    loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(4))), "n", insert
+    )
+    key = A.EBinop("OTimes", A.EVar("m"), A.EAtom(A.AInt(2)))
+    read = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(2)), A.EAtom(A.AInt(3))),
+        "m",
+        A.CAssign("out", _order_sensitive_fold(read_src(key))),
+    )
+    return A.CSeq(loop, read)
+
+
+def _order_store(spark) -> Store:
+    st = Store()
+    st.assign(
+        "inv",
+        spark.createDataFrame([(2, 20), (4, 40), (4, 10)], "id long, price long"),
+    )
+    st.assign("out", 0)
+    return st
+
+
+@pytest.mark.parametrize(
+    "shape",
+    ["bare_list", "sorted_list", "bag_filter"],
+)
+def test_read_order_semantics_preserved(spark, shape):
+    """Regression (r7 advisor): LikeList-tagged read sites must NOT be
+    rewritten to aux lookups (bucket order ≠ base order) unless a
+    canonicalizer (ESort/EBagOf/ESetOf) sits directly above; and
+    bag/set-tagged EFilter reads must re-canonicalize the bucket
+    (built sorted, maintained by prepend). Differential on an
+    order-sensitive fold, plain interpreter vs run_command_auto."""
+    if shape == "bare_list":
+        src = _bare_lookup
+    elif shape == "sorted_list":
+        src = lambda k: A.ESort("LikeList", _bare_lookup(k))  # noqa: E731
+    else:
+        src = lambda k: A.EProj(  # noqa: E731
+            "LikeList",
+            A.EFilter(
+                "LikeBag",
+                A.ELoc("inv"),
+                "item",
+                A.EBinop("OEq", A.EAccess(A.EVar("item"), "id"), k),
+            ),
+            "item",
+            A.EAccess(A.EVar("item"), "price"),
+        )
+    prog = _order_prog(src)
+    st_plain = _order_store(spark)
+    run_command(prog, st_plain, {}, spark)
+    st_auto = _order_store(spark)
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    assert st_plain.get("out") == st_auto.get("out"), shape
+    # the dict index is still chosen and maintained
+    assert "__idx_dict__inv__id" in report.aux
