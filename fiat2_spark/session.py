@@ -68,6 +68,16 @@ def get_spark(
     return spark
 
 
+def _is_checkpoint_block(jrdd) -> bool:
+    """Structural classification of a resident RDD: a ``localCheckpoint``
+    materialization answers ``isLocallyCheckpointed`` on the underlying
+    Scala RDD. (The previous classifier substring-matched the RDD's
+    callsite string — brittle across Spark builds and spoofable by a
+    user callsite containing the text.)"""
+    r = jrdd.rdd() if hasattr(jrdd, "rdd") else jrdd
+    return bool(r.isLocallyCheckpointed())
+
+
 def cache_entries(spark: SparkSession) -> tuple[list[str], list[str]]:
     """Classify the session's resident persistent RDDs into
     (checkpoint_blocks, cache_entries). Checkpoint blocks are
@@ -80,7 +90,7 @@ def cache_entries(spark: SparkSession) -> tuple[list[str], list[str]]:
     zero)."""
     ckpt, cache = [], []
     for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
-        (ckpt if "ocalCheckpoint" in rdd.toString() else cache).append(
+        (ckpt if _is_checkpoint_block(rdd) else cache).append(
             f"[{rid}] {rdd.toString()[:80]}"
         )
     return ckpt, cache
@@ -97,7 +107,36 @@ def release_checkpoint_blocks(spark: SparkSession) -> int:
     reclamation must be explicit. Returns the number of RDDs freed."""
     n = 0
     for _rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
-        if "ocalCheckpoint" in rdd.toString():
+        if _is_checkpoint_block(rdd):
+            rdd.unpersist(False)
+            n += 1
+    return n
+
+
+def local_checkpoint_tracked(df) -> tuple:
+    """Eagerly ``localCheckpoint`` a DataFrame and return
+    ``(checkpointed_df, frozenset_of_new_block_ids)``. Long-lived
+    stateful indexes (streaming.maintenance) retire a superseded state
+    snapshot per insert; ``DataFrame.unpersist()`` does NOT free
+    localCheckpoint blocks on this build (measured — the blocks stay in
+    ``getPersistentRDDs``), so targeted reclamation must go through
+    ``release_blocks`` with the ids captured here. The global
+    ``release_checkpoint_blocks`` sweep is NOT safe while such an index
+    is live: it would free the index's own state blocks, whose lineage
+    is truncated."""
+    sc = df.sparkSession.sparkContext
+    before = set(dict(sc._jsc.getPersistentRDDs()).keys())
+    out = df.localCheckpoint()
+    after = set(dict(sc._jsc.getPersistentRDDs()).keys())
+    return out, frozenset(after - before)
+
+
+def release_blocks(spark: SparkSession, ids) -> int:
+    """Free exactly the checkpoint blocks with the given ids (from
+    ``local_checkpoint_tracked``). Returns the number freed."""
+    n = 0
+    for rid, rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).items():
+        if rid in ids:
             rdd.unpersist(False)
             n += 1
     return n

@@ -30,6 +30,8 @@ from typing import Any, Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from fiat2_spark.session import local_checkpoint_tracked, release_blocks
+
 
 class SumIndex:
     """Materialized SUM(attr) — SumAgg.v:17-18 (to_idx = current sum),
@@ -106,6 +108,7 @@ class GroupIndex:
         self.keys = keys
         self.aggs = aggs
         self.state: DataFrame | None = None
+        self._blocks: frozenset = frozenset()
 
     def _partial(self, df: DataFrame) -> DataFrame:
         cols = []
@@ -127,15 +130,25 @@ class GroupIndex:
     def init(self, base: DataFrame) -> None:
         # eager localCheckpoint, not a DataFrame persist: blocks (not a
         # CacheManager entry that would pin the state plan for the
-        # session's life); retired snapshots are superseded per insert
-        # and reclaimed by `session.release_checkpoint_blocks`
-        self.state = self._partial(base).localCheckpoint()
+        # session's life). Each insert RETIRES the superseded snapshot's
+        # blocks immediately (they are no longer needed once the new
+        # eager checkpoint has materialized) — the global
+        # release_checkpoint_blocks sweep must never run while the index
+        # is live, since it would free the live state too.
+        self.state, self._blocks = local_checkpoint_tracked(self._partial(base))
 
     def insert(self, batch: DataFrame) -> None:
         assert self.state is not None
-        self.state = self._merge(self.state, self._partial(batch)).localCheckpoint()
+        prev_blocks = self._blocks
+        self.state, self._blocks = local_checkpoint_tracked(
+            self._merge(self.state, self._partial(batch))
+        )
+        # DataFrames returned by read() before this insert become
+        # invalid here (snapshot-until-next-insert contract)
+        release_blocks(self.state.sparkSession, prev_blocks)
 
     def read(self) -> DataFrame:
+        """Current state snapshot — valid until the next insert()."""
         assert self.state is not None
         return self.state
 
@@ -172,9 +185,10 @@ class JoinAggView:
         self.on = on
         self.group = group
         # localCheckpoint bounds the union lineage of the seen sides as
-        # batches accumulate (same hygiene as workloads.graphs.bfs)
-        self.left = left.localCheckpoint()
-        self.right = right.localCheckpoint()
+        # batches accumulate (same hygiene as workloads.graphs.bfs);
+        # each insert retires the superseded side's blocks
+        self.left, self._lblocks = local_checkpoint_tracked(left)
+        self.right, self._rblocks = local_checkpoint_tracked(right)
         self.group.init(self.left.join(self.right, on))
 
     def _fold(self, joined_delta: DataFrame) -> None:
@@ -182,11 +196,19 @@ class JoinAggView:
 
     def insert_left(self, batch: DataFrame) -> None:
         self._fold(batch.join(self.right, self.on))
-        self.left = self.left.unionByName(batch).localCheckpoint()
+        prev = self._lblocks
+        self.left, self._lblocks = local_checkpoint_tracked(
+            self.left.unionByName(batch)
+        )
+        release_blocks(self.left.sparkSession, prev)
 
     def insert_right(self, batch: DataFrame) -> None:
         self._fold(self.left.join(batch, self.on))
-        self.right = self.right.unionByName(batch).localCheckpoint()
+        prev = self._rblocks
+        self.right, self._rblocks = local_checkpoint_tracked(
+            self.right.unionByName(batch)
+        )
+        release_blocks(self.right.sparkSession, prev)
 
     def read(self) -> DataFrame:
         return self.group.read()
@@ -272,18 +294,24 @@ class DedupCorpus:
 
     def __init__(self, base: DataFrame, fp_col: str, id_col: str):
         self.fp_col, self.id_col = fp_col, id_col
-        self.seen = base.select(fp_col).distinct().localCheckpoint()
+        self.seen, self._blocks = local_checkpoint_tracked(
+            base.select(fp_col).distinct()
+        )
 
     def ingest(self, batch: DataFrame) -> DataFrame:
         """Returns the batch's novel documents (one per new fingerprint,
-        min id); updates the seen set."""
+        min id); updates the seen set, retiring the superseded seen
+        snapshot's blocks. The returned ``novel`` checkpoint belongs to
+        the caller (swept by the session owner once consumed)."""
         collapsed = batch.groupBy(self.fp_col).agg(
             F.min(self.id_col).alias(self.id_col)
         )
         novel = collapsed.join(self.seen, self.fp_col, "left_anti").localCheckpoint()
-        self.seen = (
-            self.seen.unionByName(novel.select(self.fp_col)).localCheckpoint()
+        prev = self._blocks
+        self.seen, self._blocks = local_checkpoint_tracked(
+            self.seen.unionByName(novel.select(self.fp_col))
         )
+        release_blocks(self.seen.sparkSession, prev)
         return novel
 
 
@@ -322,7 +350,9 @@ class SpanDedupCorpus:
 
     def __init__(self, spark, seg_len: int = 8):
         self.seg_len = seg_len
-        self.seen = spark.createDataFrame([], "seg_key string").localCheckpoint()
+        self.seen, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "seg_key string")
+        )
 
     def _segments(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from fiat2_spark.operators.dedup import _segmented, segment_digests
@@ -339,7 +369,11 @@ class SpanDedupCorpus:
             F.min(F.struct("doc", "seg_idx", "seg_tok")).alias("k")
         )
         novel = keepers.join(self.seen, "seg_key", "left_anti").localCheckpoint()
-        self.seen = self.seen.unionByName(novel.select("seg_key")).localCheckpoint()
+        prev = self._blocks
+        self.seen, self._blocks = local_checkpoint_tracked(
+            self.seen.unionByName(novel.select("seg_key"))
+        )
+        release_blocks(self.seen.sparkSession, prev)
         return novel.groupBy(F.col("k.doc").alias("doc")).agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
             F.sum("k.seg_tok").cast("long").alias("n_kept_tokens"),
@@ -373,9 +407,11 @@ class MomentsView:
 
     def __init__(self, spark, key_col: str, val_col: str):
         self.key_col, self.val_col = key_col, val_col
-        self.state = spark.createDataFrame(
-            [], f"{key_col} string, n long, s decimal(28,2), s2 decimal(28,4)"
-        ).localCheckpoint()
+        self.state, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame(
+                [], f"{key_col} string, n long, s decimal(28,2), s2 decimal(28,4)"
+            )
+        )
 
     def _moments(self, batch: DataFrame) -> DataFrame:
         v = F.col(self.val_col).cast("decimal(18,2)")
@@ -414,9 +450,12 @@ class MomentsView:
                 F.sum("s2").cast("decimal(28,4)").alias("s2"),
             )
         )
-        old = self.state
-        self.state = merged.localCheckpoint()
-        old.unpersist()
+        # NOTE: DataFrame.unpersist() would be a silent no-op on the
+        # retired checkpoint blocks (measured on this build) — targeted
+        # release by block id is the only reclamation that works
+        prev = self._blocks
+        self.state, self._blocks = local_checkpoint_tracked(merged)
+        release_blocks(self.state.sparkSession, prev)
 
 
 def moments_foreach_batch(stream: DataFrame, view: "MomentsView", sink: list,
