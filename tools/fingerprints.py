@@ -1,56 +1,73 @@
 #!/usr/bin/env python
-"""Per-query code fingerprints — the hardened window-rotation premise.
+"""Per-query code fingerprints — the machine-checked window-rotation
+premise.
 
 Round 4 showed that "query block unchanged" is too weak a premise for
 keeping an old CORRECTNESS row: `dsl_command_pipeline`'s @q block was
 untouched while `plans/interp.py` gained a rewrite that fires on exactly
-its loop. A rotated-out query's green row is only valid evidence if the
-query block AND every module its execution can transit are unchanged
-since the round that earned the row.
+its loop. Rounds 5-6 hashed the whole transitive MODULE import closure,
+which is sound but hopelessly coarse: `plans/compile.py` sits in every
+workload module's closure, so ONE core edit deltas all ~170 queries and
+the "these deltas are unreachable" argument degenerated into a prose
+audit comment (VERDICT r6 'missing' #1). Round 7 makes the premise
+function-level, the analog of the reference's proof-closure check
+(`Print Assumptions`, PipelineEx.v:241-242):
 
-Fingerprint(query) = sha256 over:
-  * the @q function's own source (inspect.getsource) + its oracle SQL
-    (oracle strings are materialized, so SQL-building helpers are
-    covered by value),
-  * the source/repr of every SAME-MODULE name the function's code
-    transitively references (ADVICE r5: module-level Spark-side helpers
-    like `_edges` in graphs.py are shared by several queries and can
-    change behavior without touching the @q block — co_names are
-    resolved against the defining module, function/class sources are
-    hashed, plain-data constants are hashed by repr, and helper code is
-    walked recursively so helper-of-helper changes are covered), and
-  * the FULL text of every `fiat2_spark` module transitively imported
-    by the query's defining module — imports are collected from the
-    parsed AST (module-level, function-local, and parenthesized
-    multiline forms alike), so e.g. a `from
-    fiat2_spark.operators.relational import ...` inside a query body
-    is covered. The defining workloads module itself is excluded whole
-    (its churn is scoped precisely by the per-function + same-module-
-    helper hashes above); everything beneath it (operators/, plans/,
-    functions/, streaming/, sources/, session, util) is included whole.
+``reachable`` = sha256 over the query's transitively REACHABLE source:
+  * the @q function's own source + its oracle SQL (oracle strings are
+    materialized, so SQL-building helpers are covered by value),
+  * every fiat2_spark function/class the code can reach, at FUNCTION
+    granularity, found by resolving the source AST's names against the
+    defining module's namespace: bare names, dotted chains
+    (``dedup.minhash_lsh`` → the function, not the whole module),
+    function-local ``from fiat2_spark.x import y``, names referenced by
+    nested lambdas/comprehensions, class bodies whole (methods
+    recursed), plain-data constants rendered deterministically
+    (callables inside containers are rendered by qualname AND enqueued
+    — `repr` of a dict of functions would embed memory addresses),
+  * a fiat2_spark module referenced as a value (passed around, not
+    attribute-accessed) falls back to its whole file — conservative,
+  * `session.get_spark`'s own closure, in every premise: the session
+    confs (AQE, bloom gate, tz, ANSI off) shape every query's behavior
+    but are invisible from @q bodies.
 
-The algorithm changed in round 6 (same-module helper closure added), so
-r6 premise checks compare against FINGERPRINTS_r05_rehash.json — the r5
-HEAD re-fingerprinted with THIS tool in a clean worktree — not against
-the r5-algorithm FINGERPRINTS_r05.json.
+``modules`` = the r5/r6 whole-module-import-closure hash, kept as the
+conservative fallback bit (if the AST resolution ever misses an edge,
+the coarse bit still catches the module having changed — a reviewer can
+demand the stronger premise for suspicious cases).
 
-Usage:  python tools/fingerprints.py            # JSON to stdout
-Compare round-over-round: a query may keep a prior green row only if
-its fingerprint equals the one committed with that round's gate.
+Rotation rule: a query may keep a prior round's green CORRECTNESS row
+iff its ``reachable`` hash equals the one committed with that round's
+gate (FINGERPRINTS_r0N.json; algorithm changes require a clean-worktree
+REHASH baseline of the row-earning HEAD — r7 compares against
+FINGERPRINTS_r06_rehash.json).
+
+Usage:
+  python tools/fingerprints.py                       # JSON to stdout
+  python tools/fingerprints.py --compare OLD.json    # premise check:
+      prints the queries whose reachable hash differs (must-rotate-in)
+      and the count whose premise held. Handles both the flat r5/r6
+      format and the r7 two-hash format.
 """
 
 from __future__ import annotations
 
+import ast as pyast
+import dataclasses
 import hashlib
 import inspect
 import json
 import os
 import sys
+import textwrap
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+# -- module-closure fallback bit (r5/r6 algorithm) ---------------------------
 
 def _module_path(modname: str) -> str | None:
     p = os.path.join(REPO, *modname.split(".")) + ".py"
@@ -65,8 +82,6 @@ def _imports_of(path: str) -> set[str]:
     AND function-local, parsed from the AST (a line regex misses
     parenthesized multiline import lists, which silently kept stale rows
     valid for queries importing `plans.sugar` that way)."""
-    import ast as pyast
-
     with open(path, encoding="utf-8") as fh:
         tree = pyast.parse(fh.read())
     out: set[str] = set()
@@ -104,58 +119,229 @@ def _file_sha(path: str) -> str:
         return hashlib.sha256(fh.read()).hexdigest()
 
 
-def _code_names(code) -> set[str]:
-    """All global names a code object references, nested lambdas /
-    comprehensions / inner defs included."""
-    import types
+# -- function-level reachable closure ----------------------------------------
 
-    names = set(code.co_names)
-    for c in code.co_consts:
-        if isinstance(c, types.CodeType):
-            names |= _code_names(c)
-    return names
+_MISSING = object()
 
 
-_PLAIN = (str, bytes, int, float, bool, tuple, list, dict, set, frozenset, type(None))
+def _is_engine(obj) -> bool:
+    m = getattr(obj, "__module__", None)
+    return isinstance(m, str) and m.startswith("fiat2_spark")
 
 
-def _same_module_closure(fn) -> list[tuple[str, str]]:
-    """(name, source-or-repr) for every module-level name in the @q
-    function's defining module that its code can transitively reach:
-    same-module functions/classes by source (recursed), plain-data
-    constants by repr. Imported modules are skipped (the import closure
-    hashes them whole); objects defined elsewhere are skipped likewise."""
-    import types
+def _label(obj) -> str:
+    return f"{obj.__module__}.{getattr(obj, '__qualname__', getattr(obj, '__name__', '?'))}"
 
-    mod = sys.modules[fn.__module__]
-    seen: dict[str, str] = {}
-    frontier = sorted(_code_names(fn.__code__))
-    while frontier:
-        nm = frontier.pop()
+
+def _render(obj, enqueue) -> str:
+    """Deterministic rendering of a module-level value. Callables inside
+    containers are rendered by qualname and enqueued for source hashing
+    (plain repr would embed id()-based addresses)."""
+    if isinstance(obj, str):
+        # worktree re-fingerprints must not diverge on absolute paths
+        # (__file__-derived constants): normalize the repo root away
+        return repr(obj.replace(REPO, "<REPO>"))
+    if obj is None or isinstance(obj, (bytes, int, float, bool)):
+        return repr(obj)
+    if isinstance(obj, (list, tuple)):
+        kind = "list" if isinstance(obj, list) else "tuple"
+        return f"{kind}[" + ",".join(_render(v, enqueue) for v in obj) + "]"
+    if isinstance(obj, (set, frozenset)):
+        return "set[" + ",".join(sorted(_render(v, enqueue) for v in obj)) + "]"
+    if isinstance(obj, dict):
+        items = sorted(
+            (_render(k, enqueue), _render(v, enqueue)) for k, v in obj.items()
+        )
+        return "dict{" + ",".join(f"{k}:{v}" for k, v in items) + "}"
+    if isinstance(obj, type) or callable(obj):
+        if _is_engine(obj):
+            enqueue(obj)
+            return f"<engine:{_label(obj)}>"
+        return f"<ext:{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', type(obj).__qualname__)}>"
+    if dataclasses.is_dataclass(obj):
+        if _is_engine(type(obj)):
+            enqueue(type(obj))
+        return repr(obj)  # dataclass repr is field-based, deterministic
+    t = type(obj)
+    if _is_engine(t):
+        enqueue(t)
+        return f"<instance:{_label(t)}>"
+    return f"<opaque:{t.__module__}.{t.__qualname__}>"
+
+
+def _resolve_chain(node, mod, aliases):
+    """Resolve an ast.Name/ast.Attribute chain against function-local
+    import aliases, then module globals, following attributes only while
+    the prefix resolves to modules (so ``plans.compile.compile_expr``
+    lands on the function; an attribute of a class or instance stops at
+    that object — its class source hash covers the member). Returns
+    (found, obj)."""
+    parts = []
+    while isinstance(node, pyast.Attribute):
+        parts.append(node.attr)
+        node = node.value
+    if not isinstance(node, pyast.Name):
+        return False, None
+    parts.append(node.id)
+    parts.reverse()
+    cur = aliases.get(parts[0], _MISSING)
+    if cur is _MISSING:
+        cur = getattr(mod, parts[0], _MISSING)
+    if cur is _MISSING:
+        return False, None
+    for p in parts[1:]:
+        if not isinstance(cur, types.ModuleType):
+            return True, cur
+        nxt = getattr(cur, p, _MISSING)
+        if nxt is _MISSING:
+            return True, cur
+        cur = nxt
+    return True, cur
+
+
+def _source_of(obj) -> str | None:
+    try:
+        return inspect.getsource(inspect.unwrap(obj))
+    except (OSError, TypeError):
+        return None
+
+
+def _names_in(src: str, mod):
+    """Yield every object a source block can reach in ``mod``'s
+    namespace: resolved attribute chains, bare names that are not a
+    chain's base, and function-local fiat2_spark imports."""
+    try:
+        tree = pyast.parse(textwrap.dedent(src))
+    except SyntaxError:
+        return
+    # decorators are import-time registration, not query-runtime code:
+    # walking @q would reach the module's QUERIES/ORACLES registries,
+    # whose VALUES are every query in the module — collapsing the
+    # closure to module granularity. The decorator LINE is still hashed
+    # as part of the function's source text; only name-walking skips it.
+    for node in pyast.walk(tree):
+        if isinstance(node, (pyast.FunctionDef, pyast.AsyncFunctionDef, pyast.ClassDef)):
+            node.decorator_list = []
+    # function-local imports: record aliases so attribute chains over
+    # locally-imported modules resolve at FUNCTION granularity; yield
+    # imported functions/classes directly (they live in locals, not the
+    # module namespace). Imported MODULES are not yielded — importing a
+    # module reaches nothing by itself; its members are reached through
+    # the attribute chains below (yielding it would whole-file-hash it,
+    # collapsing the closure back to module granularity).
+    aliases: dict[str, object] = {}
+    for node in pyast.walk(tree):
+        if isinstance(node, pyast.ImportFrom) and node.module and node.module.startswith("fiat2_spark"):
+            try:
+                sub = __import__(node.module, fromlist=["_"])
+            except ImportError:
+                continue
+            for a in node.names:
+                got = getattr(sub, a.name, _MISSING)
+                if got is _MISSING:
+                    continue
+                aliases[a.asname or a.name] = got
+                if not isinstance(got, types.ModuleType):
+                    yield got
+        elif isinstance(node, pyast.Import):
+            for a in node.names:
+                if a.name.startswith("fiat2_spark"):
+                    try:
+                        top = __import__(a.name, fromlist=["_"])
+                    except ImportError:
+                        continue
+                    if a.asname:
+                        aliases[a.asname] = top
+                    else:
+                        aliases[a.name.split(".")[0]] = sys.modules.get(
+                            a.name.split(".")[0], top
+                        )
+    chain_bases: set[int] = set()
+    for node in pyast.walk(tree):
+        if isinstance(node, pyast.Attribute):
+            base = node.value
+            while isinstance(base, pyast.Attribute):
+                base = base.value
+            if isinstance(base, pyast.Name):
+                chain_bases.add(id(base))
+            found, obj = _resolve_chain(node, mod, aliases)
+            if found:
+                yield obj
+    for node in pyast.walk(tree):
         # dunders (__file__, __name__, …) are interpreter-supplied and
         # path-dependent, not code — a worktree re-fingerprint must not
         # diverge on them
-        if nm in seen or (nm.startswith("__") and nm.endswith("__")):
-            continue
-        if not hasattr(mod, nm):
-            continue
-        obj = getattr(mod, nm)
+        if (
+            isinstance(node, pyast.Name)
+            and id(node) not in chain_bases
+            and not (node.id.startswith("__") and node.id.endswith("__"))
+        ):
+            got = aliases.get(node.id, _MISSING)
+            if got is _MISSING:
+                got = getattr(mod, node.id, _MISSING)
+            if got is not _MISSING:
+                yield got
+
+
+def _reachable_sources(*roots) -> list[tuple[str, str]]:
+    """(label, text) for everything transitively reachable from the
+    root callables, function-level. Sorted for hash stability."""
+    seen: dict[str, str] = {}
+    pending: list = list(roots)
+    whole_modules: set[str] = set()
+
+    def enqueue(obj):
+        pending.append(obj)
+
+    while pending:
+        obj = pending.pop()
         if isinstance(obj, types.ModuleType):
+            # a module used as a VALUE (not attribute-accessed): hash it
+            # whole — conservative
+            if obj.__name__.startswith("fiat2_spark") and obj.__name__ not in whole_modules:
+                whole_modules.add(obj.__name__)
             continue
-        if callable(obj) and getattr(obj, "__module__", None) == fn.__module__:
-            try:
-                seen[nm] = inspect.getsource(obj)
-            except (OSError, TypeError):
-                seen[nm] = repr(obj)
-            code = getattr(obj, "__code__", None)
-            if code is not None:
-                frontier.extend(_code_names(code) - set(seen))
-        elif isinstance(obj, _PLAIN):
-            seen[nm] = repr(obj)
+        if isinstance(obj, type) or callable(obj):
+            if not _is_engine(obj):
+                continue
+            lbl = _label(obj)
+            if lbl in seen:
+                continue
+            src = _source_of(obj)
+            if src is None:
+                seen[lbl] = f"<no-source:{lbl}>"
+                continue
+            seen[lbl] = src
+            mod = sys.modules.get(obj.__module__)
+            if mod is not None:
+                for sub in _names_in(src, mod):
+                    pending.append(sub)
+            continue
+        # data values reached directly (module-level constants resolved
+        # from an AST name): rendered, engine callables inside enqueued
+        lbl = f"value:{_render(obj, enqueue)}"
+        seen.setdefault(lbl, "")
+    for m in sorted(whole_modules):
+        p = _module_path(m)
+        if p:
+            seen[f"module:{m}"] = _file_sha(p)
     return sorted(seen.items())
 
 
-def fingerprints() -> dict[str, str]:
+def fingerprint_fn(fn, oracle: str = "", extra_roots: tuple = ()) -> str:
+    """The reachable-closure hash for one query function."""
+    h = hashlib.sha256()
+    h.update(inspect.getsource(fn).encode())
+    h.update(oracle.encode())
+    for lbl, text in _reachable_sources(fn, *extra_roots):
+        h.update(f"reach:{lbl}=".encode())
+        h.update(text.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def fingerprints() -> dict[str, dict[str, str]]:
+    from fiat2_spark.session import get_spark
     from fiat2_spark.workloads import ORACLES, QUERIES
 
     module_sha = {}
@@ -164,26 +350,48 @@ def fingerprints() -> dict[str, str]:
     for name, fn in QUERIES.items():
         defmod = fn.__module__
         if defmod not in closures:
-            # session.py is reachable from no workloads import but its
-            # confs (AQE, bloom/DPP gates, tz) shape every query's
-            # behavior — include it in every premise
             deps = sorted((_closure(defmod) | {"fiat2_spark.session"}) - {defmod})
             closures[defmod] = deps
             for d in deps:
                 if d not in module_sha:
                     module_sha[d] = _file_sha(_module_path(d))
-        h = hashlib.sha256()
-        h.update(inspect.getsource(fn).encode())
-        h.update(ORACLES.get(name, "").encode())
-        for helper_name, helper_src in _same_module_closure(fn):
-            h.update(f"helper:{helper_name}=".encode())
-            h.update(helper_src.encode())
-            h.update(b"\n")
+        hm = hashlib.sha256()
+        hm.update(inspect.getsource(fn).encode())
+        hm.update(ORACLES.get(name, "").encode())
         for d in closures[defmod]:
-            h.update(f"{d}={module_sha[d]}\n".encode())
-        out[name] = h.hexdigest()
+            hm.update(f"{d}={module_sha[d]}\n".encode())
+        out[name] = {
+            "reachable": fingerprint_fn(fn, ORACLES.get(name, ""), (get_spark,)),
+            "modules": hm.hexdigest(),
+        }
     return out
 
 
+def _reachable_of(entry) -> str:
+    """Premise hash from either format: r7 dict or r5/r6 flat string
+    (flat strings are module-closure hashes — never equal to a
+    reachable hash, so cross-format compares report 'changed', which is
+    the conservative direction)."""
+    if isinstance(entry, dict):
+        return entry.get("reachable", "")
+    return entry or ""
+
+
+def compare(old: dict, cur: dict) -> dict:
+    changed = sorted(
+        k for k in cur if _reachable_of(old.get(k)) != _reachable_of(cur[k])
+    )
+    held = sorted(k for k in cur if k not in changed and k in old)
+    new = sorted(k for k in cur if k not in old)
+    return {"changed": changed, "new": new, "held_count": len(held)}
+
+
 if __name__ == "__main__":
-    print(json.dumps(fingerprints(), indent=1, sort_keys=True))
+    cur = fingerprints()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
+        with open(sys.argv[2], encoding="utf-8") as fh:
+            old = json.load(fh)
+        rep = compare(old, cur)
+        print(json.dumps(rep, indent=1))
+    else:
+        print(json.dumps(cur, indent=1, sort_keys=True))
