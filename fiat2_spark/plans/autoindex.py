@@ -343,7 +343,50 @@ def choose_indexes(c: A.Command, store_tables: set[str] | None = None) -> dict[s
         min_attrs: set[str] = set()
         dict_attrs: set[str] = set()
         bitmap_keys: set[tuple[str, str]] = set()
+        def scan_eq(sub: A.Expr, binders: frozenset, in_loop: bool):
+            """Binder-aware eq-lookup scan: a DictIdx pays off when the
+            lookup repeats — inside a CForeach loop (in_loop), or keyed
+            by an ENCLOSING COMPREHENSION BINDER (one lookup per outer
+            row — the reference's fold_command_with_globals applies
+            eq_filter_to_lookup_head at any depth, join-nested sites
+            included; IndexTransf.v:862-872)."""
+            hit = _eq_lookup(sub, t)
+            if hit is not None:
+                attr, key, _x, _body, _tag = hit
+                cv = _const_str(key)
+                if cv is not None:
+                    bitmap_keys.add((attr, cv))
+                elif in_loop or any(_mentions(key, b, None) for b in binders):
+                    dict_attrs.add(attr)
+            import dataclasses
+
+            match sub:
+                case A.EFlatmap(_, l, x, body) | A.EFilter(_, l, x, body) | A.EProj(_, l, x, body):
+                    scan_eq(l, binders, in_loop)
+                    scan_eq(body, binders | {x}, in_loop)
+                case A.EJoin(_, l1, l2, x, y, p, r):
+                    scan_eq(l1, binders, in_loop)
+                    scan_eq(l2, binders, in_loop)
+                    scan_eq(p, binders | {x, y}, in_loop)
+                    scan_eq(r, binders | {x, y}, in_loop)
+                case A.EFold(e1, e2, v, acc, e3):
+                    scan_eq(e1, binders, in_loop)
+                    scan_eq(e2, binders, in_loop)
+                    scan_eq(e3, binders | {v, acc}, in_loop)
+                case _ if dataclasses.is_dataclass(sub):
+                    for fd in dataclasses.fields(sub):
+                        v = getattr(sub, fd.name)
+                        if isinstance(v, A.Expr):
+                            scan_eq(v, binders, in_loop)
+                        elif isinstance(v, tuple):
+                            for item in v:
+                                if isinstance(item, tuple) and len(item) == 2 and isinstance(item[1], A.Expr):
+                                    scan_eq(item[1], binders, in_loop)
+                                elif isinstance(item, A.Expr):
+                                    scan_eq(item, binders, in_loop)
+
         for e, in_loop in _walk_exprs(c):
+            scan_eq(e, frozenset(), in_loop)
             for sub in _subexprs(e):
                 a = _sum_read(sub, t)
                 if a is not None and f["inserted"]:
@@ -351,14 +394,6 @@ def choose_indexes(c: A.Command, store_tables: set[str] | None = None) -> dict[s
                 a = _min_read(sub, t)
                 if a is not None and f["inserted"]:
                     min_attrs.add(a)
-                hit = _eq_lookup(sub, t)
-                if hit is not None:
-                    attr, key, _x, _body, _tag = hit
-                    cv = _const_str(key)
-                    if cv is not None:
-                        bitmap_keys.add((attr, cv))
-                    elif in_loop:
-                        dict_attrs.add(attr)
         choices += [SumAggChoice(a) for a in sorted(sum_attrs)]
         choices += [MinAggChoice(a) for a in sorted(min_attrs)]
         choices += [DictIdxChoice(a) for a in sorted(dict_attrs)]

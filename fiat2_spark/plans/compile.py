@@ -566,6 +566,34 @@ def compile_expr(e: A.Expr, env: dict, store, spark: SparkSession) -> DataFrame:
     raise CompileError(f"cannot compile to table plan: {e!r}")
 
 
+def _as_dict_lookup(e: A.Expr):
+    """``optmatch (lookup D k) with none => [] | some b => b`` →
+    (D, k) — the read shape the auto-index DictIdx rewrite emits
+    (plans/autoindex.py, DictIndexImpl.v:384-386)."""
+    match e:
+        case A.EOptMatch(A.EBinop("OLookup", d, k), nil, b, A.EVar(b2)) if (
+            b == b2
+            and isinstance(nil, A.EAtom)
+            and isinstance(nil.a, (A.ANil, A.AEmptyBag, A.AEmptySet))
+        ):
+            return d, k
+    return None
+
+
+def _dict_value(d: A.Expr, store) -> dict | None:
+    """Driver-side dict behind a lookup source: a store loc holding a
+    python dict (the aux slot) or an already-substituted fold value."""
+    if isinstance(d, A.ELoc):
+        try:
+            v = store.get(d.x)
+        except Exception:  # noqa: BLE001
+            return None
+        return v if isinstance(v, dict) else None
+    if isinstance(d, A.EAtom) and isinstance(d.a, _AFoldVal) and isinstance(d.a.v, dict):
+        return d.a.v
+    return None
+
+
 def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
     """EFlatmap lowering with the reference's rewrite patterns applied at
     build time (see module docstring)."""
@@ -672,6 +700,66 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
             else:
                 out = _project_record(joined, r, env2, spark)
             return _retag_df(out, tag)
+
+    # dict-aux lookup join: flatmap t x (flatmap (optmatch (lookup D
+    # k(x)) nil b b) y body) — the shape the auto-index rewrite
+    # (plans/autoindex.py eq_filter_to_lookup, DictIndexImpl.v:374-390)
+    # produces for a lookup nested under a comprehension. Realized as a
+    # HASH JOIN against the dict flattened to a (key, row) DataFrame —
+    # the driver-resident aux (FOLD_COLLECT_LIMIT-bounded) is the build
+    # side, so Catalyst broadcasts it; the alternative column path would
+    # re-literalize the dict as a map constant and pay an O(|dict|)
+    # GetMapValue scan PER OUTER ROW. LikeBag inner tags only (the bag
+    # canonicalization makes bucket order unobservable; list-order reads
+    # stay on the column path).
+    if isinstance(e2, A.EFlatmap) and e2.tag == "LikeBag":
+        lk = _as_dict_lookup(e2.e1)
+        if lk is not None:
+            dmap = _dict_value(lk[0], store)
+            rows_are_records = dmap and all(
+                hasattr(r, "asDict") or isinstance(r, dict)
+                for b in dmap.values()
+                for r in b
+            )
+            if rows_are_records:
+                flat = []
+                for k, bucket in dmap.items():
+                    for row in bucket:
+                        d = row.asDict(recursive=True) if hasattr(row, "asDict") else dict(row)
+                        flat.append({"__k": k, **d})
+                if flat:
+                    cols = sorted(c for c in flat[0] if c != "__k")
+                    a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
+                    d2 = spark.createDataFrame(
+                        [tuple([r["__k"]] + [r.get(c) for c in cols]) for r in flat],
+                        ["__k"] + cols,
+                    ).alias(a2)
+                    env2 = {**env, x: _bind_row(df1, a1)}
+                    key_col = compile_column(lk[1], env2)
+                    # the dict side is driver-resident by contract
+                    # (FOLD_COLLECT_LIMIT) — always the build side
+                    joined = df1.alias(a1).join(
+                        F.broadcast(d2), on=key_col == F.col(f"{a2}.__k"), how="inner"
+                    )
+                    env2[e2.x] = ("row", a2, cols)
+                    g2 = _as_guarded_singleton(e2.e2)
+                    if g2 is not None:
+                        p2, r2 = g2
+                        if p2 is not None:
+                            joined = joined.filter(compile_column(p2, env2))
+                        return _retag_df(_project_record(joined, r2, env2, spark), tag)
+                    arr2 = compile_column(e2.e2, env2)
+                    exploded2 = joined.select(F.explode(arr2).alias("_fm"))
+                    from pyspark.sql import types as T
+
+                    it = exploded2.schema["_fm"].dataType
+                    if isinstance(it, T.StructType):
+                        out2 = exploded2.select(
+                            *[F.col(f"_fm.{f.name}").alias(f.name) for f in it.fields]
+                        )
+                    else:
+                        out2 = exploded2.select(F.col("_fm").alias("value"))
+                    return _retag_df(out2, tag)
 
     # independent table body → cross product
     if x not in A.free_vars(e2) and is_table_expr(e2, env, store):

@@ -637,3 +637,97 @@ def dsl_auto_index(spark, sf_dir):
         )],
         "sum_price long, min_price long, n long, n_hot long",
     )
+
+
+@q(
+    "dsl_auto_index_join",
+    """
+    WITH inv AS (SELECT p_partkey AS id, p_partkey * 3 AS price FROM part),
+    ins AS (SELECT n * 17 AS id, 1000 + n AS price FROM range(1, 6) t(n)),
+    allinv AS (SELECT * FROM inv UNION ALL SELECT * FROM ins),
+    demand AS (SELECT o_orderkey AS oid, (o_custkey % 40) * 17 AS key FROM orders)
+    SELECT d.oid, a.price
+    FROM demand d JOIN allinv a ON a.id = d.key
+    """,
+)
+def dsl_auto_index_join(spark, sf_dir):
+    """Auto-index selection under COMPOSITION (VERDICT r6 task 3): the
+    eq-lookup of `inv` sits NESTED inside a comprehension over a second
+    table (`demand`) — the reference applies eq_filter_to_lookup_head
+    through a bottom-up command fold, so join-buried lookups are indexed
+    there too (fold_command_with_globals, IndexTransf.v:862-872 /
+    DictIndexImpl.v:374-390). The analyzer now recognizes the per-outer-
+    row lookup (key references the enclosing comprehension binder) and
+    picks DictIdx("id"); the CForeach inserts maintain the dict aux in
+    O(1); and the rewritten table-level read compiles to a BROADCAST
+    HASH JOIN against the driver-bounded aux flattened to a (key, row)
+    DataFrame (plans/compile.py::_as_dict_lookup) — NOT an O(|dict|)
+    map-literal probe per row. Scale: the aux is FOLD_COLLECT_LIMIT-
+    bounded build side; `demand` streams. Plan asserted in
+    tests/test_autoindex.py::test_nested_lookup_compiles_to_broadcast_join."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.plans.autoindex import run_command_auto
+
+    st = Store()
+    part = tbl(spark, sf_dir, "part")
+    st.assign(
+        "inv",
+        part.select(
+            F.col("p_partkey").alias("id"),
+            (F.col("p_partkey") * 3).cast("long").alias("price"),
+        ),
+    )
+    orders = tbl(spark, sf_dir, "orders")
+    st.assign(
+        "demand",
+        orders.select(
+            F.col("o_orderkey").alias("oid"),
+            ((F.col("o_custkey") % 40) * 17).cast("long").alias("key"),
+        ),
+    )
+    out_nil = A.EAtom(A.ANil(A.TRecord((("oid", A.TInt()), ("price", A.TInt())))))
+    insert = A.CAssign(
+        "inv",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(17)))),
+                ("price", A.EBinop("OPlus", A.EAtom(A.AInt(1000)), A.EVar("n"))),
+            )),
+            A.ELoc("inv"),
+        ),
+    )
+    loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(6))), "n", insert
+    )
+    comp = A.EFlatmap(
+        "LikeBag",
+        A.ELoc("demand"),
+        "o",
+        A.EFlatmap(
+            "LikeBag",
+            A.ELoc("inv"),
+            "item",
+            A.EIf(
+                A.EBinop(
+                    "OEq",
+                    A.EAccess(A.EVar("item"), "id"),
+                    A.EAccess(A.EVar("o"), "key"),
+                ),
+                A.EBinop(
+                    "OCons",
+                    A.ERecord((
+                        ("oid", A.EAccess(A.EVar("o"), "oid")),
+                        ("price", A.EAccess(A.EVar("item"), "price")),
+                    )),
+                    out_nil,
+                ),
+                out_nil,
+            ),
+        ),
+    )
+    prog = A.CSeq(loop, A.CAssign("out", comp))
+    _, report = run_command_auto(prog, st, {}, spark)
+    assert "__idx_dict__inv__id" in report.aux, report.aux
+    return st.get("out")
