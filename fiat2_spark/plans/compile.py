@@ -580,17 +580,26 @@ def _as_dict_lookup(e: A.Expr):
     return None
 
 
-def _dict_value(d: A.Expr, store) -> dict | None:
-    """Driver-side dict behind a lookup source: a store loc holding a
-    python dict (the aux slot) or an already-substituted fold value."""
+def _is_dist_dict(v) -> bool:
+    from fiat2_spark.streaming.maintenance import DistDictIndex
+
+    return isinstance(v, DistDictIndex)
+
+
+def _dict_value(d: A.Expr, store):
+    """Value behind a lookup source: a store loc or substituted fold
+    value holding a python dict (driver aux) or a DistDictIndex
+    (distributed aux, above FOLD_COLLECT_LIMIT)."""
+    v = None
     if isinstance(d, A.ELoc):
         try:
             v = store.get(d.x)
         except Exception:  # noqa: BLE001
             return None
-        return v if isinstance(v, dict) else None
-    if isinstance(d, A.EAtom) and isinstance(d.a, _AFoldVal) and isinstance(d.a.v, dict):
-        return d.a.v
+    elif isinstance(d, A.EAtom) and isinstance(d.a, _AFoldVal):
+        v = d.a.v
+    if isinstance(v, dict) or _is_dist_dict(v):
+        return v
     return None
 
 
@@ -716,12 +725,22 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
         lk = _as_dict_lookup(e2.e1)
         if lk is not None:
             dmap = _dict_value(lk[0], store)
-            rows_are_records = dmap and all(
+            d2 = None
+            cols: list[str] = []
+            if _is_dist_dict(dmap):
+                # distributed aux: join the live keyed relation directly
+                # — arbitrary size, so no forced broadcast (AQE decides)
+                idx_df = dmap.to_df()
+                cols = sorted(idx_df.columns)
+                d2 = idx_df.select(
+                    F.col(dmap.attr).alias("__k"), *[F.col(c) for c in cols]
+                )
+                broadcast_side = False
+            elif dmap and all(
                 hasattr(r, "asDict") or isinstance(r, dict)
                 for b in dmap.values()
                 for r in b
-            )
-            if rows_are_records:
+            ):
                 flat = []
                 for k, bucket in dmap.items():
                     for row in bucket:
@@ -729,37 +748,42 @@ def _compile_flatmap(tag, e1, x, e2, env, store, spark) -> DataFrame:
                         flat.append({"__k": k, **d})
                 if flat:
                     cols = sorted(c for c in flat[0] if c != "__k")
-                    a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
                     d2 = spark.createDataFrame(
                         [tuple([r["__k"]] + [r.get(c) for c in cols]) for r in flat],
                         ["__k"] + cols,
-                    ).alias(a2)
-                    env2 = {**env, x: _bind_row(df1, a1)}
-                    key_col = compile_column(lk[1], env2)
-                    # the dict side is driver-resident by contract
-                    # (FOLD_COLLECT_LIMIT) — always the build side
-                    joined = df1.alias(a1).join(
-                        F.broadcast(d2), on=key_col == F.col(f"{a2}.__k"), how="inner"
                     )
-                    env2[e2.x] = ("row", a2, cols)
-                    g2 = _as_guarded_singleton(e2.e2)
-                    if g2 is not None:
-                        p2, r2 = g2
-                        if p2 is not None:
-                            joined = joined.filter(compile_column(p2, env2))
-                        return _retag_df(_project_record(joined, r2, env2, spark), tag)
-                    arr2 = compile_column(e2.e2, env2)
-                    exploded2 = joined.select(F.explode(arr2).alias("_fm"))
-                    from pyspark.sql import types as T
+                    # driver-resident by contract (FOLD_COLLECT_LIMIT)
+                    # — always the build side
+                    broadcast_side = True
+            if d2 is not None:
+                a1, a2 = f"j{next(_alias_counter)}", f"j{next(_alias_counter)}"
+                d2 = d2.alias(a2)
+                env2 = {**env, x: _bind_row(df1, a1)}
+                key_col = compile_column(lk[1], env2)
+                joined = df1.alias(a1).join(
+                    F.broadcast(d2) if broadcast_side else d2,
+                    on=key_col == F.col(f"{a2}.__k"),
+                    how="inner",
+                )
+                env2[e2.x] = ("row", a2, cols)
+                g2 = _as_guarded_singleton(e2.e2)
+                if g2 is not None:
+                    p2, r2 = g2
+                    if p2 is not None:
+                        joined = joined.filter(compile_column(p2, env2))
+                    return _retag_df(_project_record(joined, r2, env2, spark), tag)
+                arr2 = compile_column(e2.e2, env2)
+                exploded2 = joined.select(F.explode(arr2).alias("_fm"))
+                from pyspark.sql import types as T
 
-                    it = exploded2.schema["_fm"].dataType
-                    if isinstance(it, T.StructType):
-                        out2 = exploded2.select(
-                            *[F.col(f"_fm.{f.name}").alias(f.name) for f in it.fields]
-                        )
-                    else:
-                        out2 = exploded2.select(F.col("_fm").alias("value"))
-                    return _retag_df(out2, tag)
+                it = exploded2.schema["_fm"].dataType
+                if isinstance(it, T.StructType):
+                    out2 = exploded2.select(
+                        *[F.col(f"_fm.{f.name}").alias(f.name) for f in it.fields]
+                    )
+                else:
+                    out2 = exploded2.select(F.col("_fm").alias("value"))
+                return _retag_df(out2, tag)
 
     # independent table body → cross product
     if x not in A.free_vars(e2) and is_table_expr(e2, env, store):
@@ -855,7 +879,26 @@ def _try_driver_eval(e: A.Expr, env: dict):
                     return [v1] + v2
                 if op == "OLookup" and isinstance(v1, dict):
                     return v1.get(v2)
+                if op == "OLookup" and _is_dist_dict(v1):
+                    return v1.lookup(v2)
                 return _NO_DRIVER
+            # distributed-index maintenance: the cons_to_insert shape
+            # (OInsert d k (r :: lookup-or-nil)) must NOT evaluate the
+            # prior bucket (a Spark job per insert) — append the row to
+            # the index's O(1) pending list instead
+            case A.ETernop("OInsert", d, k, A.EBinop("OCons", rexp, _prior)):
+                dv = ev(d, env2)
+                if _is_dist_dict(dv):
+                    kv = ev(k, env2)
+                    rv = ev(rexp, env2)
+                    if _NO_DRIVER in (kv, rv):
+                        return _NO_DRIVER
+                    return dv.insert_row(kv, rv)
+                kv = ev(k, env2)
+                vv = ev(A.EBinop("OCons", rexp, _prior), env2)
+                if _NO_DRIVER in (dv, kv, vv) or not isinstance(dv, dict):
+                    return _NO_DRIVER
+                return {**dv, kv: vv}
             case A.ETernop("OInsert", d, k, v):
                 dv = ev(d, env2)
                 kv = ev(k, env2)
@@ -1086,13 +1129,18 @@ def _lift_table_aggs(e: A.Expr, env: dict, store, spark) -> A.Expr:
                     if attr in df.columns:
                         n = df.count()
                         if n > FOLD_COLLECT_LIMIT:
-                            raise CompileError(
-                                f"to_idx over {n} rows exceeds FOLD_COLLECT_LIMIT "
-                                f"({FOLD_COLLECT_LIMIT}); command-layer dict indexes "
-                                "are driver-side by contract — use "
-                                "streaming.maintenance.GroupIndex for batch-scale "
-                                "keyed state"
+                            # above the driver-materialization guard the
+                            # index stays DISTRIBUTED (VERDICT r6 task 4):
+                            # the keyed relation + Catalyst's hash join
+                            # IS the dict at scale. O(1) insert_row
+                            # maintenance, join-compiled table reads
+                            # (_as_dict_lookup), per-read filtered scans
+                            # for driver lookups.
+                            from fiat2_spark.streaming.maintenance import (
+                                DistDictIndex,
                             )
+
+                            return A.EAtom(_AFoldVal(DistDictIndex(df, attr)))
                         from fiat2_spark.operators.aggregates import dict_index
 
                         rows = dict_index(df, attr).collect()

@@ -477,3 +477,67 @@ def moments_foreach_batch(stream: DataFrame, view: "MomentsView", sink: list,
         view.ingest(batch_df)
 
     return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
+
+
+class DistDictIndex:
+    """Distributed ``to_idx`` twin for tables ABOVE the driver-
+    materialization guard (compile.FOLD_COLLECT_LIMIT): where the
+    command layer's DictIdx aux is a driver dict (DictIndexImpl.v:25-33
+    buckets, O(1) lookups), this keeps the keyed relation DISTRIBUTED —
+    the 'index' at scale IS the keyed DataFrame plus Catalyst's hash
+    join / filter pushdown (the same observation dict_index's docstring
+    makes). GroupIndex is the keyed-AGGREGATE twin; this is the
+    keyed-BUCKET twin.
+
+    * ``insert_row`` is O(1): the row lands in a driver-side pending
+      list, no Spark job (the command layer's per-insert maintenance
+      must not pay a job per OCons — Interpret.v's CForeach is
+      sequential by semantics).
+    * ``lookup`` is one filtered scan of the base plan (predicate
+      pushdown reaches parquet) plus a pending-list probe — correct for
+      occasional driver reads; bulk reads should go through ``to_df``.
+    * ``to_df`` exposes (key, row-fields) for the compile-layer join
+      recognizer (plans/compile.py::_as_dict_lookup) — base UNION
+      pending, so a rewritten table-level read joins the live index
+      without ever collecting it.
+
+    No checkpoint blocks: the state is the base plan itself (a scan),
+    so there is nothing to retire and the cache-hygiene contract is
+    untouched."""
+
+    def __init__(self, base: DataFrame, attr: str):
+        self.attr = attr
+        self.base = base
+        self.pending: list[dict] = []
+
+    def insert_row(self, key, row) -> "DistDictIndex":
+        d = row.asDict(recursive=True) if hasattr(row, "asDict") else dict(row)
+        self.pending.append({self.attr: key, **d})
+        return self
+
+    def _pending_df(self) -> DataFrame | None:
+        if not self.pending:
+            return None
+        spark = self.base.sparkSession
+        cols = self.base.columns
+        return spark.createDataFrame(
+            [tuple(p.get(c) for c in cols) for p in self.pending], self.base.schema
+        )
+
+    def lookup(self, key) -> list | None:
+        """Bucket for ``key`` (None when empty — OLookup's option
+        convention). Pending inserts are prepended, matching the driver
+        dict's cons order; reads re-canonicalize per their site tag."""
+        from pyspark.sql import Row
+
+        from_pending = [p for p in self.pending if p[self.attr] == key]
+        base_rows = self.base.filter(F.col(self.attr) == F.lit(key)).collect()
+        cols = self.base.columns
+        rows = [
+            Row(**{c: p[c] for c in cols}) for p in reversed(from_pending)
+        ] + base_rows
+        return rows or None
+
+    def to_df(self) -> DataFrame:
+        pend = self._pending_df()
+        return self.base.unionByName(pend) if pend is not None else self.base

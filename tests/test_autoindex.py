@@ -591,3 +591,45 @@ def test_nested_lookup_compiles_to_broadcast_join(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan, plan
     assert "GetMapValue" not in plan
+
+
+def test_dist_index_selected_above_fold_collect_limit(spark, monkeypatch):
+    """Above FOLD_COLLECT_LIMIT the DictIdx aux must become a
+    DistDictIndex (keyed relation + hash join) instead of raising
+    (VERDICT r6 task 4): same results as the plain interpreter,
+    O(1)-per-insert maintenance (pending list, no Spark job), and the
+    nested read joins the live index including pending inserts."""
+    import fiat2_spark.plans.compile as C
+    from fiat2_spark.streaming.maintenance import DistDictIndex
+
+    prog = _nested_lookup_prog()
+    st_plain = _nested_store(spark)
+    run_command(prog, st_plain, {}, spark)
+
+    monkeypatch.setattr(C, "FOLD_COLLECT_LIMIT", 1)
+    st_auto = _nested_store(spark)
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    canon = lambda df: sorted(  # noqa: E731
+        tuple(sorted(r.asDict().items())) for r in df.collect()
+    )
+    assert canon(st_plain.get("out")) == canon(st_auto.get("out"))
+
+
+def test_dist_index_insert_is_o1_pending(spark, monkeypatch):
+    """insert_row is a driver-list append — no Spark job per insert."""
+    from fiat2_spark.streaming.maintenance import DistDictIndex
+
+    base = spark.createDataFrame([(2, 20), (7, 70)], "id long, price long")
+    idx = DistDictIndex(base, "id")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    for i in range(50):
+        idx.insert_row(2 * i, {"id": 2 * i, "price": 100 + i})
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "insert_row launched Spark jobs"
+    assert len(idx.pending) == 50
+    # lookup sees pending prepended before base rows
+    got = idx.lookup(2)
+    assert [r["price"] for r in got] == [101, 20]
+    # empty bucket → None (OLookup's option convention)
+    assert idx.lookup(999999) is None
