@@ -206,10 +206,41 @@ def _source_of(obj) -> str | None:
         return None
 
 
-def _names_in(src: str, mod):
+def _co_names(code) -> set[str]:
+    names = set(code.co_names)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            names |= _co_names(c)
+    return names
+
+
+def _global_names(obj) -> set[str] | None:
+    """The names an object's code can reference as GLOBALS (co_names,
+    nested code objects included) — the filter for the bare-Name
+    fallback. AST Name nodes include locals, and a local that shadows a
+    module attr would leak it into the closure (found live: a local
+    ``q`` in one query resolved to the @q registration decorator,
+    reaching the whole module registry). co_names excludes locals by
+    Python's own scoping; attribute chains and imports are not
+    filtered. None = no code object derivable → no filter."""
+    if isinstance(obj, type):
+        out: set[str] = set()
+        for v in vars(obj).values():
+            f = getattr(v, "__func__", v)
+            code = getattr(f, "__code__", None)
+            if code is not None:
+                out |= _co_names(code)
+        return out or None
+    code = getattr(inspect.unwrap(obj), "__code__", None) if callable(obj) else None
+    return _co_names(code) if code is not None else None
+
+
+def _names_in(src: str, mod, allowed: set[str] | None = None):
     """Yield every object a source block can reach in ``mod``'s
     namespace: resolved attribute chains, bare names that are not a
-    chain's base, and function-local fiat2_spark imports."""
+    chain's base (filtered to ``allowed`` — the code object's true
+    global names — when available), and function-local fiat2_spark
+    imports."""
     try:
         tree = pyast.parse(textwrap.dedent(src))
     except SyntaxError:
@@ -275,6 +306,7 @@ def _names_in(src: str, mod):
             isinstance(node, pyast.Name)
             and id(node) not in chain_bases
             and not (node.id.startswith("__") and node.id.endswith("__"))
+            and (allowed is None or node.id in allowed)
         ):
             got = aliases.get(node.id, _MISSING)
             if got is _MISSING:
@@ -314,7 +346,7 @@ def _reachable_sources(*roots) -> list[tuple[str, str]]:
             seen[lbl] = src
             mod = sys.modules.get(obj.__module__)
             if mod is not None:
-                for sub in _names_in(src, mod):
+                for sub in _names_in(src, mod, _global_names(obj)):
                     pending.append(sub)
             continue
         # data values reached directly (module-level constants resolved
