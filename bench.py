@@ -143,20 +143,36 @@ def main() -> None:
     # seconds of jitter unrelated to engine throughput); the min is the
     # steady-state cost a warm cluster pays per run.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # Sub-second queries are the noise movers (r5/r6 both measured
+    # byte-unchanged sub-second queries swinging 1.4-1.7x round-over-
+    # round): at <1s absolutes, one GC pause or codegen hiccup IS the
+    # measurement. Pin them to min-of-5 — the extra reps cost little
+    # exactly where they're needed.
+    subsec_reps = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
     timings: dict[str, float] = {}
+    from fiat2_spark.session import release_checkpoint_blocks
+
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         best = None
-        for _ in range(reps):
+        done = 0
+        while True:
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             best = elapsed if best is None else min(best, elapsed)
+            done += 1
             # operators that persist intermediates (LSH signatures) must
-            # not hold executor memory against the next measurement
+            # not hold executor memory against the next measurement, and
+            # checkpoint blocks from shared-intermediate queries must not
+            # accumulate across the 100-query run
             spark.catalog.clearCache()
+            release_checkpoint_blocks(spark)
+            target = subsec_reps if best < 1.0 else reps
+            if done >= target:
+                break
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

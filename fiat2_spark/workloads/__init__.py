@@ -172,11 +172,10 @@ PRIORITY_R5 = (  # kept for the r5 row-premise audit trail
     "semi_join", "anti_join", "flatmap_explode", "flatmap2_zip",
     "sort_canonical", "top_k",
 )
-# Round-6 window. The fingerprint ALGORITHM changed this round (same-
-# module helper closure added, ADVICE r5), so the premise baseline for
-# every rotation-out decision is FINGERPRINTS_r05_rehash.json — the r5
-# HEAD re-fingerprinted with the r6 tool in a clean worktree.
-PRIORITY = (
+# Round-6 window (kept for the r6 row-premise audit trail). The
+# fingerprint algorithm changed in r6 (same-module helper closure,
+# ADVICE r5); its rotation baseline was FINGERPRINTS_r05_rehash.json.
+PRIORITY_R6 = (
     # (A) round-6 additions — driver evidence in the same round they land
     "dsl_auto_index", "multimodal_wav_real", "multimodal_ppm_real",
     "tfidf_retrieval",
@@ -234,13 +233,52 @@ PRIORITY = (
 # re-ran EVERY rotated-out query at BOTH SFs on final HEAD (176/176) —
 # builder-level fresh evidence under the changed closure even where the
 # driver row is older.
-# Round-7 rotation candidates: distinct_agg (ceded its slot to the
-# late-round tfidf_retrieval addition), set_ops, outer_join,
-# topk_per_group, quantile_disc, agg_sum_count, groupby_agg,
-# coq_div_mod, dict_fold, pagerank3, plus any query whose r7
-# fingerprint diverges from FINGERPRINTS_r06.json via a reachable
-# delta.
+# Round-7 window. The fingerprint algorithm changed again this round
+# (FUNCTION-LEVEL reachable closure, VERDICT r6 task 1); the rotation
+# baseline is FINGERPRINTS_r06_rehash_fnlevel.json — the r6 HEAD
+# (1bbd969) re-fingerprinted with the r7 tool in a clean worktree. The
+# rotation-out justification is now THE TOOL'S OUTPUT, not a prose
+# audit:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r06_rehash_fnlevel.json
+#   → changed = exactly the 13 queries below marked (A) plus the 2 new
+#     ones (B); held_count = 163 — every rotated-out query's reachable
+#     hash is IDENTICAL to its row-earning round's.
+PRIORITY = (
+    # (A) reachable-delta rotate-ins (tool-mandated): the whole DSL
+    # family (compile.py gained the inner-LikeSet join dedup, the
+    # dict-lookup join recognizer, and the DistDictIndex fallback;
+    # autoindex.py gained order-safe reads + binder-aware choices), the
+    # GroupIndex consumers (per-insert snapshot retirement), and q15
+    # (checkpoint-pattern rewrite)
+    "dsl_auto_index", "dsl_command_pipeline", "dsl_comprehension",
+    "dsl_employee_join", "dsl_filter_project", "dsl_fold_table",
+    "dsl_grandchildren", "dsl_let_if_table", "dsl_orders_agg",
+    "incremental_groupby", "incremental_join", "incremental_multi_index",
+    "tpch_q15_shape",
+    # (B) round-7 additions — driver evidence in the round they land
+    "dsl_auto_index_join", "dsl_auto_index_dist",
+    # (C) oldest-evidence refresh, r2 rows (the named r7 candidates)
+    "agg_sum_count", "coq_div_mod", "dict_fold", "distinct_agg",
+    "groupby_agg", "outer_join", "quantile_disc", "set_ops",
+    "topk_per_group",
+    # (D) oldest-evidence refresh, r3 rows (25 of the 31 remaining;
+    # cms_tokens / hll_users / multimodal_frames / multimodal_resize /
+    # sample_group_k / text_tokens hold the most isolated premises and
+    # defer to round 8) + pagerank3 (named candidate, r4 row)
+    "asof_join", "bucketed_join", "cube_agg", "dedup_editdist",
+    "dedup_exact", "incremental_min_orders", "incremental_sum",
+    "json_extract", "multimodal_bytes", "nested_collections",
+    "percentile_cont", "pipeline_e2e", "range_join_binned",
+    "rollup_multires", "sample_strata", "sessionize", "sink_roundtrip",
+    "stream_stream_join", "stream_window_agg", "text_fingerprint",
+    "text_quality", "text_salient", "tpch_q3_shape", "window_frames",
+    "window_rank_family", "pagerank3",
+)
+# Round-8 rotation candidates: the six deferred r3-row queries above,
+# plus anything tools/fingerprints.py --compare flags against
+# FINGERPRINTS_r07.json.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R6) == 50 and len(set(PRIORITY_R6)) == 50
 assert len(PRIORITY_R5) == 50 and len(set(PRIORITY_R5)) == 50
 
 _queries = {}
@@ -256,6 +294,8 @@ _missing_r4 = [n for n in PRIORITY_R4 if n not in _queries]
 assert not _missing_r4, f"PRIORITY_R4 names no longer registered: {_missing_r4}"
 _missing_r5 = [n for n in PRIORITY_R5 if n not in _queries]
 assert not _missing_r5, f"PRIORITY_R5 names no longer registered: {_missing_r5}"
+_missing_r6 = [n for n in PRIORITY_R6 if n not in _queries]
+assert not _missing_r6, f"PRIORITY_R6 names no longer registered: {_missing_r6}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
