@@ -180,30 +180,52 @@ def _eq_lookup(e: A.Expr, t: str):
     """Eq-filter lookup shapes ``eq_filter_to_lookup_head`` fires on
     (DictIndexImpl.v:374-390): ``EFilter t (x. x.attr == k)`` or the
     flatmap-guard comprehension ``[ x <- !t, check(x.attr == k), … ]``
-    (Ex_Orders.v:54's inventory read). Returns
-    (attr, key_expr, binder, inner_body_or_None, tag) — inner_body is
-    the flatmap's ret when the guard form matched."""
+    (Ex_Orders.v:54's inventory read). The predicate may be a
+    CONJUNCTION containing one eq-conjunct on the binder's attr — the
+    index serves the eq, the rest becomes a residual filter over the
+    bucket (the classic index-scan + residual plan; the reference's
+    head matches the bare eq only, this is a strict extension checked
+    by the command fuzzer). Returns
+    (attr, key_expr, binder, inner_body_or_None, tag, nil_or_None,
+    residual_or_None)."""
+
+    def conjuncts(p: A.Expr):
+        if isinstance(p, A.EBinop) and p.op == "OAnd":
+            return conjuncts(p.e1) + conjuncts(p.e2)
+        return [p]
 
     def eq_key(pred: A.Expr, x: str):
-        match pred:
-            case A.EBinop("OEq", lhs, rhs):
-                a = _attr_access(lhs, x)
-                if a is not None and not _mentions(rhs, x, t):
-                    return a, rhs
-                a = _attr_access(rhs, x)
-                if a is not None and not _mentions(lhs, x, t):
-                    return a, lhs
+        """(attr, key, residual_pred_or_None) — first eq-conjunct whose
+        key is free of the binder and the table wins."""
+        cs = conjuncts(pred)
+        for i, c in enumerate(cs):
+            match c:
+                case A.EBinop("OEq", lhs, rhs):
+                    a = _attr_access(lhs, x)
+                    key = rhs if a is not None else None
+                    if key is None:
+                        a = _attr_access(rhs, x)
+                        key = lhs if a is not None else None
+                    if a is not None and key is not None and not _mentions(key, x, t):
+                        rest = cs[:i] + cs[i + 1:]
+                        residual = None
+                        for r in rest:
+                            residual = r if residual is None else A.EBinop("OAnd", residual, r)
+                        # residual must not re-touch the table
+                        if residual is not None and _mentions(residual, None, t):
+                            return None
+                        return a, key, residual
         return None
 
     match e:
         case A.EFilter(tag, l, x, p) if _is_loc(l, t):
             hit = eq_key(p, x)
             if hit:
-                return hit[0], hit[1], x, None, tag
+                return hit[0], hit[1], x, None, tag, None, hit[2]
         case A.EFlatmap(tag, l, x, A.EIf(p, body, nil)) if _is_loc(l, t) and _is_nil(nil):
             hit = eq_key(p, x)
             if hit:
-                return hit[0], hit[1], x, body, tag
+                return hit[0], hit[1], x, body, tag, nil, hit[2]
     return None
 
 
@@ -352,11 +374,13 @@ def choose_indexes(c: A.Command, store_tables: set[str] | None = None) -> dict[s
             included; IndexTransf.v:862-872)."""
             hit = _eq_lookup(sub, t)
             if hit is not None:
-                attr, key, _x, _body, _tag = hit
+                attr, key, _x, _body, _tag, _nil, residual = hit
                 cv = _const_str(key)
-                if cv is not None:
+                if cv is not None and residual is None:
                     bitmap_keys.add((attr, cv))
-                elif in_loop or any(_mentions(key, b, None) for b in binders):
+                elif cv is None and (
+                    in_loop or any(_mentions(key, b, None) for b in binders)
+                ):
                     dict_attrs.add(attr)
             import dataclasses
 
@@ -564,7 +588,7 @@ def apply_auto_index(
                     return A.ELoc(aux)
                 hit = _eq_lookup(e, t)
                 if hit is not None:
-                    attr, key, x, body, tag = hit
+                    attr, key, x, body, tag, nil, residual = hit
                     if tag == "LikeList" and not canonical:
                         continue
                     if isinstance(ch, DictIdxChoice) and ch.attr == attr and _const_str(key) is None:
@@ -579,6 +603,13 @@ def apply_auto_index(
                             A.EVar("__b"),
                         )
                         if body is None:
+                            if residual is not None:
+                                # index-scan + residual filter: EFilter
+                                # re-canonicalizes per its own tag
+                                return A.EFilter(
+                                    tag, looked, x,
+                                    rewrite_expr(residual, active, row_tys),
+                                )
                             # re-canonicalize: buckets are built sorted
                             # but maintained by O(1) prepend (bag
                             # semantics); the original EFilter's tag
@@ -588,13 +619,19 @@ def apply_auto_index(
                             if tag == "LikeBag":
                                 return A.EBagOf(looked)
                             return looked  # LikeList under a canonicalizer
-                        return A.EFlatmap(
-                            tag, looked, x, rewrite_expr(body, active, row_tys)
-                        )
+                        new_body = rewrite_expr(body, active, row_tys)
+                        if residual is not None:
+                            new_body = A.EIf(
+                                rewrite_expr(residual, active, row_tys),
+                                new_body,
+                                nil,
+                            )
+                        return A.EFlatmap(tag, looked, x, new_body)
                     if (
                         isinstance(ch, BitmapIdxChoice)
                         and ch.attr == attr
                         and _const_str(key) == ch.val
+                        and residual is None
                     ):
                         if body is None:
                             # re-canonicalize the list-typed aux to the

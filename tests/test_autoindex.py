@@ -633,3 +633,111 @@ def test_dist_index_insert_is_o1_pending(spark, monkeypatch):
     assert [r["price"] for r in got] == [101, 20]
     # empty bucket → None (OLookup's option convention)
     assert idx.lookup(999999) is None
+
+
+def test_conjunction_guard_lookup_rewrites_with_residual(spark):
+    """An eq-lookup whose guard is a CONJUNCTION (x.id == k AND
+    x.price < c) must still be served by the dict index, with the
+    non-eq conjunct kept as a residual filter over the bucket —
+    differential vs the plain interpreter, and the rewritten loop does
+    no table scan of inv."""
+    int_nil = A.EAtom(A.ANil(A.TInt()))
+    guard = A.EBinop(
+        "OAnd",
+        A.EBinop(
+            "OEq",
+            A.EAccess(A.EVar("item"), "id"),
+            A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2))),
+        ),
+        A.EBinop("OLess", A.EAccess(A.EVar("item"), "price"), A.EAtom(A.AInt(60))),
+    )
+    lookup = A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList", A.ELoc("inv"), "item",
+            A.EIf(
+                guard,
+                A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), int_nil),
+                int_nil,
+            ),
+        ),
+    )
+    insert = A.CAssign(
+        "inv",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OTimes", A.EVar("price"), A.EAtom(A.AInt(0)))),
+                ("price", A.EVar("price")),
+            )),
+            A.ELoc("inv"),
+        ),
+    )
+    loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(5))),
+        "n",
+        A.CLet(
+            lookup, "ps",
+            A.CSeq(
+                A.CAssign(
+                    "out",
+                    A.EBinop(
+                        "OPlus",
+                        A.ELoc("out"),
+                        A.EFold(
+                            A.EVar("ps"), A.EAtom(A.AInt(0)), "_v", "_a",
+                            A.EBinop("OPlus", A.EVar("_v"), A.EVar("_a")),
+                        ),
+                    ),
+                ),
+                A.CForeach(A.EVar("ps"), "price", insert),
+            ),
+        ),
+    )
+
+    def mk():
+        st = Store()
+        st.assign(
+            "inv",
+            spark.createDataFrame(
+                [(2, 20), (2, 70), (4, 40), (6, 61), (8, 55)], "id long, price long"
+            ),
+        )
+        st.assign("out", 0)
+        return st
+
+    ch = choose_indexes(loop, {"inv", "out"})
+    assert ch.get("inv") == [DictIdxChoice(attr="id")], ch
+    st_plain = mk()
+    run_command(loop, st_plain, {}, spark)
+    st_auto = mk()
+    _, report = run_command_auto(loop, st_auto, {}, spark)
+    assert st_plain.get("out") == st_auto.get("out")
+    assert st_plain.get("out") == 20 + 40 + 55  # prices < 60 at ids 2,4,8
+    # the lookup itself was rewritten: no comprehension over ELoc(inv)
+    # remains anywhere in the rewritten command (the only remaining
+    # ELoc(inv) references are the OCons insert target and aux init)
+    assert not _has_scan_read(report.command, "inv"), report.command
+
+
+def _has_scan_read(c, t: str) -> bool:
+    import dataclasses
+
+    src = None
+    if isinstance(c, A.EFlatmap):
+        src = c.e1
+    elif isinstance(c, (A.EFilter, A.EProj)):
+        src = c.l
+    if isinstance(src, A.ELoc) and src.x == t:
+        return True
+    if dataclasses.is_dataclass(c):
+        for f in dataclasses.fields(c):
+            v = getattr(c, f.name)
+            if isinstance(v, (A.Expr, A.Command)) and _has_scan_read(v, t):
+                return True
+            if isinstance(v, tuple):
+                for item in v:
+                    sub = item[1] if isinstance(item, tuple) and len(item) == 2 else item
+                    if isinstance(sub, (A.Expr, A.Command)) and _has_scan_read(sub, t):
+                        return True
+    return False

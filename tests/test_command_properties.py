@@ -85,14 +85,23 @@ def _min_fold() -> A.Expr:
     )
 
 
-def _lookup(key: A.Expr) -> A.Expr:
-    """sort [ x <- !t, check(x.id == key), ret x.v ]"""
+def _lookup(key: A.Expr, residual_lt: int | None = None) -> A.Expr:
+    """sort [ x <- !t, check(x.id == key [and x.v < c]), ret x.v ] —
+    the optional conjunct exercises the index-scan + residual-filter
+    rewrite (r7 extension of eq_filter_to_lookup)."""
+    guard = A.EBinop("OEq", A.EAccess(A.EVar("x"), "id"), key)
+    if residual_lt is not None:
+        guard = A.EBinop(
+            "OAnd",
+            guard,
+            A.EBinop("OLess", A.EAccess(A.EVar("x"), "v"), A.EAtom(A.AInt(residual_lt))),
+        )
     return A.ESort(
         "LikeList",
         A.EFlatmap(
             "LikeList", A.ELoc("t"), "x",
             A.EIf(
-                A.EBinop("OEq", A.EAccess(A.EVar("x"), "id"), key),
+                guard,
                 A.EBinop("OCons", A.EAccess(A.EVar("x"), "v"), INT_NIL),
                 INT_NIL,
             ),
@@ -126,7 +135,10 @@ def _command(draw, depth: int = 0, loop_var: str | None = None, slot_ctr=None):
     if kind == "orders_shape":
         lv = "n"
         body = A.CLet(
-            _lookup(A.EBinop("OTimes", A.EVar(lv), A.EAtom(A.AInt(2)))),
+            _lookup(
+                A.EBinop("OTimes", A.EVar(lv), A.EAtom(A.AInt(2))),
+                residual_lt=draw(st.sampled_from([None, 5, 9])),
+            ),
             "ps",
             A.CForeach(
                 A.EVar("ps"),

@@ -855,20 +855,26 @@ def test_q6_pure_scan_pipeline(spark):
 
 def test_q15_single_revenue_pass_reused(spark):
     """Q15's revenue view is computed ONCE — both consumers (scalar
-    max, winner filter) read the transiently-persisted aggregate during
-    the eager winner materialization — and the query releases that
-    cache before returning: zero resident cache entries afterwards
-    (ADVICE r5 / VERDICT r5 task 5), the winner set (bounded by the
-    final result's own cardinality) broadcasts into the supplier join,
-    and the returned plan no longer touches lineitem at all."""
-    before = dict(spark.sparkContext._jsc.getPersistentRDDs())
+    max, winner filter) scan the eagerly-materialized CHECKPOINT BLOCKS
+    (the agg_reuse pattern, r7; the r6 variant's mid-plan winner collect
+    cost 1.5×). The blocks are NOT CacheManager entries (zero cache
+    leak class) and are reclaimable by the owner's sweep; the returned
+    plan broadcasts the winner filter into the supplier join and no
+    longer touches lineitem at all."""
+    from fiat2_spark.session import cache_entries, release_checkpoint_blocks
+
+    release_checkpoint_blocks(spark)
+    _, cache_before = cache_entries(spark)
     df = QUERIES["tpch_q15_shape"](spark, SF_SMOKE)
-    after = dict(spark.sparkContext._jsc.getPersistentRDDs())
-    assert len(after) <= len(before), "tpch_q15_shape leaked a cache entry"
+    ckpt, cache_after = cache_entries(spark)
+    assert len(cache_after) == len(cache_before), "q15 leaked a CACHE entry"
+    assert len(ckpt) >= 1, "revenue aggregate should ride checkpoint blocks"
     p = plan_of(df)
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "lineitem" not in p  # revenue already materialized eagerly
+    df.collect()
+    assert release_checkpoint_blocks(spark) >= 1
 
 
 def test_quality_filter_text_never_shuffles(spark):
