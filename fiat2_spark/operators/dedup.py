@@ -734,3 +734,92 @@ def span_dedup_stats(
             F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
         )
     )
+
+
+def substring_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """EXACT-substring dedup at arbitrary offsets, summarized per
+    document — the k-gram-anchored realization of suffix-array
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove verbatim token spans of length ≥ k
+    that occur elsewhere in the corpus). `span_dedup_stats` cuts FIXED
+    segments (C4's sentence-window analog); this marks EVERY k-token
+    window, so a duplicated passage is caught at any alignment.
+
+    Algorithm (deterministic):
+      1. every k-token window of every document is digested (md5 over
+         the space-joined tokens) — (doc, pos, gram) rows, text never
+         leaves the scan stage;
+      2. the corpus-wide FIRST occurrence of each gram (min by
+         (doc, pos)) survives; every other occurrence marks the
+         interval [pos, pos+k) — same-document self-repetition is
+         removed too, as in the paper;
+      3. per document, marked intervals merge into maximal spans
+         (gaps-and-islands over a doc-keyed window) — the union's size
+         is the removed-token count.
+
+    Returns (doc, n_tokens, n_spans, n_removed_tokens, n_dup_grams).
+
+    Scale: the wide shuffles carry only (gram-digest, doc, pos). First
+    occurrences are computed by group-by + join-back on the digest —
+    NOT a per-gram row_number window — so a pathological gram (a
+    corpus-wide filler phrase) is handled by AQE's skew-join split
+    rather than serializing one window partition. The island merge
+    partitions by doc (bounded by document length)."""
+    from pyspark.sql import Window
+
+    from fiat2_spark.operators.text import tokens as toks_of
+
+    slim = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    base = slim.repartition(cpu_partitions(df, rows_per_task=500)).select(
+        "doc", toks_of(F.col("__t")).alias("toks")
+    ).select("doc", F.size("toks").cast("long").alias("n_tokens"), "toks")
+
+    grams = base.filter(F.size("toks") >= k).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+            )
+        ).alias("pos", "gram"),
+    )
+    firsts = grams.groupBy("gram").agg(F.min(F.struct("doc", "pos")).alias("f"))
+    dups = (
+        grams.join(firsts, "gram")
+        .filter((F.col("doc") != F.col("f.doc")) | (F.col("pos") != F.col("f.pos")))
+        .select("doc", "pos")
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    run_end = F.max(F.col("pos") + k).over(
+        wdoc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dups.withColumn(
+        "new_isl",
+        F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_isl").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = marked.groupBy("doc", "island").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + k).alias("e"),
+        F.count(F.lit(1)).alias("n_g"),
+    )
+    per_doc = spans.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
+        F.sum("n_g").cast("long").alias("n_dup_grams"),
+    )
+    return (
+        base.select("doc", "n_tokens")
+        .join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias("n_removed_tokens"),
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+    )

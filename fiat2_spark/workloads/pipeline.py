@@ -2487,3 +2487,69 @@ def tfidf_retrieval(spark, sf_dir):
         d, "doc_id", TX.tokens(F.col("text")), list(_BM25_TERMS)
     ).withColumnRenamed("doc", "doc_id")
     return R.top_k(scored, 20, [F.col("tfidf").desc(), F.col("doc_id").asc()])
+
+
+@q(
+    "substring_dedup",
+    f"""
+    WITH toks AS ({_TOKS}),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+            FROM base WHERE len(toks) >= 8)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dups
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 8) AS e, COUNT(*) AS n_g
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS n_removed_tokens,
+             CAST(SUM(n_g) AS BIGINT) AS n_dup_grams
+      FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_removed_tokens, 0) AS BIGINT) AS n_removed_tokens,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def substring_dedup(spark, sf_dir):
+    """Exact-substring dedup at ARBITRARY offsets (Lee et al. 2022's
+    suffix-array dedup, realized as duplicated k-gram anchors + span
+    merge): every 8-token window is digested; non-first occurrences
+    (corpus-wide, min (doc, pos) wins — same-doc self-repetition
+    included) mark removal intervals, merged per doc into maximal
+    spans. Complements `span_dedup`, whose FIXED segments miss
+    duplicated passages at shifted alignments. Shuffles carry only
+    (digest, doc, pos); first-occurrence is group-by + skew-join-able
+    join-back, not a per-gram window (a corpus-wide filler phrase must
+    not serialize one window partition). The oracle mirrors the
+    construction with a rank window + gaps-and-islands."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.substring_dedup_stats(d, "doc_id", "text", k=8).withColumnRenamed(
+        "doc", "doc_id"
+    )

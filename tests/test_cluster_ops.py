@@ -120,3 +120,33 @@ def test_recursive_cte_cap_reaches_fixpoint(spark):
     }
     fix = {(r["node"], r["depth"]) for r in QUERIES["bfs"](spark, SF_SMOKE).collect()}
     assert cte == fix
+
+
+def test_substring_dedup_stats_hand_case(spark):
+    """Hand-computable corpus for the k-gram substring dedup (k=4):
+    doc 2 embeds doc 1's 6-token passage at offset 3 (shifted alignment
+    — invisible to fixed segments), doc 3 is clean, doc 4 repeats its
+    own first 4 tokens verbatim at its tail (self-repetition)."""
+    from fiat2_spark.operators.dedup import substring_dedup_stats
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} one two three"),
+            (2, f"x y z {passage} seven"),
+            (3, "totally unrelated words with no overlap here at all"),
+            (4, "p q r s filler filler2 p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: (r["n_tokens"], r["n_spans"], r["n_removed_tokens"], r["n_dup_grams"])
+        for r in substring_dedup_stats(docs, "doc_id", "text", k=4).collect()
+    }
+    # doc 2: grams at pos 3..5 (within the 6-token passage) duplicate
+    # doc 1's pos 0..2 → one span [3, 9) = 6 tokens, 3 dup grams
+    assert got[2] == (10, 1, 6, 3)
+    # doc 4: gram "p q r s" at pos 6 duplicates its own pos 0
+    assert got[4] == (10, 1, 4, 1)
+    assert got[1] == (9, 0, 0, 0)
+    assert got[3] == (9, 0, 0, 0)
