@@ -380,6 +380,111 @@ class SpanDedupCorpus:
         )
 
 
+class SubstringDedupCorpus:
+    """Incremental ARBITRARY-OFFSET substring dedup — the streaming
+    twin of `substring_dedup` (operators/dedup.py::substring_dedup_stats,
+    Lee et al. 2022 suffix-array dedup via k-gram anchors): the state is
+    the accumulated set of seen k-gram digests; each batch marks every
+    window whose digest is corpus-seen OR not the batch's own first
+    occurrence, merges the marked intervals per doc, and reports
+    per-doc removal stats. With batches arriving in doc-id order the
+    accumulated stats equal the one-shot `substring_dedup_stats` over
+    the whole corpus (agreement-tested). State is digest-only — at
+    production scale a digest-bucketed parquet table, like the other
+    dedup corpora; here localCheckpoint with per-ingest retirement of
+    the superseded snapshot."""
+
+    def __init__(self, spark, k: int = 8):
+        self.k = k
+        self.seen, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "gram string")
+        )
+
+    def _grams(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        from fiat2_spark.operators.text import tokens as toks_of
+
+        k = self.k
+        base = docs.select(
+            F.col(id_col).alias("doc"), toks_of(F.col(text_col)).alias("toks")
+        )
+        return base.filter(F.size("toks") >= k).select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - k + 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i, k))),
+                )
+            ).alias("pos", "gram"),
+        )
+
+    def ingest(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Per-doc (doc, n_spans, n_removed_tokens, n_dup_grams) for
+        this batch's marked windows; folds the batch's digests into the
+        seen set (novel only), retiring the superseded snapshot. Docs
+        with nothing marked get no row."""
+        from pyspark.sql import Window
+
+        k = self.k
+        grams = self._grams(docs, id_col, text_col)
+        firsts = grams.groupBy("gram").agg(F.min(F.struct("doc", "pos")).alias("f"))
+        in_batch_dup = (
+            grams.join(firsts, "gram")
+            .filter(
+                (F.col("doc") != F.col("f.doc")) | (F.col("pos") != F.col("f.pos"))
+            )
+            .select("doc", "pos")
+        )
+        corpus_dup = grams.join(self.seen, "gram", "left_semi").select("doc", "pos")
+        dups = corpus_dup.unionByName(in_batch_dup).distinct()
+        wdoc = Window.partitionBy("doc").orderBy("pos")
+        run_end = F.max(F.col("pos") + k).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        marked = dups.withColumn(
+            "new_isl",
+            F.when(run_end.isNull() | (F.col("pos") > run_end), 1).otherwise(0),
+        ).withColumn(
+            "island",
+            F.sum("new_isl").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        out = (
+            marked.groupBy("doc", "island")
+            .agg(
+                F.min("pos").alias("s"),
+                F.max(F.col("pos") + k).alias("e"),
+                F.count(F.lit(1)).alias("n_g"),
+            )
+            .groupBy("doc")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_spans"),
+                F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
+                F.sum("n_g").cast("long").alias("n_dup_grams"),
+            )
+            .localCheckpoint()
+        )
+        prev = self._blocks
+        self.seen, self._blocks = local_checkpoint_tracked(
+            self.seen.unionByName(grams.select("gram").distinct()).distinct()
+        )
+        release_blocks(self.seen.sparkSession, prev)
+        return out
+
+
+def substring_dedup_corpus_foreach_batch(
+    stream: DataFrame, corpus: "SubstringDedupCorpus", sink: list,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Drive ``SubstringDedupCorpus`` from a Structured Streaming
+    source. Naturally idempotent — a redelivered batch's digests are
+    already in the seen set, so every window is corpus-marked and the
+    per-doc stats repeat identically; the sink dedupes by doc."""
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        sink.extend(corpus.ingest(batch_df, id_col, text_col).collect())
+
+    return stream.writeStream.outputMode("append").foreachBatch(_apply).start()
+
+
 def span_dedup_corpus_foreach_batch(
     stream: DataFrame, corpus: SpanDedupCorpus, sink: list,
     id_col: str = "doc_id", text_col: str = "text",

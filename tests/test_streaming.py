@@ -517,3 +517,54 @@ def test_streaming_ewma_matches_batch_fold(spark):
     )
     stream = {(r["user_id"], r["n"]): r["ewma"] for r in rows}
     assert stream == batch and len(batch) > 0
+
+
+def test_substring_dedup_corpus_streaming_matches_batch(spark):
+    """Arbitrary-offset substring dedup driven by a real file stream:
+    doc-id-ordered batches (passages repeated at SHIFTED offsets within
+    docs, across docs, and across batches) ingest one micro-batch at a
+    time; the accumulated per-doc removal stats must equal the one-shot
+    substring_dedup_stats over the whole corpus (restricted to docs
+    with at least one marked span)."""
+    import os
+    import tempfile
+
+    from fiat2_spark.operators.dedup import substring_dedup_stats
+    from fiat2_spark.streaming.maintenance import (
+        SubstringDedupCorpus, substring_dedup_corpus_foreach_batch,
+    )
+
+    passage = "red green blue cyan magenta"
+    docs = []
+    for i in range(12):
+        filler = " ".join(f"w{i}x{j}" for j in range(i % 3))
+        # shifted embeddings of the shared passage + unique tail
+        docs.append((i, f"{filler} {passage} tail{i} end{i}".strip()))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    stage = tempfile.mkdtemp(prefix="fiat2_substrstream_")
+    for b in range(4):
+        sdf.filter((F.col("doc_id") >= 3 * b) & (F.col("doc_id") < 3 * (b + 1))) \
+            .coalesce(1).write.parquet(os.path.join(stage, f"b{b}"))
+    corpus = SubstringDedupCorpus(spark, k=3)
+    sink: list = []
+    stream = (
+        spark.readStream.schema(sdf.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = substring_dedup_corpus_foreach_batch(stream, corpus, sink)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc"]: (r["n_spans"], r["n_removed_tokens"], r["n_dup_grams"])
+        for r in sink
+    }
+    oneshot = {
+        r["doc"]: (r["n_spans"], r["n_removed_tokens"], r["n_dup_grams"])
+        for r in substring_dedup_stats(sdf, "doc_id", "text", k=3).collect()
+        if r["n_spans"] > 0
+    }
+    assert got == oneshot and len(got) >= 10, (got, oneshot)
