@@ -128,6 +128,10 @@ HEADLINE = [
     "multimodal_wav_real",          # real RIFF/WAVE parse + windowed RMS
     "multimodal_ppm_real",          # real PPM parse + channel statistics
     "tfidf_retrieval",              # classical TF-IDF ranking, hits-only shuffle
+    # round-7 additions
+    "substring_dedup",              # arbitrary-offset exact-substring dedup (k-gram anchors)
+    "dsl_auto_index_join",          # auto-indexed lookup under a comprehension → broadcast join
+    "dsl_auto_index_dist",          # distributed dict index above FOLD_COLLECT_LIMIT
 ]
 
 
@@ -142,7 +146,11 @@ def main() -> None:
     # compilation of the query's generated classes (hundreds of ms to
     # seconds of jitter unrelated to engine throughput); the min is the
     # steady-state cost a warm cluster pays per run.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # (3, not 2: the multi-second dedup family shows first-rep outliers
+    # of 2-3x — measured 6.9s then 2.5/2.6/2.3/2.3 back-to-back — so a
+    # min-of-2 can still land on a warmup pair; the third rep makes the
+    # min robust)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     # Sub-second queries are the noise movers (r5/r6 both measured
     # byte-unchanged sub-second queries swinging 1.4-1.7x round-over-
     # round): at <1s absolutes, one GC pause or codegen hiccup IS the
