@@ -2553,3 +2553,49 @@ def substring_dedup(spark, sf_dir):
     return D.substring_dedup_stats(d, "doc_id", "text", k=8).withColumnRenamed(
         "doc", "doc_id"
     )
+
+
+@q(
+    "shuffle_shards",
+    """
+    WITH h AS (
+      SELECT doc_id, md5('shuffle7#' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, okey,
+             CAST((instr('0123456789abcdef', substr(okey, 1, 1)) - 1) % 8 AS BIGINT) AS shard
+      FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def shuffle_shards(spark, sf_dir):
+    """Deterministic GLOBAL SHUFFLE + sharding — the last step before a
+    training run reads the corpus: every document gets a pseudo-random
+    order key (md5 over a salted id — stable across runs, engines and
+    re-partitions; no RNG state, the `stratified_split` mechanism), a
+    balanced shard (first hex nibble mod 8 — 16 divides evenly, so
+    shares are exactly 1/8), and its position within the shard. At
+    scale this is `repartition(shard)` + `sortWithinPartitions(okey)`
+    straight into the shard writers — the only wide exchange is the one
+    the shuffle IS, and each shard's order materializes independently
+    (no global sort). The row_number realization here makes the
+    position explicit so the oracle can check the exact permutation,
+    not just shard counts."""
+    d = tbl(spark, sf_dir, "documents")
+    okey = F.md5(F.concat(F.lit("shuffle7#"), F.col("doc_id").cast("string")))
+    digit = F.instr(F.lit("0123456789abcdef"), F.substring(F.col("okey"), 1, 1)) - 1
+    from pyspark.sql import Window
+
+    sharded = d.select("doc_id", okey.alias("okey")).withColumn(
+        "shard", (digit % 8).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("okey", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
