@@ -736,37 +736,11 @@ def span_dedup_stats(
     )
 
 
-def substring_dedup_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
-) -> DataFrame:
-    """EXACT-substring dedup at arbitrary offsets, summarized per
-    document — the k-gram-anchored realization of suffix-array
-    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better": remove verbatim token spans of length ≥ k
-    that occur elsewhere in the corpus). `span_dedup_stats` cuts FIXED
-    segments (C4's sentence-window analog); this marks EVERY k-token
-    window, so a duplicated passage is caught at any alignment.
-
-    Algorithm (deterministic):
-      1. every k-token window of every document is digested (md5 over
-         the space-joined tokens) — (doc, pos, gram) rows, text never
-         leaves the scan stage;
-      2. the corpus-wide FIRST occurrence of each gram (min by
-         (doc, pos)) survives; every other occurrence marks the
-         interval [pos, pos+k) — same-document self-repetition is
-         removed too, as in the paper;
-      3. per document, marked intervals merge into maximal spans
-         (gaps-and-islands over a doc-keyed window) — the union's size
-         is the removed-token count.
-
-    Returns (doc, n_tokens, n_spans, n_removed_tokens, n_dup_grams).
-
-    Scale: the wide shuffles carry only (gram-digest, doc, pos). First
-    occurrences are computed by group-by + join-back on the digest —
-    NOT a per-gram row_number window — so a pathological gram (a
-    corpus-wide filler phrase) is handled by AQE's skew-join split
-    rather than serializing one window partition. The island merge
-    partitions by doc (bounded by document length)."""
+def _substring_dup_spans(df: DataFrame, id_col: str, text_col: str, k: int):
+    """(base, spans) shared by stats and apply: base = (doc, n_tokens,
+    toks); spans = (doc, island, s, e, n_g) — the maximal merged
+    removal intervals of non-first k-gram occurrences (see
+    substring_dedup_stats for the algorithm and scale notes)."""
     from pyspark.sql import Window
 
     from fiat2_spark.operators.text import tokens as toks_of
@@ -807,6 +781,41 @@ def substring_dedup_stats(
         F.max(F.col("pos") + k).alias("e"),
         F.count(F.lit(1)).alias("n_g"),
     )
+    return base, spans
+
+
+def substring_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """EXACT-substring dedup at arbitrary offsets, summarized per
+    document — the k-gram-anchored realization of suffix-array
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": remove verbatim token spans of length ≥ k
+    that occur elsewhere in the corpus). `span_dedup_stats` cuts FIXED
+    segments (C4's sentence-window analog); this marks EVERY k-token
+    window, so a duplicated passage is caught at any alignment.
+
+    Algorithm (deterministic):
+      1. every k-token window of every document is digested (md5 over
+         the space-joined tokens) — (doc, pos, gram) rows, text never
+         leaves the scan stage;
+      2. the corpus-wide FIRST occurrence of each gram (min by
+         (doc, pos)) survives; every other occurrence marks the
+         interval [pos, pos+k) — same-document self-repetition is
+         removed too, as in the paper;
+      3. per document, marked intervals merge into maximal spans
+         (gaps-and-islands over a doc-keyed window) — the union's size
+         is the removed-token count.
+
+    Returns (doc, n_tokens, n_spans, n_removed_tokens, n_dup_grams).
+
+    Scale: the wide shuffles carry only (gram-digest, doc, pos). First
+    occurrences are computed by group-by + join-back on the digest —
+    NOT a per-gram row_number window — so a pathological gram (a
+    corpus-wide filler phrase) is handled by AQE's skew-join split
+    rather than serializing one window partition. The island merge
+    partitions by doc (bounded by document length)."""
+    base, spans = _substring_dup_spans(df, id_col, text_col, k)
     per_doc = spans.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
@@ -821,5 +830,56 @@ def substring_dedup_stats(
             F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias("n_removed_tokens"),
             F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+    )
+
+
+def substring_dedup_apply(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """APPLY the arbitrary-offset substring dedup: return each document
+    with its duplicated spans REMOVED (Lee et al. 2022's actual output
+    — a cleaned corpus, not just stats). Tokens covered by a marked
+    interval (see `substring_dedup_stats`) are dropped; the survivors
+    rejoin in original order.
+
+    Realization: explode (doc, pos, tok), anti-join the span ranges
+    per doc (a doc-keyed range join against the doc's own bounded span
+    list), then re-assemble with an order-preserving aggregate
+    (sort_array of (pos, tok) structs — no window). Scale: the explode
+    carries one (doc, pos, tok) row per token but the span side is
+    |spans| rows per doc (result-bounded); the anti-join and the
+    re-assembly both key on doc, one partitioning reused."""
+    base, spans = _substring_dup_spans(df, id_col, text_col, k)
+    toks_pos = base.select(
+        "doc", "n_tokens", F.posexplode("toks").alias("pos", "tok")
+    )
+    span_list = spans.groupBy("doc").agg(
+        F.collect_list(F.struct("s", "e")).alias("spans")
+    )
+    joined = toks_pos.join(span_list, "doc", "left")
+    keep = F.col("spans").isNull() | ~F.exists(
+        "spans", lambda sp: (F.col("pos") >= sp["s"]) & (F.col("pos") < sp["e"])
+    )
+    kept = joined.filter(keep).groupBy("doc").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("kept_text"),
+    )
+    # docs whose every token was removed still appear (empty text)
+    return (
+        base.select("doc", "n_tokens")
+        .join(kept.drop("n_tokens"), "doc", "left")
+        .select(
+            "doc",
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias("n_kept_tokens"),
+            F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )

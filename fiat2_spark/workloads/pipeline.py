@@ -2599,3 +2599,77 @@ def shuffle_shards(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+@q(
+    "substring_dedup_apply",
+    f"""
+    WITH toks AS ({_TOKS}),
+    base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks FROM toks),
+    grams AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             md5(array_to_string(list_slice(toks, i, i + 7), ' ')) AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+            FROM base WHERE len(toks) >= 8)
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      FROM grams
+    ),
+    dups AS (SELECT doc_id, pos FROM marked WHERE rn > 1),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(MAX(pos + 8) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM dups
+    ),
+    isl2 AS (
+      SELECT doc_id, pos,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 8) AS e
+      FROM isl2 GROUP BY doc_id, island
+    ),
+    toks_pos AS (
+      SELECT doc_id, n_tokens, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+      FROM (SELECT doc_id, n_tokens, toks, unnest(range(1, len(toks) + 1)) AS i FROM base)
+    ),
+    kept_toks AS (
+      SELECT t.doc_id, t.n_tokens, t.pos, t.tok
+      FROM toks_pos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans sp
+        WHERE sp.doc_id = t.doc_id AND t.pos >= sp.s AND t.pos < sp.e
+      )
+    ),
+    kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+             string_agg(tok, ' ' ORDER BY pos) AS kept_text
+      FROM kept_toks GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(k.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def substring_dedup_apply(spark, sf_dir):
+    """The substring dedup APPLIED — the cleaned corpus itself (Lee et
+    al. 2022's output), not just stats: every token covered by a
+    duplicated-span interval is removed, survivors rejoin in original
+    order. Exploded (doc, pos, tok) rows anti-join the doc's own
+    bounded span list; re-assembly is an order-preserving aggregate
+    (sort_array of (pos, tok) structs — NO window operator). The oracle
+    recomputes the identical spans and rebuilds the text with an
+    ordered string_agg — the full cleaned text is value-compared, so
+    the application (not merely the counts) is what the gate checks."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.substring_dedup_apply(d, "doc_id", "text", k=8).withColumnRenamed(
+        "doc", "doc_id"
+    )

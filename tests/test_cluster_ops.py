@@ -150,3 +150,37 @@ def test_substring_dedup_stats_hand_case(spark):
     assert got[4] == (10, 1, 4, 1)
     assert got[1] == (9, 0, 0, 0)
     assert got[3] == (9, 0, 0, 0)
+
+
+def test_substring_dedup_apply_agrees_with_stats(spark):
+    """apply and stats are two views of the same spans: kept tokens =
+    n_tokens - removed, and the kept text of the shifted-passage doc
+    drops exactly the embedded passage."""
+    from fiat2_spark.operators.dedup import (
+        substring_dedup_apply, substring_dedup_stats,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} one two three"),
+            (2, f"x y z {passage} seven"),
+            (3, "totally unrelated words with no overlap here at all"),
+            (4, "p q r s filler filler2 p q r s"),
+        ],
+        "doc_id long, text string",
+    )
+    stats = {
+        r["doc"]: r for r in substring_dedup_stats(docs, "doc_id", "text", k=4).collect()
+    }
+    applied = {
+        r["doc"]: r for r in substring_dedup_apply(docs, "doc_id", "text", k=4).collect()
+    }
+    for doc in (1, 2, 3, 4):
+        assert (
+            applied[doc]["n_kept_tokens"]
+            == stats[doc]["n_tokens"] - stats[doc]["n_removed_tokens"]
+        ), doc
+    assert applied[2]["kept_text"] == "x y z seven"
+    assert applied[4]["kept_text"] == "p q r s filler filler2"
+    assert applied[1]["kept_text"].startswith("alpha")
