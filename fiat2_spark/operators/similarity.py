@@ -350,3 +350,51 @@ def tfidf_scores(
         .groupBy("doc")
         .agg(F.round(F.sum("c").cast("double"), 6).alias("tfidf"))
     )
+
+
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    qlabel_col: str = "qlabel",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/contrastive training: per
+    anchor, the top-k most-similar corpus vectors whose LABEL differs —
+    near-but-wrong examples, the standard negatives a dual-encoder is
+    trained against. Same plan shape as `cosine_topk` (broadcast
+    anchors, corpus streams, canonical row_number ≤ k so the grouped-
+    limit rewrite keeps a partial WindowGroupLimit below the exchange);
+    the label-mismatch filter sits BELOW the window, so the per-anchor
+    candidate set is already negatives-only when ranked. Output:
+    (query_id, neg_id, cos, rank)."""
+    corpus = emb.select(
+        F.col(id_col).alias("neg_id"),
+        F.col(label_col).alias("__lbl"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__nv"),
+    )
+    qs = anchors.select(
+        F.col(qid_col).alias("query_id"),
+        F.col(qlabel_col).alias("__qlbl"),
+        F.col(qvec_col).alias("__qv"),
+        norm(F.col(qvec_col)).alias("__nq"),
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .filter(F.col("__lbl") != F.col("__qlbl"))
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(
+                cosine_pre(F.col("__v"), F.col("__qv"), F.col("__nv"), F.col("__nq")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -2673,3 +2673,37 @@ def substring_dedup_apply(spark, sf_dir):
     return D.substring_dedup_apply(d, "doc_id", "text", k=8).withColumnRenamed(
         "doc", "doc_id"
     )
+
+
+@q(
+    "hard_negatives",
+    f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, e.vec_id AS neg_id,
+             round({_ANN_COS}, 6) AS cos
+      FROM embeddings e, embeddings q
+      WHERE q.vec_id < 8 AND e.label <> q.label
+    ), ranked AS (
+      SELECT query_id, neg_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neg_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining (contrastive/dual-encoder training data):
+    for each of 8 anchor vectors, the 5 most-cosine-similar corpus
+    vectors with a DIFFERENT label — near-but-wrong negatives. Rides
+    the `cosine_topk` plan shape (broadcast anchors, streaming corpus,
+    partial grouped limit below the exchange); the label filter prunes
+    below the window. The scale path swaps the brute-force scorer for
+    the LSH/IVF candidate generators in `operators/similarity.py`
+    exactly as ANN does."""
+    e = tbl(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    return SIM.hard_negatives(e, anchors, k=5)
