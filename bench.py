@@ -132,6 +132,9 @@ HEADLINE = [
     "substring_dedup",              # arbitrary-offset exact-substring dedup (k-gram anchors)
     "dsl_auto_index_join",          # auto-indexed lookup under a comprehension → broadcast join
     "dsl_auto_index_dist",          # distributed dict index above FOLD_COLLECT_LIMIT
+    "substring_dedup_apply",        # cleaned-corpus output, ordered reassembly
+    "hard_negatives",               # label-mismatch cosine top-k mining
+    "shuffle_shards",               # deterministic global shuffle + sharding
 ]
 
 

@@ -256,21 +256,24 @@ PRIORITY = (
     "incremental_groupby", "incremental_join", "incremental_multi_index",
     "tpch_q15_shape",
     # (B) round-7 additions — driver evidence in the round they land
-    # (text_salient cedes its (D) slot to substring_dedup and defers
-    # to round 8 with the other isolated-premise r3 rows)
+    # (text_salient / cube_agg / nested_collections / percentile_cont
+    # cede their (D) slots to the late-round additions and defer to
+    # round 8 with the other isolated-premise r3 rows: never-checked
+    # queries outrank r3-row refreshes, the r5 (A) rule)
     "dsl_auto_index_join", "dsl_auto_index_dist", "substring_dedup",
+    "substring_dedup_apply", "hard_negatives", "shuffle_shards",
     # (C) oldest-evidence refresh, r2 rows (the named r7 candidates)
     "agg_sum_count", "coq_div_mod", "dict_fold", "distinct_agg",
     "groupby_agg", "outer_join", "quantile_disc", "set_ops",
     "topk_per_group",
     # (D) oldest-evidence refresh, r3 rows (25 of the 31 remaining;
     # cms_tokens / hll_users / multimodal_frames / multimodal_resize /
-    # sample_group_k / text_tokens / text_salient hold the most isolated
+    # sample_group_k / text_tokens / text_salient / cube_agg /
+    # nested_collections / percentile_cont hold the most isolated
     # premises and defer to round 8) + pagerank3 (named candidate, r4 row)
-    "asof_join", "bucketed_join", "cube_agg", "dedup_editdist",
+    "asof_join", "bucketed_join", "dedup_editdist",
     "dedup_exact", "incremental_min_orders", "incremental_sum",
-    "json_extract", "multimodal_bytes", "nested_collections",
-    "percentile_cont", "pipeline_e2e", "range_join_binned",
+    "json_extract", "multimodal_bytes", "pipeline_e2e", "range_join_binned",
     "rollup_multires", "sample_strata", "sessionize", "sink_roundtrip",
     "stream_stream_join", "stream_window_agg", "text_fingerprint",
     "text_quality", "tpch_q3_shape", "window_frames",
