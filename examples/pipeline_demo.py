@@ -102,6 +102,25 @@ def main() -> None:
         F.col("n_kept") * 2 >= F.col("n_segs")
     ).select(F.col("doc").alias("doc_id"))
     near = near.join(fresh_enough, "doc_id")
+
+    # 3c. arbitrary-offset substring removal: scrub verbatim passages the
+    # fixed segments miss (Lee et al. 2022; `substring_dedup_apply` in
+    # the gate) — the surviving docs continue with their CLEANED text
+    cleaned = D.substring_dedup_apply(near, "doc_id", "text", k=8)
+    near = (
+        near.drop("text")
+        .join(
+            cleaned.select(
+                F.col("doc").alias("doc_id"), F.col("kept_text").alias("text")
+            ),
+            "doc_id",
+        )
+        .filter(F.length("text") > 0)
+    )
+    # materialize once (checkpoint blocks, swept below): every later
+    # stage re-derives from `near`, and without this each downstream
+    # action would re-run the whole substring pass
+    near = near.localCheckpoint()
     n_span = near.count()
 
     # 4. decontaminate: 3-gram overlap vs a held-out slice ----------------
@@ -162,6 +181,11 @@ def main() -> None:
     print(f"training docs (mixed)  : {n_packed}")
     print(f"context windows packed : {n_packs}")
     print(f"split sizes            : {split_counts}")
+
+    # demo owns its session: reclaim the checkpoint blocks it made
+    from fiat2_spark.session import release_checkpoint_blocks
+
+    release_checkpoint_blocks(spark)
 
 
 if __name__ == "__main__":
