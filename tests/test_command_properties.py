@@ -38,19 +38,19 @@ def _int_expr(loop_var: str | None):
     return st.one_of(consts, uses)
 
 
-def _insert(key: A.Expr, val: A.Expr) -> A.Command:
-    """t := {id: key, tag: if val<4 then 'cold' else 'hot', v: val} :: !t"""
+def _insert(key: A.Expr, val: A.Expr, tbl: str = "t") -> A.Command:
+    """tbl := {id: key, tag: if val<4 then 'cold' else 'hot', v: val} :: !tbl"""
     tag = A.EIf(
         A.EBinop("OLess", val, A.EAtom(A.AInt(4))),
         A.EAtom(A.AString("cold")),
         A.EAtom(A.AString("hot")),
     )
     return A.CAssign(
-        "t",
+        tbl,
         A.EBinop(
             "OCons",
             A.ERecord((("id", key), ("tag", tag), ("v", val))),
-            A.ELoc("t"),
+            A.ELoc(tbl),
         ),
     )
 
@@ -85,7 +85,7 @@ def _min_fold() -> A.Expr:
     )
 
 
-def _lookup(key: A.Expr, residual_lt: int | None = None) -> A.Expr:
+def _lookup(key: A.Expr, residual_lt: int | None = None, tbl: str = "t") -> A.Expr:
     """sort [ x <- !t, check(x.id == key [and x.v < c]), ret x.v ] —
     the optional conjunct exercises the index-scan + residual-filter
     rewrite (r7 extension of eq_filter_to_lookup)."""
@@ -99,7 +99,7 @@ def _lookup(key: A.Expr, residual_lt: int | None = None) -> A.Expr:
     return A.ESort(
         "LikeList",
         A.EFlatmap(
-            "LikeList", A.ELoc("t"), "x",
+            "LikeList", A.ELoc(tbl), "x",
             A.EIf(
                 guard,
                 A.EBinop("OCons", A.EAccess(A.EVar("x"), "v"), INT_NIL),
@@ -129,9 +129,44 @@ def _command(draw, depth: int = 0, loop_var: str | None = None, slot_ctr=None):
     if depth == 0:
         # bias toward the Ex_Orders skeleton (loop { lookup; insert })
         # so DictIdx choices are exercised, not just Sum/Min/Bitmap —
-        # a loop-varying lookup key is what makes the analyzer pick one
-        kinds += ["orders_shape", "orders_shape"]
+        # a loop-varying lookup key is what makes the analyzer pick one;
+        # letmut_shape runs the same skeleton over a CLetMut-BOUND table
+        # (apply_below_letmut places the auxes under the binder)
+        kinds += ["orders_shape", "orders_shape", "letmut_shape"]
     kind = draw(st.sampled_from(kinds))
+    if kind == "letmut_shape":
+        init = A.EFilter(
+            "LikeBag",
+            A.ELoc("t"),
+            "x",
+            A.EBinop(
+                "OLess",
+                A.EAccess(A.EVar("x"), "v"),
+                A.EAtom(A.AInt(draw(st.integers(4, 10)))),
+            ),
+        )
+        loop_u = A.CForeach(
+            A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(4))),
+            "n",
+            A.CLet(
+                _lookup(
+                    A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2))), tbl="u"
+                ),
+                "ps",
+                A.CForeach(
+                    A.EVar("ps"),
+                    "p",
+                    _insert(
+                        A.EBinop("OPlus", A.EVar("p"), A.EAtom(A.AInt(1))),
+                        A.EVar("p"),
+                        tbl="u",
+                    ),
+                ),
+            ),
+        )
+        slot_ctr[0] += 1
+        read_u = A.CAssign(f"out{slot_ctr[0]}", A.EUnop("OLength", A.ELoc("u")))
+        return A.CLetMut(init, "u", A.CSeq(loop_u, read_u))
     if kind == "orders_shape":
         lv = "n"
         body = A.CLet(
