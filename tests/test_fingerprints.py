@@ -110,3 +110,19 @@ def test_real_registry_reaches_engine_functions():
     assert any("plans.compile" in l for l in dsl_labels)
     # session bootstrap is in every premise
     assert "fiat2_spark.session.get_spark" in labels & dsl_labels
+
+
+def test_fingerprint_independent_of_lazy_submodule_imports():
+    """Regression (r7): `from fiat2_spark.operators import sketches`
+    resolves via getattr on the package, which only works once the
+    submodule is imported — so a query's fingerprint differed depending
+    on whether it had EXECUTED in the fingerprinting process (the gate
+    runs queries first; a fresh process doesn't). The resolver now
+    imports the submodule explicitly: the lazily-imported operator
+    functions must be in the closure without any execution."""
+    from fiat2_spark.session import get_spark
+    from fiat2_spark.workloads import QUERIES
+    from tools.fingerprints import _reachable_sources
+
+    labels = {l for l, _ in _reachable_sources(QUERIES["cms_tokens"], get_spark)}
+    assert any("operators.sketches" in l for l in labels), sorted(labels)

@@ -270,7 +270,15 @@ def _names_in(src: str, mod, allowed: set[str] | None = None):
             for a in node.names:
                 got = getattr(sub, a.name, _MISSING)
                 if got is _MISSING:
-                    continue
+                    # `from pkg import submodule`: the attribute only
+                    # exists once the submodule has been imported — a
+                    # fingerprint must not depend on whether the query
+                    # RAN first in this process (found live: cms/hll
+                    # hashes differed pre/post execution)
+                    try:
+                        got = __import__(f"{node.module}.{a.name}", fromlist=["_"])
+                    except ImportError:
+                        continue
                 aliases[a.asname or a.name] = got
                 if not isinstance(got, types.ModuleType):
                     yield got
