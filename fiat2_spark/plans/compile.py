@@ -580,6 +580,21 @@ def _as_dict_lookup(e: A.Expr):
     return None
 
 
+def _is_cons_to_insert_prior(prior, d, k) -> bool:
+    """True iff ``prior`` is the compiler-emitted cons_to_insert tail
+    (_update_cmd, DictIndexImpl.v:571-588): ``optmatch (lookup d k)
+    nil __b __b`` with the SAME dict and key expressions (structural
+    equality — AST nodes are frozen dataclasses). Only this shape
+    means "append to the existing bucket", which is what
+    DistDictIndex.insert_row's O(1) pending append implements."""
+    match prior:
+        case A.EOptMatch(
+            A.EBinop("OLookup", d2, k2), A.EAtom(A.ANil(_)), b, A.EVar(b2)
+        ) if b == b2:
+            return d2 == d and k2 == k
+    return False
+
+
 def _is_dist_dict(v) -> bool:
     from fiat2_spark.streaming.maintenance import DistDictIndex
 
@@ -885,10 +900,18 @@ def _try_driver_eval(e: A.Expr, env: dict):
             # distributed-index maintenance: the cons_to_insert shape
             # (OInsert d k (r :: lookup-or-nil)) must NOT evaluate the
             # prior bucket (a Spark job per insert) — append the row to
-            # the index's O(1) pending list instead
+            # the index's O(1) pending list instead. The O(1) shortcut
+            # is only sound for the compiler-emitted maintenance shape
+            # (_update_cmd, DictIndexImpl.v:571-588): prior must be
+            # `optmatch (lookup d k) nil b b` over the SAME d and k —
+            # any other cons tail (e.g. bucket replacement `r :: nil`)
+            # has replace semantics, which in-place append would
+            # silently corrupt, so those fall through to _NO_DRIVER.
             case A.ETernop("OInsert", d, k, A.EBinop("OCons", rexp, _prior)):
                 dv = ev(d, env2)
                 if _is_dist_dict(dv):
+                    if not _is_cons_to_insert_prior(_prior, d, k):
+                        return _NO_DRIVER
                     kv = ev(k, env2)
                     rv = ev(rexp, env2)
                     if _NO_DRIVER in (kv, rv):

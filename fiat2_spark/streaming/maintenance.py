@@ -297,22 +297,36 @@ class DedupCorpus:
         self.seen, self._blocks = local_checkpoint_tracked(
             base.select(fp_col).distinct()
         )
+        self._out_blocks: frozenset = frozenset()
 
     def ingest(self, batch: DataFrame) -> DataFrame:
         """Returns the batch's novel documents (one per new fingerprint,
         min id); updates the seen set, retiring the superseded seen
-        snapshot's blocks. The returned ``novel`` checkpoint belongs to
-        the caller (swept by the session owner once consumed)."""
+        snapshot's blocks AND the previous batch's output blocks — the
+        returned DataFrame is valid until the next ``ingest`` (the
+        index discipline: a long-lived stream never needs the global
+        checkpoint sweep, which would free live state). ``close()``
+        frees the final state + last output."""
         collapsed = batch.groupBy(self.fp_col).agg(
             F.min(self.id_col).alias(self.id_col)
         )
-        novel = collapsed.join(self.seen, self.fp_col, "left_anti").localCheckpoint()
-        prev = self._blocks
+        novel, out_blocks = local_checkpoint_tracked(
+            collapsed.join(self.seen, self.fp_col, "left_anti")
+        )
+        prev = self._blocks | self._out_blocks
         self.seen, self._blocks = local_checkpoint_tracked(
             self.seen.unionByName(novel.select(self.fp_col))
         )
+        self._out_blocks = out_blocks
         release_blocks(self.seen.sparkSession, prev)
         return novel
+
+    def close(self) -> int:
+        """Free the live state and last output blocks; the corpus is
+        unusable afterwards. Returns the number of blocks freed."""
+        n = release_blocks(self.seen.sparkSession, self._blocks | self._out_blocks)
+        self._blocks = self._out_blocks = frozenset()
+        return n
 
 
 def dedup_corpus_foreach_batch(stream: DataFrame, corpus: DedupCorpus, sink: list):
@@ -353,6 +367,7 @@ class SpanDedupCorpus:
         self.seen, self._blocks = local_checkpoint_tracked(
             spark.createDataFrame([], "seg_key string")
         )
+        self._out_blocks: frozenset = frozenset()
 
     def _segments(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from fiat2_spark.operators.dedup import _segmented, segment_digests
@@ -362,22 +377,33 @@ class SpanDedupCorpus:
     def ingest(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         """Returns per-doc kept stats (doc, n_kept, n_kept_tokens) for
         this batch's corpus-novel first-occurrence segments; updates the
-        seen set. Documents whose segments are all already seen get no
-        row (the batch-level caller may left-join totals if needed)."""
+        seen set, retiring the superseded snapshot AND the previous
+        batch's output blocks (results valid until the next ingest —
+        no global sweep needed while the corpus is live). Documents
+        whose segments are all already seen get no row."""
         segs = self._segments(docs, id_col, text_col)
         keepers = segs.groupBy("seg_key").agg(
             F.min(F.struct("doc", "seg_idx", "seg_tok")).alias("k")
         )
-        novel = keepers.join(self.seen, "seg_key", "left_anti").localCheckpoint()
-        prev = self._blocks
+        novel, out_blocks = local_checkpoint_tracked(
+            keepers.join(self.seen, "seg_key", "left_anti")
+        )
+        prev = self._blocks | self._out_blocks
         self.seen, self._blocks = local_checkpoint_tracked(
             self.seen.unionByName(novel.select("seg_key"))
         )
+        self._out_blocks = out_blocks
         release_blocks(self.seen.sparkSession, prev)
         return novel.groupBy(F.col("k.doc").alias("doc")).agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
             F.sum("k.seg_tok").cast("long").alias("n_kept_tokens"),
         )
+
+    def close(self) -> int:
+        """Free the live state and last output blocks."""
+        n = release_blocks(self.seen.sparkSession, self._blocks | self._out_blocks)
+        self._blocks = self._out_blocks = frozenset()
+        return n
 
 
 class SubstringDedupCorpus:
@@ -399,6 +425,7 @@ class SubstringDedupCorpus:
         self.seen, self._blocks = local_checkpoint_tracked(
             spark.createDataFrame([], "gram string")
         )
+        self._out_blocks: frozenset = frozenset()
 
     def _grams(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         from fiat2_spark.operators.text import tokens as toks_of
@@ -460,14 +487,21 @@ class SubstringDedupCorpus:
                 F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
                 F.sum("n_g").cast("long").alias("n_dup_grams"),
             )
-            .localCheckpoint()
         )
-        prev = self._blocks
+        out, out_blocks = local_checkpoint_tracked(out)
+        prev = self._blocks | self._out_blocks
         self.seen, self._blocks = local_checkpoint_tracked(
             self.seen.unionByName(grams.select("gram").distinct()).distinct()
         )
+        self._out_blocks = out_blocks
         release_blocks(self.seen.sparkSession, prev)
         return out
+
+    def close(self) -> int:
+        """Free the live state and last output blocks."""
+        n = release_blocks(self.seen.sparkSession, self._blocks | self._out_blocks)
+        self._blocks = self._out_blocks = frozenset()
+        return n
 
 
 def substring_dedup_corpus_foreach_batch(
@@ -617,7 +651,10 @@ class DistDictIndex:
 
     def insert_row(self, key, row) -> "DistDictIndex":
         d = row.asDict(recursive=True) if hasattr(row, "asDict") else dict(row)
-        self.pending.append({self.attr: key, **d})
+        # key wins: lookup() probes pending rows by p[self.attr], so a
+        # row whose own attr differs from the insert key must still be
+        # found under the key it was inserted with
+        self.pending.append({**d, self.attr: key})
         return self
 
     def _pending_df(self) -> DataFrame | None:

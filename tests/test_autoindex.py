@@ -741,3 +741,65 @@ def _has_scan_read(c, t: str) -> bool:
                     if isinstance(sub, (A.Expr, A.Command)) and _has_scan_read(sub, t):
                         return True
     return False
+
+
+def test_dist_index_oinsert_only_fires_on_cons_to_insert_shape(spark):
+    """The driver-eval OInsert fast path mutates a DistDictIndex in
+    place, which is only the right semantics for the compiler-emitted
+    cons_to_insert tail ``optmatch (lookup d k) nil b b`` over the SAME
+    d and k (DictIndexImpl.v:571-588). Any other cons tail — e.g.
+    bucket REPLACEMENT ``r :: nil`` — must fall through to _NO_DRIVER
+    instead of silently appending (semantics would otherwise flip based
+    on whether the table crossed FOLD_COLLECT_LIMIT)."""
+    from fiat2_spark.plans.compile import _NO_DRIVER, _try_driver_eval
+    from fiat2_spark.streaming.maintenance import DistDictIndex
+
+    base = spark.createDataFrame([(2, 20)], "id long, price long")
+    idx = DistDictIndex(base, "id")
+    env = {"d": ("py", idx), "r": ("py", {"id": 5, "price": 50})}
+    key = A.EAtom(A.AInt(5))
+
+    def oinsert(prior):
+        return A.ETernop(
+            "OInsert", A.EVar("d"), key, A.EBinop("OCons", A.EVar("r"), prior)
+        )
+
+    good = oinsert(
+        A.EOptMatch(
+            A.EBinop("OLookup", A.EVar("d"), key), INT_NIL, "__b", A.EVar("__b")
+        )
+    )
+    assert _try_driver_eval(good, env) is idx
+    assert len(idx.pending) == 1
+
+    # bucket replacement (r :: nil): NOT append semantics
+    assert _try_driver_eval(oinsert(INT_NIL), env) is _NO_DRIVER
+    # lookup of a DIFFERENT key: not this bucket's prior
+    other = A.EOptMatch(
+        A.EBinop("OLookup", A.EVar("d"), A.EAtom(A.AInt(6))),
+        INT_NIL,
+        "__b",
+        A.EVar("__b"),
+    )
+    assert _try_driver_eval(oinsert(other), env) is _NO_DRIVER
+    # lookup of a DIFFERENT dict: likewise
+    env2 = {**env, "d2": ("py", idx)}
+    mixed = A.EOptMatch(
+        A.EBinop("OLookup", A.EVar("d2"), key), INT_NIL, "__b", A.EVar("__b")
+    )
+    assert _try_driver_eval(oinsert(mixed), env2) is _NO_DRIVER
+    assert len(idx.pending) == 1, "guarded shapes must not touch the index"
+
+
+def test_dist_index_insert_key_wins_over_row_attr(spark):
+    """insert_row({attr: other}) under key k must index the row under
+    k — lookup() probes pending rows by p[attr], so the insert key has
+    to win over the row's own attr value."""
+    from fiat2_spark.streaming.maintenance import DistDictIndex
+
+    base = spark.createDataFrame([(2, 20)], "id long, price long")
+    idx = DistDictIndex(base, "id")
+    idx.insert_row(5, {"id": 999, "price": 50})
+    got = idx.lookup(5)
+    assert got is not None and got[0]["id"] == 5 and got[0]["price"] == 50
+    assert idx.lookup(999) is None

@@ -126,3 +126,42 @@ def test_fingerprint_independent_of_lazy_submodule_imports():
 
     labels = {l for l, _ in _reachable_sources(QUERIES["cms_tokens"], get_spark)}
     assert any("operators.sketches" in l for l in labels), sorted(labels)
+
+
+_V6 = """
+from dataclasses import dataclass
+
+def impl(x):
+    return x + 1
+
+@dataclass(frozen=True)
+class Handler:
+    fn: object
+    tag: str
+
+H = Handler(impl, "h")
+
+def query(x):
+    return H.fn(x)
+"""
+
+# impl changed: reachable only THROUGH the dataclass field
+_V7 = _V6.replace("return x + 1", "return x + 2")
+
+
+def test_dataclass_instance_with_callable_field_is_stable(tmp_path):
+    """A module-level dataclass instance whose field holds a callable
+    must fingerprint identically across interpreter loads: repr() of
+    such a field embeds an id()-based 0x address, so _render has to
+    recurse over field values instead of trusting repr (ADVICE r7)."""
+    fp1 = _fp_of(tmp_path, _V6)
+    fp2 = _fp_of(tmp_path, _V6)  # reload → impl gets a new address
+    assert fp1 == fp2, "dataclass-instance render must not embed object ids"
+
+
+def test_dataclass_field_edit_deltas(tmp_path):
+    """The callable behind the dataclass field is part of the reachable
+    closure — editing it must delta the query."""
+    fp1 = _fp_of(tmp_path, _V6)
+    fp2 = _fp_of(tmp_path, _V7)
+    assert fp1 != fp2

@@ -568,3 +568,54 @@ def test_substring_dedup_corpus_streaming_matches_batch(spark):
         if r["n_spans"] > 0
     }
     assert got == oneshot and len(got) >= 10, (got, oneshot)
+
+
+def test_corpus_ingest_outputs_tracked_and_retired(spark):
+    """Each corpus class must track its per-batch output checkpoint
+    blocks and retire the previous batch's output on the next ingest —
+    a long-lived stream must never need the global checkpoint sweep
+    (unsafe while the index is live: it would free the truncated-lineage
+    state blocks). close() frees the final state + last output."""
+    from fiat2_spark.streaming.maintenance import (
+        DedupCorpus,
+        SpanDedupCorpus,
+        SubstringDedupCorpus,
+    )
+
+    def live_ids():
+        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+
+    base = spark.createDataFrame([("a", 1)], "fp string, doc_id long")
+    corpus = DedupCorpus(base, "fp", "doc_id")
+    out1 = corpus.ingest(spark.createDataFrame([("b", 2)], "fp string, doc_id long"))
+    assert out1.count() == 1
+    blocks1 = corpus._out_blocks
+    assert blocks1, "ingest output must be block-tracked"
+    out2 = corpus.ingest(spark.createDataFrame([("c", 3)], "fp string, doc_id long"))
+    assert out2.count() == 1
+    assert not (blocks1 & live_ids()), "batch-1 output blocks must be retired"
+    # the index stays fully usable after retirement — no sweep involved
+    out3 = corpus.ingest(spark.createDataFrame([("b", 9)], "fp string, doc_id long"))
+    assert out3.count() == 0
+    final = corpus._blocks | corpus._out_blocks
+    corpus.close()
+    assert not (final & live_ids()), "close() must free state + last output"
+
+    docs = "doc_id long, text string"
+    span = SpanDedupCorpus(spark, seg_len=2)
+    span.ingest(spark.createDataFrame([(1, "a b c d")], docs), "doc_id", "text")
+    sb1 = span._out_blocks
+    span.ingest(spark.createDataFrame([(2, "a b x y")], docs), "doc_id", "text")
+    assert sb1 and not (sb1 & live_ids())
+    sfinal = span._blocks | span._out_blocks
+    span.close()
+    assert not (sfinal & live_ids())
+
+    sub = SubstringDedupCorpus(spark, k=3)
+    sub.ingest(spark.createDataFrame([(1, "a b c d e")], docs), "doc_id", "text")
+    ub1 = sub._out_blocks
+    sub.ingest(spark.createDataFrame([(2, "a b c d z")], docs), "doc_id", "text")
+    assert ub1 and not (ub1 & live_ids())
+    ufinal = sub._blocks | sub._out_blocks
+    sub.close()
+    assert not (ufinal & live_ids())

@@ -159,9 +159,17 @@ def _render(obj, enqueue) -> str:
             return f"<engine:{_label(obj)}>"
         return f"<ext:{getattr(obj, '__module__', '?')}.{getattr(obj, '__qualname__', type(obj).__qualname__)}>"
     if dataclasses.is_dataclass(obj):
+        # recurse over field VALUES rather than trusting repr(): a field
+        # holding a callable/module/non-dataclass object embeds an
+        # id()-based address in repr, which would make the committed
+        # fingerprint unstable across processes
         if _is_engine(type(obj)):
             enqueue(type(obj))
-        return repr(obj)  # dataclass repr is field-based, deterministic
+        fields = ",".join(
+            f"{f.name}={_render(getattr(obj, f.name), enqueue)}"
+            for f in dataclasses.fields(obj)
+        )
+        return f"dc:{type(obj).__qualname__}({fields})"
     t = type(obj)
     if _is_engine(t):
         enqueue(t)
