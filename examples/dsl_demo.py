@@ -130,6 +130,82 @@ def main() -> None:
     run_command(prog2, store, {}, spark)
     print("== command layer ran (let mut + OCons insert + set) ==")
 
+    # Automatic index selection (plans/autoindex.py, the reference's
+    # OptimizeAnno heuristics, Ex_Orders.v:69-76): a loop doing an
+    # eq-lookup of `inv` per iteration and appending the hits to
+    # `orders_mut`, then reading its sum. The analyzer picks DictIdx
+    # for the looked-up table and SumAgg for the folded one;
+    # `explain=True` prints the decision — the engine's analog of the
+    # reference's user-visible per-program `heuristics` lists
+    # (Ex_Employee.v:37-45).
+    from fiat2_spark.plans.autoindex import run_command_auto
+
+    int_nil = A.EAtom(A.ANil(A.TInt()))
+    inv_lookup = A.ESort(
+        "LikeList",
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("inv"),
+            "item",
+            A.EIf(
+                A.EBinop(
+                    "OEq",
+                    A.EAccess(A.EVar("item"), "id"),
+                    A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2))),
+                ),
+                A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), int_nil),
+                int_nil,
+            ),
+        ),
+    )
+    insert = A.CAssign(
+        "orders_mut",
+        A.EBinop(
+            "OCons",
+            A.ERecord((
+                ("id", A.EBinop("OTimes", A.EVar("n"), A.EAtom(A.AInt(2)))),
+                ("price", A.EVar("price")),
+            )),
+            A.ELoc("orders_mut"),
+        ),
+    )
+    sum_read = A.EFold(
+        A.EFlatmap(
+            "LikeList",
+            A.ELoc("orders_mut"),
+            "item",
+            A.EBinop("OCons", A.EAccess(A.EVar("item"), "price"), int_nil),
+        ),
+        A.EAtom(A.AInt(0)),
+        "_v",
+        "_acc",
+        A.EBinop("OPlus", A.EVar("_v"), A.EVar("_acc")),
+    )
+    prog3 = A.CSeq(
+        A.CForeach(
+            A.EBinop("ORange", A.EAtom(A.AInt(1)), A.EAtom(A.AInt(4))),
+            "n",
+            A.CLet(
+                inv_lookup,
+                "item_price",
+                A.CForeach(A.EVar("item_price"), "price", insert),
+            ),
+        ),
+        A.CAssign("out_sum", sum_read),
+    )
+    st3 = Store()
+    st3.assign(
+        "inv",
+        spark.createDataFrame(
+            [(2, 20), (4, 40), (6, 60), (7, 70)], "id long, price long"
+        ),
+    )
+    st3.assign(
+        "orders_mut", spark.createDataFrame([(100, 5)], "id long, price long")
+    )
+    _, report = run_command_auto(prog3, st3, {}, spark, explain=True)
+    print(f"== auto-indexed run: out_sum = {st3.get('out_sum')} ==")
+
 
 if __name__ == "__main__":
     main()

@@ -98,6 +98,40 @@ class AutoIndexReport:
     aux: dict[str, tuple[str, str]]  # aux slot -> (table, description)
     command: A.Command | None = None
 
+    _MAINT = {
+        "dict_idx": "cons_to_insert (DictIndexImpl.v:571-588)",
+        "bitmap_idx": "cons_to_bitmap_update (BitmapIndex.v)",
+        "sum_agg": "cons_to_add (SumAgg.v:150-156)",
+        "min_agg": "cons_to_min (MinAgg.v:150-162)",
+    }
+
+    def explain(self) -> str:
+        """Human-readable rendering of the index decision — the analog
+        of the reference's user-visible per-program ``heuristics`` lists
+        (Ex_Employee.v:37-45): which table got which aux structure, the
+        introduced store slot, and the O(1) maintenance rule each insert
+        pays. Printed by ``run_command_auto(explain=True)``."""
+        lines = ["== auto-index plan =="]
+        if not self.choices:
+            lines.append("  (no indexable read patterns found — command runs as written)")
+            return "\n".join(lines)
+        slot_of = {
+            (t, desc): slot for slot, (t, desc) in self.aux.items()
+        }
+        for t in sorted(self.choices):
+            lines.append(f"  table `{t}`:")
+            for ch in self.choices[t]:
+                desc = ch.kind + ":" + ch.attr
+                slot = slot_of.get((t, desc), "(not introduced)")
+                detail = f"key={ch.attr}"
+                if getattr(ch, "val", None) is not None:
+                    detail += f", val={ch.val!r}"
+                lines.append(
+                    f"    {ch.kind}({detail}) -> aux slot `{slot}`; "
+                    f"maintenance: {self._MAINT.get(ch.kind, ch.kind)}"
+                )
+        return "\n".join(lines)
+
 
 # -- shape recognizers ------------------------------------------------------
 
@@ -748,12 +782,16 @@ def apply_auto_index(
     return out, report
 
 
-def run_command_auto(c: A.Command, store, env, spark, typecheck: bool = True):
+def run_command_auto(
+    c: A.Command, store, env, spark, typecheck: bool = True, explain: bool = False
+):
     """`run_command` with automatic index selection: derive (Gstore,
     Genv) from the live store/env the way the interpreter's typecheck
     entry does, choose indexes, rewrite, execute. Returns
     (store, AutoIndexReport) — the report is the evidence surface for
-    'the views were auto-introduced'."""
+    'the views were auto-introduced'. ``explain=True`` prints the
+    decision (`AutoIndexReport.explain`) before executing, the way the
+    reference surfaces its per-program ``heuristics`` lists."""
     from pyspark.sql import DataFrame
 
     from fiat2_spark.plans.interp import run_command
@@ -773,5 +811,7 @@ def run_command_auto(c: A.Command, store, env, spark, typecheck: bool = True):
             raise TypeError("run_command_auto needs a statically-typed env")
     choices = choose_indexes(c, set(gstore))
     c2, report = apply_auto_index(c, gstore, genv, choices)
+    if explain:
+        print(report.explain(), flush=True)
     run_command(c2, store, env, spark, typecheck=typecheck)
     return store, report

@@ -38,6 +38,15 @@ def test_pipeline_demo_runs(spark, capsys):
 def test_dsl_demo_runs(spark, capsys):
     out = _run("examples/dsl_demo.py", capsys)
     assert out.strip()
+    # the auto-index EXPLAIN surface (VERDICT r7 task 8): the demo must
+    # print the decision — table, structure, aux slot, maintenance rule
+    # — the analog of Ex_Employee.v:37-45's visible heuristics lists
+    assert "== auto-index plan ==" in out
+    assert "dict_idx(key=id)" in out
+    assert "__idx_dict__inv__id" in out
+    assert "cons_to_insert" in out
+    assert "sum_agg(key=price)" in out
+    assert "out_sum = 125" in out  # 5 + 20 + 40 + 60
 
 
 def test_olap_demo_runs(spark, capsys):

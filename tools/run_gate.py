@@ -21,6 +21,26 @@ from tests.oracle import compare, duck_conn
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # record exactly which commit the gate artifacts cover (VERDICT r7
+    # task 7): the streak rule is "gate at the final engine-code
+    # commit", so the log itself must carry the hash — a verifier
+    # should not have to reconstruct it from commit timestamps
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=repo
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], capture_output=True, text=True, cwd=repo
+        ).stdout.strip()
+        print(
+            f"gate-commit: {head or '(unknown)'}{' (dirty)' if dirty else ''}  sf_dir={sf_dir}",
+            flush=True,
+        )
+    except OSError:
+        print(f"gate-commit: (git unavailable)  sf_dir={sf_dir}", flush=True)
     spark = get_spark(app_name="fiat2-gate")
     con = duck_conn(sf_dir)
     failures = []
