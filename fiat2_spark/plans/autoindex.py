@@ -410,7 +410,11 @@ def choose_indexes(c: A.Command, store_tables: set[str] | None = None) -> dict[s
             if hit is not None:
                 attr, key, _x, _body, _tag, _nil, residual = hit
                 cv = _const_str(key)
-                if cv is not None and residual is None:
+                if cv is not None:
+                    # residual-carrying sites qualify too: the rewrite
+                    # becomes bitmap-scan + residual filter, same as
+                    # DictIdx conjunction sites (BitmapIndex.v:811-831
+                    # composed under IndexTransf.v:862-872)
                     bitmap_keys.add((attr, cv))
                 elif cv is None and (
                     in_loop or any(_mentions(key, b, None) for b in binders)
@@ -665,17 +669,31 @@ def apply_auto_index(
                         isinstance(ch, BitmapIdxChoice)
                         and ch.attr == attr
                         and _const_str(key) == ch.val
-                        and residual is None
                     ):
                         if body is None:
+                            if residual is not None:
+                                # bitmap-scan + residual filter, the
+                                # same index-scan+residual plan DictIdx
+                                # sites get (BitmapIndex.v:811-831 under
+                                # IndexTransf.v:862-872); EFilter
+                                # re-canonicalizes per its own tag
+                                return A.EFilter(
+                                    tag, A.ELoc(aux), x,
+                                    rewrite_expr(residual, active, row_tys),
+                                )
                             # re-canonicalize the list-typed aux to the
                             # read site's collection tag
                             if tag == "LikeSet":
                                 return A.ESetOf(A.ELoc(aux))
                             return A.EBagOf(A.ELoc(aux))
-                        return A.EFlatmap(
-                            tag, A.ELoc(aux), x, rewrite_expr(body, active, row_tys)
-                        )
+                        new_body = rewrite_expr(body, active, row_tys)
+                        if residual is not None:
+                            new_body = A.EIf(
+                                rewrite_expr(residual, active, row_tys),
+                                new_body,
+                                nil,
+                            )
+                        return A.EFlatmap(tag, A.ELoc(aux), x, new_body)
         # structural recursion
         import dataclasses
 

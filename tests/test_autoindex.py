@@ -803,3 +803,83 @@ def test_dist_index_insert_key_wins_over_row_attr(spark):
     got = idx.lookup(5)
     assert got is not None and got[0]["id"] == 5 and got[0]["price"] == 50
     assert idx.lookup(999) is None
+
+
+def test_bitmap_idx_residual_conjunction_rewrites(spark):
+    """A constant-key eq-filter carrying an extra conjunct (cat='hot'
+    AND v<5) must still be served by the bitmap aux, with the non-eq
+    conjunct kept as a residual filter over the selected set — the same
+    index-scan + residual plan DictIdx conjunction sites get
+    (BitmapIndex.v:811-831 composed under IndexTransf.v:862-872).
+    Before r8 these sites stayed full scans."""
+    insert_loop = A.CForeach(
+        A.EBinop("ORange", A.EAtom(A.AInt(0)), A.EAtom(A.AInt(3))),
+        "n",
+        A.CAssign(
+            "t",
+            A.EBinop(
+                "OCons",
+                A.ERecord((
+                    ("cat", A.EIf(
+                        A.EBinop("OEq", A.EVar("n"), A.EAtom(A.AInt(1))),
+                        A.EAtom(A.AString("hot")),
+                        A.EAtom(A.AString("cold")),
+                    )),
+                    ("v", A.EVar("n")),
+                )),
+                A.ELoc("t"),
+            ),
+        ),
+    )
+    conj = lambda: A.EBinop(  # noqa: E731
+        "OAnd",
+        A.EBinop("OEq", A.EAccess(A.EVar("x"), "cat"), A.EAtom(A.AString("hot"))),
+        A.EBinop("OLess", A.EAccess(A.EVar("x"), "v"), A.EAtom(A.AInt(5))),
+    )
+    # EFilter form (body-None) and comprehension form (ret body)
+    read_len = A.CAssign(
+        "out_len",
+        A.EUnop("OLength", A.EFilter("LikeBag", A.ELoc("t"), "x", conj())),
+    )
+    read_vals = A.CAssign(
+        "out_vals",
+        A.ESort(
+            "LikeList",
+            A.EFlatmap(
+                "LikeList", A.ELoc("t"), "x",
+                A.EIf(
+                    conj(),
+                    A.EBinop("OCons", A.EAccess(A.EVar("x"), "v"), INT_NIL),
+                    INT_NIL,
+                ),
+            ),
+        ),
+    )
+    prog = A.CSeq(insert_loop, A.CSeq(read_len, read_vals))
+    ch = choose_indexes(prog, {"t"})
+    assert ch["t"] == [BitmapIdxChoice(attr="cat", val="hot")], ch
+
+    def mk():
+        st = Store()
+        st.assign(
+            "t",
+            spark.createDataFrame([("hot", 10), ("cold", 11)], "cat string, v long"),
+        )
+        return st
+
+    st_plain = mk()
+    run_command(prog, st_plain, {}, spark)
+    st_auto = mk()
+    _, report = run_command_auto(prog, st_auto, {}, spark)
+    # only the inserted hot row (n=1, v=1) passes v<5; base hot has v=10
+    assert st_plain.get("out_len") == st_auto.get("out_len") == 1
+    vals = lambda df: [r[0] for r in df.collect()]  # noqa: E731
+    assert vals(st_plain.get("out_vals")) == vals(st_auto.get("out_vals")) == [1]
+    assert "__idx_bitmap__t__cat__hot" in report.aux
+    # the rewritten reads go through the aux — below the introduced
+    # aux-init binders (whose one-time build scan is the bitmap's
+    # construction, mk_idx), no scan of t survives
+    body = report.command
+    while isinstance(body, A.CLetMut) and body.x.startswith("__idx_"):
+        body = body.c
+    assert not _has_scan_read(body, "t"), body

@@ -109,13 +109,23 @@ def _lookup(key: A.Expr, residual_lt: int | None = None, tbl: str = "t") -> A.Ex
     )
 
 
-def _hot_len() -> A.Expr:
+def _hot_len(residual_lt: int | None = None) -> A.Expr:
+    """|filter(t, x.tag == 'hot' [and x.v < c])| — the optional conjunct
+    exercises the bitmap-scan + residual-filter rewrite (r8 extension:
+    BitmapIndex.v:811-831 under IndexTransf.v:862-872)."""
+    guard = A.EBinop(
+        "OEq", A.EAccess(A.EVar("x"), "tag"), A.EAtom(A.AString("hot"))
+    )
+    if residual_lt is not None:
+        guard = A.EBinop(
+            "OAnd",
+            guard,
+            A.EBinop(
+                "OLess", A.EAccess(A.EVar("x"), "v"), A.EAtom(A.AInt(residual_lt))
+            ),
+        )
     return A.EUnop(
-        "OLength",
-        A.EFilter(
-            "LikeBag", A.ELoc("t"), "x",
-            A.EBinop("OEq", A.EAccess(A.EVar("x"), "tag"), A.EAtom(A.AString("hot"))),
-        ),
+        "OLength", A.EFilter("LikeBag", A.ELoc("t"), "x", guard)
     )
 
 
@@ -205,7 +215,9 @@ def _command(draw, depth: int = 0, loop_var: str | None = None, slot_ctr=None):
     if kind == "read_len":
         return A.CAssign(fresh_slot(), A.EUnop("OLength", A.ELoc("t")))
     if kind == "read_hot":
-        return A.CAssign(fresh_slot(), _hot_len())
+        return A.CAssign(
+            fresh_slot(), _hot_len(draw(st.sampled_from([None, 5, 9])))
+        )
     if kind == "seq":
         return A.CSeq(
             draw(_command(depth=depth + 1, loop_var=loop_var, slot_ctr=slot_ctr)),
