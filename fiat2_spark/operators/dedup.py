@@ -883,3 +883,113 @@ def substring_dedup_apply(
             F.coalesce("kept_text", F.lit("")).alias("kept_text"),
         )
     )
+
+
+# -- semantic dedup (SemDeDup) ----------------------------------------------
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 2,
+    q: int = 1_000_000,
+    t2_num: int = 4,
+    t2_den: int = 25,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding corpus with k-means, then prune within-cluster
+    cosine-near-duplicates keeping one representative — a doc is marked
+    duplicate iff SOME same-cluster doc with a smaller id has cosine
+    similarity above the threshold (the deterministic keep-first rule).
+    Returns (id, cid, is_dup).
+
+    Candidate generation is PER-CLUSTER by construction: the pair join
+    is equi-keyed on cid (never an all-pairs cartesian — plan-asserted
+    in tests), so cost is Σ|cluster|², the quantity SemDeDup's k is
+    chosen to bound. At 100 TB: k scales with the corpus (the paper
+    uses k ≈ √n · const) so cluster blocks stay bounded; each Lloyd
+    iteration is one scan-join-agg pipeline with a broadcast k×dims
+    centroid relation (kmeans_lloyd's design); the pair stage shuffles
+    (cid, id, qv) rows once and the dot products are JVM-codegen
+    zip_with/aggregate over exact quantized BIGINTs.
+
+    Engine-portable determinism (the oracle is bitwise-equal, not
+    approximate): components quantize to BIGINT (×q) up front, so
+    distances and dot products are exact integer sums; the cosine
+    threshold t with t² = t2_num/t2_den is applied as
+    ``t2_den·dot² > t2_num·|a|²·|b|² AND dot > 0`` in DECIMAL(38,0) —
+    exact integer arithmetic, no sqrt, no float comparison. Ties break
+    on cid in the argmin; centroid update is floor(exact-int/count).
+    Init = the k lowest ids' vectors (kmeans_lloyd's convention)."""
+    from pyspark.sql import Window as W
+
+    qe = emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {q}) as bigint))"
+        ).alias("qv"),
+    )
+    qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
+    cent = qx.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "dim", F.col("v").alias("qc")
+    )
+
+    def assign(c):
+        d = (
+            qx.join(F.broadcast(c), "dim")
+            .groupBy("vid", "cid")
+            .agg(F.sum((F.col("v") - F.col("qc")) * (F.col("v") - F.col("qc"))).alias("d"))
+        )
+        return (
+            d.withColumn(
+                "rn", F.row_number().over(W.partitionBy("vid").orderBy("d", "cid"))
+            )
+            .filter(F.col("rn") == 1)
+            .select("vid", "cid")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        cent = (
+            qx.join(a, "vid")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("qc")
+            )
+        )
+    af = assign(cent)
+
+    # per-vector squared norm — exact long (|qv|² ≤ dims·q² « 2⁶³)
+    n2 = F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
+    members = qe.join(af, "vid").select("vid", "cid", "qv", n2.alias("n2"))
+
+    l = members.alias("l")
+    r = members.alias("r")
+    dot = F.expr(
+        "aggregate(zip_with(l.qv, r.qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
+    )
+    dec = "decimal(38,0)"
+    near = (
+        F.lit(t2_den).cast(dec) * dot.cast(dec) * dot.cast(dec)
+        > F.lit(t2_num).cast(dec) * F.col("l.n2").cast(dec) * F.col("r.n2").cast(dec)
+    ) & (dot > 0)
+    dup_ids = (
+        l.join(
+            r,
+            (F.col("l.cid") == F.col("r.cid")) & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .filter(near)
+        .select(F.col("r.vid").alias("vid"))
+        .distinct()
+    )
+    return (
+        members.join(dup_ids.withColumn("is_dup", F.lit(True)), "vid", "left")
+        .select(
+            F.col("vid").alias(id_col),
+            "cid",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

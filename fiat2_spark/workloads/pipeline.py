@@ -2707,3 +2707,89 @@ def hard_negatives(spark, sf_dir):
         F.col("label").alias("qlabel"),
     )
     return SIM.hard_negatives(e, anchors, k=5)
+
+
+def _semantic_dedup_oracle(
+    k: int = 8, iters: int = 2, dims: int = 64, q: int = 1_000_000,
+    t2_num: int = 4, t2_den: int = 25,
+) -> str:
+    """Unrolled SemDeDup in quantized-integer space (see
+    `dedup.semantic_dedup`): the Lloyd iterations are `_kmeans_oracle`'s
+    exact-BIGINT scheme, the cosine threshold is the integer comparison
+    t2_den·dot² > t2_num·|a|²·|b|² evaluated in HUGEINT — bitwise, not
+    approximately, equal to the Spark DECIMAL(38,0) path."""
+    ldp = "list_dot_product(CAST({a}.qv AS DOUBLE[]), CAST({b}.qv AS DOUBLE[]))"
+    lr = ldp.format(a="l", b="r")
+    sql = [
+        f"""
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * {q}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qx AS (
+      SELECT vec_id, CAST(i.i AS INTEGER) AS dim, qv[CAST(i.i AS INTEGER) + 1] AS v
+      FROM qe, unnest(generate_series(0, {dims - 1})) AS i(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, dim, v AS qc FROM qx WHERE vec_id < {k})"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql.append(
+            f""",
+    d{it} AS (
+      SELECT e.vec_id, c.cid, SUM((e.v - c.qc) * (e.v - c.qc)) AS d
+      FROM qx e JOIN {prev} c ON c.dim = e.dim GROUP BY e.vec_id, c.cid
+    ),
+    a{it} AS (
+      SELECT vec_id, cid FROM d{it}
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    c{it} AS (
+      SELECT a.cid, e.dim,
+             CAST(floor(CAST(SUM(e.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+      FROM qx e JOIN a{it} a ON a.vec_id = e.vec_id GROUP BY a.cid, e.dim
+    )"""
+        )
+        prev = f"c{it}"
+    sql.append(
+        f""",
+    dfin AS (
+      SELECT e.vec_id, c.cid, SUM((e.v - c.qc) * (e.v - c.qc)) AS d
+      FROM qx e JOIN {prev} c ON c.dim = e.dim GROUP BY e.vec_id, c.cid
+    ),
+    afin AS (
+      SELECT vec_id, cid FROM dfin
+      QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+    ),
+    mem AS (
+      SELECT a.vec_id, a.cid, e.qv,
+             CAST({ldp.format(a="e", b="e")} AS HUGEINT) AS n2
+      FROM afin a JOIN qe e ON e.vec_id = a.vec_id
+    ),
+    dups AS (
+      SELECT DISTINCT r.vec_id
+      FROM mem l JOIN mem r ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE {t2_den} * CAST({lr} AS HUGEINT) * CAST({lr} AS HUGEINT)
+              > {t2_num} * l.n2 * r.n2
+        AND {lr} > 0
+    )
+    SELECT m.vec_id, m.cid, (d.vec_id IS NOT NULL) AS is_dup
+    FROM mem m LEFT JOIN dups d ON d.vec_id = m.vec_id"""
+    )
+    return "".join(sql)
+
+
+@q("dedup_semantic", _semantic_dedup_oracle())
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, prune within-cluster cosine-near-duplicates keeping the
+    lowest-id representative. Completes the literature-standard dedup
+    family (exact / minhash / simhash / n-gram / embedding-LSH /
+    substring / semantic). Candidate pairs are generated PER CLUSTER
+    (equi-join on cid, plan-asserted never cartesian); the clustering
+    is `kmeans_lloyd`'s collect-free exact-integer Lloyd. Threshold
+    t=0.4 (t²=4/25) matches the `dedup_embedding` family's corpus
+    calibration."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(e, "vec_id", "embedding", k=8, iters=2)

@@ -58,10 +58,20 @@ def test_theta_join_extracts_equi_conjunct(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
-@pytest.mark.parametrize("name", ["triangle", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf", "asof_join", "range_join_binned", "dedup_editdist", "stream_stream_join", "decontaminate"])
+@pytest.mark.parametrize("name", ["triangle", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding", "ann_lsh", "ann_ivf", "asof_join", "range_join_binned", "dedup_editdist", "stream_stream_join", "decontaminate", "dedup_semantic"])
 def test_candidate_joins_are_hash_joins(spark, name):
     p = plan_of(QUERIES[name](spark, SF_SMOKE))
     assert "CartesianProduct" not in p, f"{name} degenerated to a cartesian product"
+
+
+def test_semantic_dedup_pairs_are_per_cluster(spark):
+    """SemDeDup's candidate generation must be the per-cluster equi-join
+    on cid — never an all-pairs product (the bound SemDeDup's k exists
+    to enforce), and the Lloyd side must broadcast the k×dims centroid
+    relation rather than shuffling the corpus against it."""
+    p = plan_of(QUERIES["dedup_semantic"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # centroid relation stays broadcast
 
 
 def test_tpch_q3_shape_composed_plan(spark):
