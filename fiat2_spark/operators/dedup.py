@@ -835,7 +835,8 @@ def substring_dedup_stats(
 
 
 def substring_dedup_apply(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8,
+    chunk_tokens: int = 4096,
 ) -> DataFrame:
     """APPLY the arbitrary-offset substring dedup: return each document
     with its duplicated spans REMOVED (Lee et al. 2022's actual output
@@ -845,11 +846,19 @@ def substring_dedup_apply(
 
     Realization: explode (doc, pos, tok), anti-join the span ranges
     per doc (a doc-keyed range join against the doc's own bounded span
-    list), then re-assemble with an order-preserving aggregate
-    (sort_array of (pos, tok) structs — no window). Scale: the explode
-    carries one (doc, pos, tok) row per token but the span side is
-    |spans| rows per doc (result-bounded); the anti-join and the
-    re-assembly both key on doc, one partitioning reused."""
+    list), then re-assemble order-preservingly in TWO LEVELS: tokens
+    group into ``chunk_tokens``-sized chunks keyed (doc, pos div C) —
+    each chunk's aggregation buffer holds ≤ C (pos, tok) structs — and
+    the doc level concatenates the ordered chunk STRINGS. A
+    pathological 100M-token document therefore never materializes a
+    100M-entry struct buffer in one task: the chunk stage splits it
+    across the (doc, chunk) partitioning and the doc stage buffers
+    |doc|/C compact strings (the output row itself is doc-sized —
+    inherent to emitting cleaned text). No window anywhere. Scale: the
+    explode carries one (doc, pos, tok) row per token but the span
+    side is |spans| rows per doc (result-bounded); the anti-join and
+    both re-assembly aggregations key on doc(, chunk) — one
+    partitioning family."""
     base, spans = _substring_dup_spans(df, id_col, text_col, k)
     toks_pos = base.select(
         "doc", "n_tokens", F.posexplode("toks").alias("pos", "tok")
@@ -861,14 +870,30 @@ def substring_dedup_apply(
     keep = F.col("spans").isNull() | ~F.exists(
         "spans", lambda sp: (F.col("pos") >= sp["s"]) & (F.col("pos") < sp["e"])
     )
-    kept = joined.filter(keep).groupBy("doc").agg(
+    chunks = (
+        joined.filter(keep)
+        .withColumn("chunk", (F.col("pos") / chunk_tokens).cast("long"))
+        .groupBy("doc", "chunk")
+        .agg(
+            F.first("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_in_chunk"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("chunk_text"),
+        )
+    )
+    kept = chunks.groupBy("doc").agg(
         F.first("n_tokens").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+        F.sum("n_in_chunk").cast("long").alias("n_kept_tokens"),
         F.concat_ws(
             " ",
             F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+                F.sort_array(F.collect_list(F.struct("chunk", "chunk_text"))),
+                lambda s: s["chunk_text"],
             ),
         ).alias("kept_text"),
     )
