@@ -123,22 +123,22 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, 0.0).otherwise(inter / union)
 
 
-def minhash_dedup_pairs(
+def minhash_candidates(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n_hashes: int = 8,
     n_bands: int = 4,
     shingle_n: int = 1,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """Near-dup pairs via MinHash banding + exact Jaccard verification.
-
-    Returns (id_a, id_b, jac) with id_a < id_b, jac >= threshold, jac
-    rounded to 6 decimals. The banded candidate join shuffles
-    n_bands short digests per doc; only colliding candidates pay the
-    exact verification (which re-joins the shingle sets by id).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The banded LSH candidate stage of `minhash_dedup_pairs`:
+    returns (cand, sh) — the distinct (id_a, id_b) candidate pairs
+    BEFORE exact Jaccard verification, plus the checkpointed shingle
+    relation the verification re-joins. Exposed separately so the
+    scaling probe can decompose a wall-time ratio into candidate-pair
+    growth (true near-dup pairs the corpus actually contains) vs
+    band-occupancy overhead (false candidates the banding fails to
+    prune) — the two have opposite remedies."""
     rows = n_hashes // n_bands
     toks = tokens(F.col(text_col))
     # signature hashing is CPU-bound (n_hashes md5s per shingle): spread
@@ -208,7 +208,26 @@ def minhash_dedup_pairs(
         .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
         .distinct()
     )
+    return cand, sh
 
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verification.
+
+    Returns (id_a, id_b, jac) with id_a < id_b, jac >= threshold, jac
+    rounded to 6 decimals. The banded candidate join shuffles
+    n_bands short digests per doc; only colliding candidates pay the
+    exact verification (which re-joins the shingle sets by id).
+    """
+    cand, sh = minhash_candidates(df, id_col, text_col, n_hashes, n_bands, shingle_n)
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
