@@ -504,3 +504,97 @@ def sliding_chunks(toks: Column, width: int, stride: int) -> Column:
             F.slice(toks, i * stride + 1, width).alias("chunk"),
         ),
     )
+
+
+def hashed_ngram_features(toks: Column, buckets: int) -> Column:
+    """DSIR's hashed n-gram featurizer (Xie et al. 2023,
+    arXiv:2302.03169 §3): unigrams ∪ bigrams, each md5-hashed into one
+    of ``buckets`` integer buckets. Engine-portable — the first 8 hex
+    chars of md5 parsed as an integer, the construction every
+    md5-derived signature in this repo uses, so a DuckDB oracle
+    recomputes identical buckets. Returns array<bigint> (one entry per
+    feature OCCURRENCE — DSIR's bag-of-ngrams counts)."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    return F.transform(
+        feats,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % buckets,
+    )
+
+
+def dsir_importance(
+    raw, target, id_col: str, text_col: str,
+    buckets: int = 256, quant: int = 10_000, k: int = 100,
+):
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score each raw-pool document by how much its hashed n-gram
+    distribution looks like the TARGET corpus, and keep the top k.
+    Per-bucket importance log-ratio (add-1 smoothed):
+
+        lr[b] = round(ln((n_t[b]+1)·(N_r+B) / ((n_r[b]+1)·(N_t+B)))·quant)
+
+    quantized to an exact BIGINT so the per-doc score Σ_features lr[b]
+    is pure integer arithmetic (the repo's engine-parity discipline —
+    the single ln per bucket is the only float op, immediately
+    quantized; its argument is an exact-integer ratio both engines
+    compute bit-identically). Returns the top-k (id, score), ties on
+    doc id.
+
+    Scale: the feature explode is one pass per corpus with a map-side
+    partial count into B buckets; the lr table is ≤B rows (broadcast);
+    the totals are 1-row aggregates (broadcast); scoring is one
+    explode + broadcast join + per-doc sum; top-k is
+    TakeOrderedAndProject — no global sort, no all-pairs anything."""
+    def bucketed(df):
+        return df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(
+                hashed_ngram_features(tokens(F.col(text_col)), buckets)
+            ).alias("bucket"),
+        )
+
+    tb, rb = bucketed(target), bucketed(raw)
+    tc = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t"))
+    rc = rb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = tb.agg(F.count(F.lit(1)).alias("tot_t")).crossJoin(
+        rb.agg(F.count(F.lit(1)).alias("tot_r"))
+    )
+    lr = (
+        tc.join(rc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("n_t", F.lit(0)) + 1)
+                        * (F.col("tot_r") + buckets)
+                    ).cast("double")
+                    / (
+                        (F.coalesce("n_r", F.lit(0)) + 1)
+                        * (F.col("tot_t") + buckets)
+                    ).cast("double")
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    scored = (
+        rb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc")
+        .agg(F.sum("lr").alias("score"))
+    )
+    return scored.select(F.col("doc").alias(id_col), "score").orderBy(
+        F.desc("score"), id_col
+    ).limit(k)

@@ -2793,3 +2793,63 @@ def dedup_semantic(spark, sf_dir):
     calibration."""
     e = tbl(spark, sf_dir, "embeddings")
     return D.semantic_dedup(e, "vec_id", "embedding", k=8, iters=2)
+
+
+_DSIR_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS bucket
+      FROM (
+        SELECT doc_id, source, unnest(toks) AS f FROM tk
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS f
+        FROM tk WHERE len(toks) >= 2
+      )
+    ),
+    bt AS (SELECT bucket, count(*) AS n_t FROM feat WHERE source = 'src0' GROUP BY 1),
+    br AS (SELECT bucket, count(*) AS n_r FROM feat WHERE source <> 'src0' GROUP BY 1),
+    tot AS (
+      SELECT (SELECT count(*) FROM feat WHERE source = 'src0') AS nt,
+             (SELECT count(*) FROM feat WHERE source <> 'src0') AS nr
+    ),
+    lr AS (
+      SELECT COALESCE(bt.bucket, br.bucket) AS bucket,
+             CAST(round(ln(CAST((COALESCE(bt.n_t, 0) + 1) * (tot.nr + 256) AS DOUBLE)
+                           / CAST((COALESCE(br.n_r, 0) + 1) * (tot.nt + 256) AS DOUBLE))
+                        * 10000) AS BIGINT) AS lr
+      FROM bt FULL OUTER JOIN br ON bt.bucket = br.bucket, tot
+    )
+    SELECT f.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS score
+    FROM feat f JOIN lr ON lr.bucket = f.bucket
+    WHERE f.source <> 'src0'
+    GROUP BY f.doc_id
+    ORDER BY score DESC, f.doc_id
+    LIMIT 100
+"""
+
+
+@q("dsir_select", _DSIR_ORACLE)
+def dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): pick
+    the 100 raw-pool documents (source <> 'src0') whose hashed
+    unigram+bigram distribution best matches the src0 target corpus,
+    by add-1-smoothed importance log-ratios quantized to exact BIGINT.
+    The missing member of the selection family next to the quality
+    gate (heuristics), decontaminate (n-gram overlap), and the
+    samplers (distribution-free): importance resampling selects FOR a
+    target distribution. Plan: two bucket-count passes (B=256 partial
+    aggs), a broadcast ≤B-row log-ratio table, one scoring pass,
+    TakeOrderedAndProject top-k."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.dsir_importance(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", buckets=256, quant=10_000, k=100,
+    )
