@@ -233,7 +233,8 @@ PRIORITY_R6 = (
 # re-ran EVERY rotated-out query at BOTH SFs on final HEAD (176/176) —
 # builder-level fresh evidence under the changed closure even where the
 # driver row is older.
-# Round-7 window. The fingerprint algorithm changed again this round
+# Round-7 window (kept for the r7 row-premise audit trail). The
+# fingerprint algorithm changed again this round
 # (FUNCTION-LEVEL reachable closure, VERDICT r6 task 1); the rotation
 # baseline is FINGERPRINTS_r06_rehash_fnlevel.json — the r6 HEAD
 # (1bbd969) re-fingerprinted with the r7 tool in a clean worktree. The
@@ -243,7 +244,7 @@ PRIORITY_R6 = (
 #   → changed = exactly the 13 queries below marked (A) plus the 2 new
 #     ones (B); held_count = 163 — every rotated-out query's reachable
 #     hash is IDENTICAL to its row-earning round's.
-PRIORITY = (
+PRIORITY_R7 = (
     # (A) reachable-delta rotate-ins (tool-mandated): the whole DSL
     # family (compile.py gained the inner-LikeSet join dedup, the
     # dict-lookup join recognizer, and the DistDictIndex fallback;
@@ -279,10 +280,57 @@ PRIORITY = (
     "text_quality", "tpch_q3_shape", "window_frames",
     "window_rank_family", "pagerank3",
 )
-# Round-8 rotation candidates: the six deferred r3-row queries above,
-# plus anything tools/fingerprints.py --compare flags against
-# FINGERPRINTS_r07.json.
+# Round-8 window. The fingerprint RENDERER changed this round (ADVICE
+# r7: dataclass instances hash by recursed field values, not repr), so
+# the rotation baseline is FINGERPRINTS_r07_rehash_dcrender.json — the
+# r7 HEAD (bb14936) re-fingerprinted with the r8 tool in a clean
+# worktree (the tool-change-only delta is 5 DSL queries whose closures
+# render AST dataclass constants). The must-rotate-in set is the
+# tool's output:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r07_rehash_dcrender.json
+#   → changed = exactly the 16 queries marked (A) below + the 2 new
+#     ones (B); held_count = 166 — every other registered query's
+#     reachable hash is IDENTICAL to its row-earning round's.
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins: the DSL family
+    # (compile.py's cons_to_insert shape guard + autoindex.py's
+    # BitmapIdx residual rewrite sit in every AST program's closure),
+    # the minhash consumers (minhash_candidates refactor), and the
+    # chunked-reassembly rewrite of substring_dedup_apply
+    "dedup_clusters", "dedup_clusters_star", "dedup_fuzzy_apply",
+    "dedup_minhash", "dsl_auto_index", "dsl_auto_index_dist",
+    "dsl_auto_index_join", "dsl_command_pipeline", "dsl_comprehension",
+    "dsl_employee_join", "dsl_filter_project", "dsl_fold_table",
+    "dsl_grandchildren", "dsl_let_if_table", "dsl_orders_agg",
+    "substring_dedup_apply",
+    # (B) round-8 additions — driver evidence in the round they land
+    "dedup_semantic", "dsir_select",
+    # (C) the ten deferred r3-row queries (VERDICT r7 task 1) — the
+    # last of the r3 evidence backlog
+    "cms_tokens", "hll_users", "multimodal_frames", "multimodal_resize",
+    "sample_group_k", "text_tokens", "text_salient", "cube_agg",
+    "nested_collections", "percentile_cont",
+    # (D) oldest-evidence refresh, r4 rows (22 of the 39 remaining —
+    # the window holds 50; the 17 listed at the bottom of this comment
+    # block hold tool-verified identical premises and defer to r9 under
+    # the same (A)/(B)-over-(D) rule that deferred the r3 tail in r7)
+    "pipeline_training_set", "ann_bruteforce", "ann_ivf", "ann_lsh",
+    "bm25_retrieval", "decontaminate", "span_dedup",
+    "embedding_centroids", "embedding_quantize", "text_langid",
+    "text_langid_trigram", "text_redact_pii", "text_repetition",
+    "sample_mixture", "sample_weighted", "server_artist_filter",
+    "server_album_join", "csv_roundtrip", "upsert_keyed",
+    "tpch_q18_shape", "window_rownum", "percentile_cont_scalable",
+)
+# Round-9 rotation candidates (the r4-row tail): chunk_sliding,
+# full_outer_join, group_concat, group_concat_scalable,
+# grouped_rank_family_scalable, grouped_rownum_scalable, mode_per_group,
+# multimodal_audio_rms, pack_sequences, partition_pruned_lookup,
+# profile_columns, salted_join, scalar_subquery, stratified_split,
+# unpivot_long, vocab_topn, window_range_frame — plus anything
+# tools/fingerprints.py --compare flags against FINGERPRINTS_r08.json.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
 assert len(PRIORITY_R6) == 50 and len(set(PRIORITY_R6)) == 50
 assert len(PRIORITY_R5) == 50 and len(set(PRIORITY_R5)) == 50
 
@@ -301,6 +349,8 @@ _missing_r5 = [n for n in PRIORITY_R5 if n not in _queries]
 assert not _missing_r5, f"PRIORITY_R5 names no longer registered: {_missing_r5}"
 _missing_r6 = [n for n in PRIORITY_R6 if n not in _queries]
 assert not _missing_r6, f"PRIORITY_R6 names no longer registered: {_missing_r6}"
+_missing_r7 = [n for n in PRIORITY_R7 if n not in _queries]
+assert not _missing_r7, f"PRIORITY_R7 names no longer registered: {_missing_r7}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)

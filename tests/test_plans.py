@@ -981,3 +981,14 @@ def test_nary_comprehension_plans_as_hash_joins(spark):
     # least the two equi joins, and zero non-hash join strategies above
     n_hash = p.count("BroadcastHashJoin") + p.count("ShuffledHashJoin") + p.count("SortMergeJoin")
     assert n_hash >= 2, p
+
+
+def test_dsir_plan_shape(spark):
+    """DSIR's scoring pass must broadcast the <=B-row log-ratio table
+    and take the top-k without a global sort; nothing degenerates to an
+    unbounded nested-loop (the 1-row totals leg is the only sanctioned
+    broadcast cross)."""
+    p = plan_of(QUERIES["dsir_select"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
