@@ -212,6 +212,33 @@ def main() -> None:
             print(json.dumps({"q": "dedup_minhash_pairs",
                               "sf0.1": pair_decomp[0], "sf1": pair_decomp[1]}),
                   flush=True)
+        if name == "dedup_semantic":
+            # SemDeDup's pair stage is Σ|cluster|²: with k FROZEN (the
+            # registered query pins k=8 to its oracle) a ×factor corpus
+            # grows every cluster ×factor and pairs ×factor² — the
+            # quadratic regime the paper's k ∝ n rule exists to avoid.
+            # Probe the OPERATOR on the scale path too: k scaled with
+            # the corpus, cluster size ~constant, pairs ~linear.
+            from fiat2_spark.operators.dedup import semantic_dedup
+
+            def run_op(sf_dir, kk):
+                best = None
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+                    semantic_dedup(e, "vec_id", "embedding", k=kk, iters=2).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+                    spark.catalog.clearCache()
+                return best
+
+            scaled_k = run_op(DST, 8 * factor)
+            rows.append((f"{name} (k scaled ×{factor})", base, scaled_k, scaled_k / base))
+            print(json.dumps({"q": f"{name}@k{8 * factor}", "sf0.1": round(base, 2),
+                              "sf1": round(scaled_k, 2),
+                              "ratio": round(scaled_k / base, 2)}), flush=True)
         if name == "substring_dedup_apply":
             # doc-LENGTH axis: same doc count, ×factor tokens per doc
             build_longdocs(spark, factor)
