@@ -135,6 +135,9 @@ HEADLINE = [
     "substring_dedup_apply",        # cleaned-corpus output, ordered reassembly
     "hard_negatives",               # label-mismatch cosine top-k mining
     "shuffle_shards",               # deterministic global shuffle + sharding
+    # round-8 additions
+    "dedup_semantic",               # SemDeDup: cluster + within-cluster cosine prune
+    "dsir_select",                  # DSIR hashed-ngram importance resampling
 ]
 
 

@@ -549,18 +549,27 @@ def dsir_importance(
     compute bit-identically). Returns the top-k (id, score), ties on
     doc id.
 
-    Scale: the feature explode is one pass per corpus with a map-side
-    partial count into B buckets; the lr table is ≤B rows (broadcast);
-    the totals are 1-row aggregates (broadcast); scoring is one
-    explode + broadcast join + per-doc sum; top-k is
-    TakeOrderedAndProject — no global sort, no all-pairs anything."""
+    Scale: the feature explode is ONE pass per corpus — materialized
+    eagerly via localCheckpoint (the minhash-shingle discipline:
+    blocks, not a CacheManager pin, reclaimable by the session owner's
+    sweep) because the counts, totals, and scoring legs would otherwise
+    each re-run the md5 HOF pass, which executes interpreted
+    per-element, not codegen'd. The lr table is ≤B rows (broadcast);
+    the totals are 1-row aggregates (broadcast); scoring is a
+    broadcast join + per-doc sum; top-k is TakeOrderedAndProject — no
+    global sort, no all-pairs anything."""
     def bucketed(df):
-        return df.select(
+        # the md5 HOF pass is CPU-bound and interpreted: spread the
+        # (often single-row-group) scan across right-sized partitions
+        # first — the minhash-signature discipline (dedup.cpu_partitions)
+        from fiat2_spark.operators.dedup import cpu_partitions
+
+        return df.repartition(cpu_partitions(df)).select(
             F.col(id_col).alias("doc"),
             F.explode(
                 hashed_ngram_features(tokens(F.col(text_col)), buckets)
             ).alias("bucket"),
-        )
+        ).localCheckpoint()
 
     tb, rb = bucketed(target), bucketed(raw)
     tc = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_t"))
