@@ -940,6 +940,7 @@ def semantic_dedup(
     q: int = 1_000_000,
     t2_num: int = 4,
     t2_den: int = 25,
+    pair_salt: int = 16,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding corpus with k-means, then prune within-cluster
@@ -1008,10 +1009,22 @@ def semantic_dedup(
 
     # per-vector squared norm — exact long (|qv|² ≤ dims·q² « 2⁶³)
     n2 = F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
-    members = qe.join(af, "vid").select("vid", "cid", "qv", n2.alias("n2"))
+    # materialize the clustered membership once: it feeds THREE legs
+    # (both pair-join sides and the final join-back), which would each
+    # re-run the whole Lloyd chain; blocks, not a CacheManager pin
+    # (the minhash-shingle discipline — swept by the session owner)
+    members = (
+        qe.join(af, "vid").select("vid", "cid", "qv", n2.alias("n2")).localCheckpoint()
+    )
 
-    l = members.alias("l")
-    r = members.alias("r")
+    # pair stage, salted: with few clusters (small k — what the oracle
+    # pins) a plain self-join on cid limits parallelism to k tasks and
+    # the interpreted zip_with dot products serialize. Salting splits
+    # each cluster's pairs across pair_salt tasks: the probe side keys
+    # (cid, vid % S), the build side replicates ×S — measured 3× on
+    # local[32] at k=8. At 100 TB-scale k ∝ n (cluster count ≫ cores)
+    # the parallelism is natural and the ×S build replication is pure
+    # cost: pass pair_salt=1 there.
     dot = F.expr(
         "aggregate(zip_with(l.qv, r.qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
     )
@@ -1020,10 +1033,16 @@ def semantic_dedup(
         F.lit(t2_den).cast(dec) * dot.cast(dec) * dot.cast(dec)
         > F.lit(t2_num).cast(dec) * F.col("l.n2").cast(dec) * F.col("r.n2").cast(dec)
     ) & (dot > 0)
+    l = members.withColumn("salt", (F.col("vid") % pair_salt).cast("int")).alias("l")
+    r = members.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1)))
+    ).alias("r")
     dup_ids = (
         l.join(
             r,
-            (F.col("l.cid") == F.col("r.cid")) & (F.col("l.vid") < F.col("r.vid")),
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col("l.salt") == F.col("r.salt"))
+            & (F.col("l.vid") < F.col("r.vid")),
         )
         .filter(near)
         .select(F.col("r.vid").alias("vid"))

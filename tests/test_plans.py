@@ -66,12 +66,23 @@ def test_candidate_joins_are_hash_joins(spark, name):
 
 def test_semantic_dedup_pairs_are_per_cluster(spark):
     """SemDeDup's candidate generation must be the per-cluster equi-join
-    on cid — never an all-pairs product (the bound SemDeDup's k exists
-    to enforce), and the Lloyd side must broadcast the k×dims centroid
-    relation rather than shuffling the corpus against it."""
-    p = plan_of(QUERIES["dedup_semantic"](spark, SF_SMOKE))
+    keyed (cid, salt) — never an all-pairs product (the bound SemDeDup's
+    k exists to enforce; the salt splits a small-k cluster's pairs
+    across tasks). The Lloyd chain itself sits above the membership
+    checkpoint, so the returned plan shows the pair stage reading
+    ExistingRDD — the upstream centroid broadcasts are pinned by the
+    kmeans_lloyd plan tests."""
+    import re
+
+    df = QUERIES["dedup_semantic"](spark, SF_SMOKE)
+    p = plan_of(df)
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    assert "BroadcastHashJoin" in p  # centroid relation stays broadcast
+    # the pair join is an EQUI join whose key carries cid and salt
+    m = re.search(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", p)
+    assert m, p
+    joins = re.findall(r"Left keys(?:.*)\[([^\]]*)\]", p) or []
+    keyed = [k for k in joins if "cid" in k]
+    assert keyed and any("salt" in k for k in keyed), joins
 
 
 def test_tpch_q3_shape_composed_plan(spark):
