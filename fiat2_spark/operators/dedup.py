@@ -931,6 +931,127 @@ def substring_dedup_apply(
 
 # -- semantic dedup (SemDeDup) ----------------------------------------------
 
+def quantize_embeddings(
+    emb: DataFrame, id_col: str, vec_col: str, q: int = 1_000_000
+) -> DataFrame:
+    """(vid, qv, n2): BIGINT-quantized vector components (×q) plus the
+    exact squared norm (|qv|² ≤ dims·q² ≪ 2⁶³). Quantizing up front
+    makes every downstream distance/dot an exact integer sum — the
+    engine-parity discipline the kmeans/SemDeDup oracles rely on."""
+    return emb.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(round(cast(x as double) * {q}) as bigint))"
+        ).alias("qv"),
+    ).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"),
+    )
+
+
+def lloyd_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (vid, cid): exploded vectors joined
+    to the broadcast centroid relation, exact integer distance sums,
+    argmin via a row_number window on the HIGH-cardinality vid, ties on
+    cid (kmeans_lloyd's construction)."""
+    from pyspark.sql import Window as W
+
+    qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
+    d = (
+        qx.join(F.broadcast(cent), "dim")
+        .groupBy("vid", "cid")
+        .agg(F.sum((F.col("v") - F.col("qc")) * (F.col("v") - F.col("qc"))).alias("d"))
+    )
+    return (
+        d.withColumn(
+            "rn", F.row_number().over(W.partitionBy("vid").orderBy("d", "cid"))
+        )
+        .filter(F.col("rn") == 1)
+        .select("vid", "cid")
+    )
+
+
+def lloyd_centroids(qe: DataFrame, k: int, iters: int) -> DataFrame:
+    """Exact-integer Lloyd over quantized vectors: init = the k lowest
+    vids' vectors, ``iters`` assignment+update rounds, centroid update
+    floor(exact-int / count). Returns (cid, dim, qc)."""
+    qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
+    cent = qx.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), "dim", F.col("v").alias("qc")
+    )
+    for _ in range(iters):
+        a = lloyd_assign(qe, cent)
+        cent = (
+            qx.join(a, "vid")
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("qc")
+            )
+        )
+    return cent
+
+
+def cosine_near_pred(
+    dot: Column, n2_l: Column, n2_r: Column, t2_num: int, t2_den: int
+) -> Column:
+    """cos(a,b) > t with t² = t2_num/t2_den, as the EXACT integer
+    comparison ``t2_den·dot² > t2_num·|a|²·|b|² AND dot > 0`` in
+    DECIMAL(38,0) — no sqrt, no float tie risk (the oracle computes
+    the identical comparison in HUGEINT)."""
+    dec = "decimal(38,0)"
+    return (
+        F.lit(t2_den).cast(dec) * dot.cast(dec) * dot.cast(dec)
+        > F.lit(t2_num).cast(dec) * n2_l.cast(dec) * n2_r.cast(dec)
+    ) & (dot > 0)
+
+
+def semantic_dedup_members(
+    members: DataFrame,
+    new_only: DataFrame | None = None,
+    t2_num: int = 4,
+    t2_den: int = 25,
+    pair_salt: int = 16,
+) -> DataFrame:
+    """The SemDeDup prune over a clustered membership relation
+    (vid, cid, qv, n2): mark vid duplicate iff SOME same-cluster member
+    with a smaller vid is cosine-near. When ``new_only`` is given, only
+    ITS rows are scored (against all of ``members``) — the incremental
+    form SemanticDedupCorpus.ingest uses; witnesses still come from the
+    full membership, so accumulated batch results equal the one-shot's.
+
+    Salted pair join: the probe side keys (cid, vid % pair_salt), the
+    build side replicates ×pair_salt — with few clusters (small k) a
+    plain cid join caps parallelism at k tasks while the interpreted
+    zip_with dot products serialize (measured 3× on local[32] at k=8).
+    At 100 TB-scale k ∝ n the parallelism is natural and replication is
+    pure cost: pass pair_salt=1 there."""
+    scored = members if new_only is None else new_only
+    dot = F.expr(
+        "aggregate(zip_with(l.qv, r.qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
+    )
+    near = cosine_near_pred(dot, F.col("l.n2"), F.col("r.n2"), t2_num, t2_den)
+    l = members.withColumn("salt", (F.col("vid") % pair_salt).cast("int")).alias("l")
+    r = scored.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1)))
+    ).alias("r")
+    dup_ids = (
+        l.join(
+            r,
+            (F.col("l.cid") == F.col("r.cid"))
+            & (F.col("l.salt") == F.col("r.salt"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .filter(near)
+        .select(F.col("r.vid").alias("vid"))
+        .distinct()
+    )
+    return scored.join(
+        dup_ids.withColumn("is_dup", F.lit(True)), "vid", "left"
+    ).select("vid", "cid", F.coalesce("is_dup", F.lit(False)).alias("is_dup"))
+
+
 def semantic_dedup(
     emb: DataFrame,
     id_col: str,
@@ -950,109 +1071,28 @@ def semantic_dedup(
     Returns (id, cid, is_dup).
 
     Candidate generation is PER-CLUSTER by construction: the pair join
-    is equi-keyed on cid (never an all-pairs cartesian — plan-asserted
-    in tests), so cost is Σ|cluster|², the quantity SemDeDup's k is
-    chosen to bound. At 100 TB: k scales with the corpus (the paper
-    uses k ≈ √n · const) so cluster blocks stay bounded; each Lloyd
-    iteration is one scan-join-agg pipeline with a broadcast k×dims
-    centroid relation (kmeans_lloyd's design); the pair stage shuffles
-    (cid, id, qv) rows once and the dot products are JVM-codegen
-    zip_with/aggregate over exact quantized BIGINTs.
+    is equi-keyed on (cid, salt) (never an all-pairs cartesian —
+    plan-asserted in tests), so cost is Σ|cluster|², the quantity
+    SemDeDup's k is chosen to bound. At 100 TB: k scales with the
+    corpus (the paper uses k ≈ √n · const) so cluster blocks stay
+    bounded; each Lloyd iteration is one scan-join-agg pipeline with a
+    broadcast k×dims centroid relation (kmeans_lloyd's design); the
+    membership materializes ONCE (it feeds three plan legs) and the
+    pair-stage dot products are exact quantized-BIGINT
+    zip_with/aggregate sums.
 
     Engine-portable determinism (the oracle is bitwise-equal, not
-    approximate): components quantize to BIGINT (×q) up front, so
-    distances and dot products are exact integer sums; the cosine
-    threshold t with t² = t2_num/t2_den is applied as
-    ``t2_den·dot² > t2_num·|a|²·|b|² AND dot > 0`` in DECIMAL(38,0) —
-    exact integer arithmetic, no sqrt, no float comparison. Ties break
-    on cid in the argmin; centroid update is floor(exact-int/count).
-    Init = the k lowest ids' vectors (kmeans_lloyd's convention)."""
-    from pyspark.sql import Window as W
-
-    qe = emb.select(
-        F.col(id_col).alias("vid"),
-        F.expr(
-            f"transform({vec_col}, x -> cast(round(cast(x as double) * {q}) as bigint))"
-        ).alias("qv"),
-    )
-    qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
-    cent = qx.filter(F.col("vid") < k).select(
-        F.col("vid").alias("cid"), "dim", F.col("v").alias("qc")
-    )
-
-    def assign(c):
-        d = (
-            qx.join(F.broadcast(c), "dim")
-            .groupBy("vid", "cid")
-            .agg(F.sum((F.col("v") - F.col("qc")) * (F.col("v") - F.col("qc"))).alias("d"))
-        )
-        return (
-            d.withColumn(
-                "rn", F.row_number().over(W.partitionBy("vid").orderBy("d", "cid"))
-            )
-            .filter(F.col("rn") == 1)
-            .select("vid", "cid")
-        )
-
-    for _ in range(iters):
-        a = assign(cent)
-        cent = (
-            qx.join(a, "vid")
-            .groupBy("cid", "dim")
-            .agg(
-                F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
-                .cast("long")
-                .alias("qc")
-            )
-        )
-    af = assign(cent)
-
-    # per-vector squared norm — exact long (|qv|² ≤ dims·q² « 2⁶³)
-    n2 = F.expr("aggregate(zip_with(qv, qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)")
+    approximate): see `quantize_embeddings` / `cosine_near_pred` /
+    `lloyd_centroids` — exact integer arithmetic end to end. The
+    streaming twin is `streaming.maintenance.SemanticDedupCorpus`
+    (frozen centroids, batch ingest; agreement-tested)."""
+    qe = quantize_embeddings(emb, id_col, vec_col, q)
+    cent = lloyd_centroids(qe, k, iters)
+    af = lloyd_assign(qe, cent)
     # materialize the clustered membership once: it feeds THREE legs
     # (both pair-join sides and the final join-back), which would each
     # re-run the whole Lloyd chain; blocks, not a CacheManager pin
     # (the minhash-shingle discipline — swept by the session owner)
-    members = (
-        qe.join(af, "vid").select("vid", "cid", "qv", n2.alias("n2")).localCheckpoint()
-    )
-
-    # pair stage, salted: with few clusters (small k — what the oracle
-    # pins) a plain self-join on cid limits parallelism to k tasks and
-    # the interpreted zip_with dot products serialize. Salting splits
-    # each cluster's pairs across pair_salt tasks: the probe side keys
-    # (cid, vid % S), the build side replicates ×S — measured 3× on
-    # local[32] at k=8. At 100 TB-scale k ∝ n (cluster count ≫ cores)
-    # the parallelism is natural and the ×S build replication is pure
-    # cost: pass pair_salt=1 there.
-    dot = F.expr(
-        "aggregate(zip_with(l.qv, r.qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
-    )
-    dec = "decimal(38,0)"
-    near = (
-        F.lit(t2_den).cast(dec) * dot.cast(dec) * dot.cast(dec)
-        > F.lit(t2_num).cast(dec) * F.col("l.n2").cast(dec) * F.col("r.n2").cast(dec)
-    ) & (dot > 0)
-    l = members.withColumn("salt", (F.col("vid") % pair_salt).cast("int")).alias("l")
-    r = members.withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1)))
-    ).alias("r")
-    dup_ids = (
-        l.join(
-            r,
-            (F.col("l.cid") == F.col("r.cid"))
-            & (F.col("l.salt") == F.col("r.salt"))
-            & (F.col("l.vid") < F.col("r.vid")),
-        )
-        .filter(near)
-        .select(F.col("r.vid").alias("vid"))
-        .distinct()
-    )
-    return (
-        members.join(dup_ids.withColumn("is_dup", F.lit(True)), "vid", "left")
-        .select(
-            F.col("vid").alias(id_col),
-            "cid",
-            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
-        )
-    )
+    members = qe.join(af, "vid").select("vid", "cid", "qv", "n2").localCheckpoint()
+    out = semantic_dedup_members(members, None, t2_num, t2_den, pair_salt)
+    return out.select(F.col("vid").alias(id_col), "cid", "is_dup")

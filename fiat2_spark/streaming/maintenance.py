@@ -683,3 +683,78 @@ class DistDictIndex:
     def to_df(self) -> DataFrame:
         pend = self._pending_df()
         return self.base.unionByName(pend) if pend is not None else self.base
+
+
+class SemanticDedupCorpus:
+    """Incremental SemDeDup — the streaming twin of
+    `operators.dedup.semantic_dedup` (Abbas et al. 2023) for a corpus
+    ingested in batches: centroids are FIT ONCE (pass in
+    `dedup.lloyd_centroids` over a reference corpus) and FROZEN — the
+    streaming regime, where re-clustering per batch would reshuffle
+    every past assignment. Each batch: quantize, assign to the nearest
+    frozen centroid (one broadcast distance pass), mark each new vector
+    duplicate iff some already-ingested OR earlier-in-batch (smaller
+    id) same-cluster member is cosine-near, then fold the batch into
+    the membership state.
+
+    With batches arriving in id order and the same centroids, the
+    accumulated (id, cid, is_dup) rows equal the one-shot
+    `semantic_dedup` over the whole corpus (agreement-tested) — the
+    witness set for "some smaller-id member" is exactly the state plus
+    the batch's own earlier rows.
+
+    State = the (vid, cid, qv, n2) membership, localCheckpointed with
+    per-ingest retirement of the superseded snapshot AND the previous
+    batch's output blocks (the corpus-class discipline: a live index
+    never needs the global sweep). At production scale the state is a
+    cid-bucketed parquet table so the per-batch pair join co-locates."""
+
+    def __init__(
+        self, spark, centroids: DataFrame, q: int = 1_000_000,
+        t2_num: int = 4, t2_den: int = 25, pair_salt: int = 16,
+    ):
+        self.q, self.t2_num, self.t2_den = q, t2_num, t2_den
+        self.pair_salt = pair_salt
+        self.cent, self._cent_blocks = local_checkpoint_tracked(centroids)
+        self.members, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "vid long, cid long, qv array<bigint>, n2 long")
+        )
+        self._out_blocks: frozenset = frozenset()
+
+    def ingest(self, batch: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+        """Returns this batch's (vid, cid, is_dup); updates the
+        membership. Results valid until the next ingest."""
+        from fiat2_spark.operators.dedup import (
+            lloyd_assign, quantize_embeddings, semantic_dedup_members,
+        )
+
+        qe = quantize_embeddings(batch, id_col, vec_col, self.q)
+        af = lloyd_assign(qe, self.cent)
+        new_members, nm_blocks = local_checkpoint_tracked(
+            qe.join(af, "vid").select("vid", "cid", "qv", "n2")
+        )
+        out, out_blocks = local_checkpoint_tracked(
+            semantic_dedup_members(
+                self.members.unionByName(new_members),
+                new_members,
+                self.t2_num,
+                self.t2_den,
+                self.pair_salt,
+            )
+        )
+        prev = self._blocks | self._out_blocks
+        self.members, self._blocks = local_checkpoint_tracked(
+            self.members.unionByName(new_members)
+        )
+        self._out_blocks = out_blocks
+        release_blocks(self.members.sparkSession, prev | nm_blocks)
+        return out
+
+    def close(self) -> int:
+        """Free centroid, state, and last-output blocks."""
+        n = release_blocks(
+            self.members.sparkSession,
+            self._blocks | self._out_blocks | self._cent_blocks,
+        )
+        self._blocks = self._out_blocks = self._cent_blocks = frozenset()
+        return n

@@ -619,3 +619,41 @@ def test_corpus_ingest_outputs_tracked_and_retired(spark):
     ufinal = sub._blocks | sub._out_blocks
     sub.close()
     assert not (ufinal & live_ids())
+
+
+def test_semantic_dedup_corpus_agrees_with_one_shot(spark):
+    """SemanticDedupCorpus over id-ordered batches (frozen centroids)
+    must accumulate EXACTLY the one-shot semantic_dedup's (id, cid,
+    is_dup) rows: witnesses for "some smaller-id same-cluster member is
+    cosine-near" come from the state plus the batch's own earlier rows,
+    which with id-ordered arrival is precisely the one-shot's
+    smaller-id set. Also checks the corpus-class block discipline
+    (previous output retired on next ingest; close() frees state)."""
+    from fiat2_spark.operators.dedup import (
+        lloyd_centroids, quantize_embeddings, semantic_dedup,
+    )
+    from fiat2_spark.streaming.maintenance import SemanticDedupCorpus
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    one_shot = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(e, "vec_id", "embedding", k=8, iters=2).collect()
+    }
+
+    cent = lloyd_centroids(quantize_embeddings(e, "vec_id", "embedding"), 8, 2)
+    corpus = SemanticDedupCorpus(spark, cent)
+    got = {}
+    bounds = [(0, 150), (150, 320), (320, 10_000_000)]
+    prev_out = frozenset()
+    for lo, hi in bounds:
+        batch = e.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        out = corpus.ingest(batch, "vec_id", "embedding")
+        got.update({r["vid"]: (r["cid"], r["is_dup"]) for r in out.collect()})
+        live = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+        assert not (prev_out & live), "previous batch's output blocks must retire"
+        prev_out = corpus._out_blocks
+    final = corpus._blocks | corpus._out_blocks | corpus._cent_blocks
+    corpus.close()
+    live = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert not (final & live)
+    assert got == one_shot
