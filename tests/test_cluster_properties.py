@@ -149,3 +149,122 @@ def test_pagerank_matches_python_model(spark, edges):
     e = spark.createDataFrame(sorted(edges), "src long, dst long")
     got = {r["node"]: r["pr"] for r in pagerank(e, iters=3).collect()}
     assert got == pr
+
+
+# -- SemDeDup differential vs a pure-Python model ---------------------------
+
+def _py_semantic(vecs: dict[int, list[int]], k: int, iters: int,
+                 t2_num: int = 4, t2_den: int = 25):
+    """Exact Python mirror of `semantic_dedup` with q=1 (integer
+    components, so quantization is the identity): Lloyd with init = the
+    k lowest ids, exact integer distances with ties on cid, floor-div
+    centroid updates (empty clusters drop), one final assignment, then
+    the keep-first cosine prune as the integer comparison
+    t2_den·dot² > t2_num·|a|²·|b|² AND dot > 0."""
+    def assign(cent):
+        out = {}
+        for vid, v in vecs.items():
+            best = None
+            for cid, qc in sorted(cent.items()):
+                d = sum((a - b) * (a - b) for a, b in zip(v, qc))
+                if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                    best = (d, cid)
+            out[vid] = best[1]
+        return out
+
+    cent = {vid: list(v) for vid, v in vecs.items() if vid < k}
+    for _ in range(iters):
+        a = assign(cent)
+        nxt: dict[int, list[int]] = {}
+        for cid in set(a.values()):
+            members = [vecs[vid] for vid, c in a.items() if c == cid]
+            nxt[cid] = [
+                sum(col) // len(members) for col in zip(*members)
+            ]
+        cent = nxt
+    af = assign(cent)
+    n2 = {vid: sum(x * x for x in v) for vid, v in vecs.items()}
+    out = {}
+    for vid in vecs:
+        dup = False
+        for other, v in vecs.items():
+            if other >= vid or af[other] != af[vid]:
+                continue
+            dot = sum(a * b for a, b in zip(vecs[other], vecs[vid]))
+            if dot > 0 and t2_den * dot * dot > t2_num * n2[other] * n2[vid]:
+                dup = True
+                break
+        out[vid] = (af[vid], dup)
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-6, 6), min_size=4, max_size=4),
+        min_size=3, max_size=10,
+    )
+)
+def test_semantic_dedup_matches_python_model(spark, vecs):
+    """semantic_dedup ≡ the exact Python model on random small integer
+    vector tables — clustering, assignment ties, floor-div centroid
+    updates, empty-cluster drop, and the keep-first prune all at once.
+    This is the operator's engine-independent differential (the DuckDB
+    oracle shares SQL semantics; this model shares nothing)."""
+    from fiat2_spark.operators.dedup import semantic_dedup
+
+    table = {i: v for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in table.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, iters=2, q=1, pair_salt=4
+        ).collect()
+    }
+    want = _py_semantic(table, k=3, iters=2)
+    assert got == want, f"\nvecs={table}\ngot={got}\nwant={want}"
+
+
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-6, 6), min_size=4, max_size=4),
+        min_size=4, max_size=10,
+    ),
+    cut=st.integers(1, 8),
+)
+def test_semantic_corpus_random_splits_agree(spark, vecs, cut):
+    """SemanticDedupCorpus over a RANDOM id-ordered 2-batch split must
+    accumulate exactly the one-shot rows (the fixed-split agreement
+    test, generalized)."""
+    from fiat2_spark.operators.dedup import (
+        lloyd_centroids, quantize_embeddings, semantic_dedup,
+    )
+    from fiat2_spark.streaming.maintenance import SemanticDedupCorpus
+
+    table = {i: v for i, v in enumerate(vecs)}
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in table.items()],
+        "vec_id long, embedding array<double>",
+    )
+    one_shot = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, iters=1, q=1, pair_salt=4
+        ).collect()
+    }
+    cent = lloyd_centroids(quantize_embeddings(df, "vec_id", "embedding", q=1), 3, 1)
+    corpus = SemanticDedupCorpus(spark, cent, q=1, pair_salt=4)
+    got = {}
+    c = min(cut, len(vecs) - 1)
+    from pyspark.sql import functions as F
+    for pred in (F.col("vec_id") < c, F.col("vec_id") >= c):
+        out = corpus.ingest(df.filter(pred), "vec_id", "embedding")
+        got.update({r["vid"]: (r["cid"], r["is_dup"]) for r in out.collect()})
+    corpus.close()
+    assert got == one_shot

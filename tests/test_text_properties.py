@@ -68,3 +68,40 @@ def test_repetition_stats_match_python_model(spark, docs):
     for i in want:
         for a, b in zip(got[i], want[i]):
             assert abs(a - b) < 1e-9, (i, got[i], want[i])
+
+
+def test_dsir_scores_rank_target_like_docs_first(spark):
+    """DSIR property (Xie et al. 2023): a pool document written in the
+    target corpus vocabulary must outscore one written in vocabulary
+    the target never uses — the importance log-ratio is positive for
+    target-heavy buckets and negative for pool-only buckets. Also pins
+    the bag-of-ngrams semantics: MORE in-distribution n-grams add up
+    (counts, not presence) — while repeating a short phrase does NOT
+    help, because the repetition wrap-around bigram ('scala spark') is
+    pool-only and the doc's own occurrences inflate the pool counts
+    (DSIR raw-side smoothing is self-penalizing for spam)."""
+    from fiat2_spark.operators.text import dsir_importance
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark scala catalyst tungsten shuffle partition") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark scala catalyst tungsten"),                   # in-distribution
+            (2, "llama alpaca vicuna gnu"),                          # out-of-distribution
+            (3, "spark scala catalyst tungsten shuffle partition"),  # fully in-distribution, longer
+            (4, "spark llama"),                                      # mixed
+            (5, "spark scala spark scala spark scala"),              # phrase spam
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_importance(raw, target, "doc_id", "text", buckets=64, k=10).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1] > got[2], got
+    assert got[3] > got[1], "more in-distribution n-grams add up"
+    assert got[1] > got[4] > got[2], got
+    assert got[5] < got[1], "phrase spam must not outrank clean in-distribution text"
