@@ -137,7 +137,8 @@ HEADLINE = [
     "shuffle_shards",               # deterministic global shuffle + sharding
     # round-8 additions
     "dedup_semantic",               # SemDeDup: cluster + within-cluster cosine prune
-    "dsir_select",                  # DSIR hashed-ngram importance resampling
+    "dsir_select",                  # DSIR hashed-ngram importance scoring, hard top-k
+    "dsir_resample",                # DSIR Gumbel top-k resampling
 ]
 
 

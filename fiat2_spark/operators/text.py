@@ -531,9 +531,9 @@ def hashed_ngram_features(toks: Column, buckets: int) -> Column:
     )
 
 
-def dsir_importance(
+def dsir_scores(
     raw, target, id_col: str, text_col: str,
-    buckets: int = 256, quant: int = 10_000, k: int = 100,
+    buckets: int = 256, quant: int = 10_000,
 ):
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023): score each raw-pool document by how much its hashed n-gram
@@ -604,6 +604,53 @@ def dsir_importance(
         .groupBy("doc")
         .agg(F.sum("lr").alias("score"))
     )
-    return scored.select(F.col("doc").alias(id_col), "score").orderBy(
-        F.desc("score"), id_col
-    ).limit(k)
+    return scored.select(F.col("doc").alias(id_col), "score")
+
+
+def dsir_importance(
+    raw, target, id_col: str, text_col: str,
+    buckets: int = 256, quant: int = 10_000, k: int = 100,
+):
+    """Top-k selection by raw DSIR importance score (`dsir_scores`) —
+    ties on doc id; TakeOrderedAndProject, no global sort."""
+    return (
+        dsir_scores(raw, target, id_col, text_col, buckets, quant)
+        .orderBy(F.desc("score"), id_col)
+        .limit(k)
+    )
+
+
+def dsir_resample(
+    raw, target, id_col: str, text_col: str,
+    buckets: int = 256, quant: int = 10_000, k: int = 64, temp: float = 1.0,
+):
+    """DSIR's actual RESAMPLING step (Xie et al. 2023 §3): draw k
+    documents with probability ∝ exp(score/T) WITHOUT replacement via
+    the Gumbel top-k trick — key = score/T + Gumbel(0,1), keep the k
+    largest keys. The Gumbel noise is deterministic and
+    engine-portable: u = (52 salted-md5 bits + 1)/2⁵², g = −ln(−ln u)
+    (no RNG state — the Efraimidis–Spirakis discipline `sample_weighted`
+    established). Keys round to 6 decimals so a last-ulp libm-ln
+    difference cannot reorder near-equal keys; doc id breaks ties.
+    Top-k is TakeOrderedAndProject — the exchange never carries the
+    pool."""
+    scores = dsir_scores(raw, target, id_col, text_col, buckets, quant)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir#"), F.col(id_col).cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(1 << 52))
+    key = F.round(
+        F.col("score").cast("double") / F.lit(float(quant) * temp) - F.log(-F.log(u)),
+        6,
+    )
+    return (
+        scores.withColumn("gkey", key)
+        .orderBy(F.desc("gkey"), id_col)
+        .limit(k)
+    )

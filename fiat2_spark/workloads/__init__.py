@@ -304,7 +304,10 @@ PRIORITY = (
     "dsl_grandchildren", "dsl_let_if_table", "dsl_orders_agg",
     "substring_dedup_apply",
     # (B) round-8 additions — driver evidence in the round they land
-    "dedup_semantic", "dsir_select",
+    # (percentile_cont_scalable cedes its (D) slot to the late-round
+    # dsir_resample and joins the r9 tail — the same (B)-over-(D) rule
+    # as r7)
+    "dedup_semantic", "dsir_select", "dsir_resample",
     # (C) the ten deferred r3-row queries (VERDICT r7 task 1) — the
     # last of the r3 evidence backlog
     "cms_tokens", "hll_users", "multimodal_frames", "multimodal_resize",
@@ -320,9 +323,10 @@ PRIORITY = (
     "text_langid_trigram", "text_redact_pii", "text_repetition",
     "sample_mixture", "sample_weighted", "server_artist_filter",
     "server_album_join", "csv_roundtrip", "upsert_keyed",
-    "tpch_q18_shape", "window_rownum", "percentile_cont_scalable",
+    "tpch_q18_shape", "window_rownum",
 )
-# Round-9 rotation candidates (the r4-row tail): chunk_sliding,
+# Round-9 rotation candidates (the r4-row tail + percentile_cont_scalable,
+# which ceded its slot to dsir_resample): chunk_sliding,
 # full_outer_join, group_concat, group_concat_scalable,
 # grouped_rank_family_scalable, grouped_rownum_scalable, mode_per_group,
 # multimodal_audio_rms, pack_sequences, partition_pruned_lookup,

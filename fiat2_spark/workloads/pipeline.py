@@ -2826,16 +2826,39 @@ _DSIR_ORACLE = """
                         * 10000) AS BIGINT) AS lr
       FROM bt FULL OUTER JOIN br ON bt.bucket = br.bucket, tot
     )
-    SELECT f.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS score
-    FROM feat f JOIN lr ON lr.bucket = f.bucket
-    WHERE f.source <> 'src0'
-    GROUP BY f.doc_id
-    ORDER BY score DESC, f.doc_id
-    LIMIT 100
+    , scored AS (
+      SELECT f.doc_id, CAST(SUM(lr.lr) AS BIGINT) AS score
+      FROM feat f JOIN lr ON lr.bucket = f.bucket
+      WHERE f.source <> 'src0'
+      GROUP BY f.doc_id
+    )
 """
 
+_DSIR_SELECT_ORACLE = (
+    _DSIR_ORACLE
+    + """
+    SELECT doc_id, score FROM scored
+    ORDER BY score DESC, doc_id
+    LIMIT 100
+"""
+)
 
-@q("dsir_select", _DSIR_ORACLE)
+_DSIR_RESAMPLE_ORACLE = (
+    _DSIR_ORACLE
+    + """
+    SELECT doc_id, score, gkey FROM (
+      SELECT doc_id, score,
+             round(CAST(score AS DOUBLE) / 10000.0
+                   - ln(-ln((CAST(('0x' || substr(md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
+                            / 4503599627370496.0)), 6) AS gkey
+      FROM scored)
+    ORDER BY gkey DESC, doc_id
+    LIMIT 64
+"""
+)
+
+
+@q("dsir_select", _DSIR_SELECT_ORACLE)
 def dsir_select(spark, sf_dir):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): pick
     the 100 raw-pool documents (source <> 'src0') whose hashed
@@ -2852,4 +2875,22 @@ def dsir_select(spark, sf_dir):
         d.filter(F.col("source") != "src0"),
         d.filter(F.col("source") == "src0"),
         "doc_id", "text", buckets=256, quant=10_000, k=100,
+    )
+
+
+@q("dsir_resample", _DSIR_RESAMPLE_ORACLE)
+def dsir_resample(spark, sf_dir):
+    """DSIR's resampling step (Xie et al. 2023 §3): 64 pool documents
+    drawn with probability ∝ exp(score/T) without replacement via the
+    Gumbel top-k trick — key = score/T + Gumbel(0,1) with deterministic
+    md5-derived noise (the Efraimidis-Spirakis discipline
+    `sample_weighted` established; keys rounded to 6 decimals so a
+    last-ulp libm-ln difference cannot reorder). Completes the DSIR
+    pipeline next to `dsir_select`'s hard top-k. TakeOrderedAndProject
+    — the exchange never carries the pool."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.dsir_resample(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", buckets=256, quant=10_000, k=64,
     )
