@@ -105,3 +105,82 @@ def test_dsir_scores_rank_target_like_docs_first(spark):
     assert got[3] > got[1], "more in-distribution n-grams add up"
     assert got[1] > got[4] > got[2], got
     assert got[5] < got[1], "phrase spam must not outrank clean in-distribution text"
+
+
+def _py_dsir_scores(raw: dict[int, str], target: dict[int, str],
+                    buckets: int = 64, quant: int = 10_000) -> dict[int, int]:
+    """Exact Python mirror of `dsir_scores`: same tokenizer, same
+    unigram+bigram features, same md5 buckets, add-1 smoothing, and the
+    log-ratio quantized with ROUND_HALF_UP (Spark's F.round mode)."""
+    import hashlib
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def feats(text):
+        ts = toks(text)
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % buckets
+
+    def counts(docs):
+        out: dict[int, int] = {}
+        total = 0
+        for text in docs.values():
+            for f in feats(text):
+                out[bucket(f)] = out.get(bucket(f), 0) + 1
+                total += 1
+        return out, total
+
+    nt, Nt = counts(target)
+    nr, Nr = counts(raw)
+    lr = {}
+    for b in set(nt) | set(nr):
+        ratio = ((nt.get(b, 0) + 1) * (Nr + buckets)) / (
+            (nr.get(b, 0) + 1) * (Nt + buckets)
+        )
+        lr[b] = int(
+            Decimal(math.log(ratio) * quant).quantize(Decimal(1), ROUND_HALF_UP)
+        )
+    return {
+        doc: sum(lr[bucket(f)] for f in feats(text))
+        for doc, text in raw.items()
+        if feats(text)
+    }
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    target=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_dsir_scores_match_python_model(spark, raw, target):
+    """dsir_scores ≡ the exact Python model on random small corpora —
+    the third independent realization next to the Spark plan and the
+    DuckDB oracle (tokenizer, feature hashing, smoothing, quantized
+    log-ratio, and bag-of-ngrams scoring all at once)."""
+    from fiat2_spark.operators.text import dsir_scores
+
+    raw_t = {i: t for i, t in enumerate(raw)}
+    target_t = {100 + i: t for i, t in enumerate(target)}
+    rdf = spark.createDataFrame(list(raw_t.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(target_t.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(rdf, tdf, "doc_id", "text", buckets=64).collect()
+    }
+    want = _py_dsir_scores(raw_t, target_t, buckets=64)
+    assert got == want, f"\nraw={raw_t}\ntarget={target_t}\ngot={got}\nwant={want}"
