@@ -972,11 +972,15 @@ def lloyd_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def lloyd_centroids(qe: DataFrame, k: int, iters: int) -> DataFrame:
-    """Exact-integer Lloyd over quantized vectors: init = the k lowest
-    vids' vectors, ``iters`` assignment+update rounds, centroid update
-    floor(exact-int / count). Returns (cid, dim, qc)."""
+    """Exact-integer Lloyd over quantized vectors: init = the k
+    SMALLEST actual vids' vectors (TakeOrderedAndProject + broadcast
+    semi-join — NOT ``vid < k``, which silently yields fewer/zero
+    centroids on sparse, offset, or negative id spaces), ``iters``
+    assignment+update rounds, centroid update floor(exact-int /
+    count). Returns (cid, dim, qc); cid = the seed row's vid."""
     qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
-    cent = qx.filter(F.col("vid") < k).select(
+    seeds = qe.select("vid").orderBy("vid").limit(k)
+    cent = qx.join(F.broadcast(seeds), "vid").select(
         F.col("vid").alias("cid"), "dim", F.col("v").alias("qc")
     )
     for _ in range(iters):
@@ -1021,18 +1025,24 @@ def semantic_dedup_members(
     form SemanticDedupCorpus.ingest uses; witnesses still come from the
     full membership, so accumulated batch results equal the one-shot's.
 
-    Salted pair join: the probe side keys (cid, vid % pair_salt), the
-    build side replicates ×pair_salt — with few clusters (small k) a
-    plain cid join caps parallelism at k tasks while the interpreted
-    zip_with dot products serialize (measured 3× on local[32] at k=8).
-    At 100 TB-scale k ∝ n the parallelism is natural and replication is
-    pure cost: pass pair_salt=1 there."""
+    Salted pair join: the MEMBERS (witness) side keys
+    (cid, pmod(vid, pair_salt)), the SCORED side replicates
+    ×pair_salt via explode — with few clusters (small k) a plain cid
+    join caps parallelism at k tasks while the interpreted zip_with
+    dot products serialize (measured 3× on local[32] at k=8). pmod,
+    not %: Spark's % keeps the dividend's sign, so a negative-vid
+    witness would get a salt the explode over 0..pair_salt-1 never
+    matches and its pairs would be silently missed. At 100 TB-scale
+    k ∝ n the parallelism is natural and replication is pure cost:
+    pass pair_salt=1 there."""
     scored = members if new_only is None else new_only
     dot = F.expr(
         "aggregate(zip_with(l.qv, r.qv, (x, y) -> x * y), 0L, (acc, z) -> acc + z)"
     )
     near = cosine_near_pred(dot, F.col("l.n2"), F.col("r.n2"), t2_num, t2_den)
-    l = members.withColumn("salt", (F.col("vid") % pair_salt).cast("int")).alias("l")
+    l = members.withColumn(
+        "salt", F.pmod(F.col("vid"), F.lit(pair_salt)).cast("int")
+    ).alias("l")
     r = scored.withColumn(
         "salt", F.explode(F.sequence(F.lit(0), F.lit(pair_salt - 1)))
     ).alias("r")

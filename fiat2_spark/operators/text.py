@@ -506,14 +506,14 @@ def sliding_chunks(toks: Column, width: int, stride: int) -> Column:
     )
 
 
-def hashed_ngram_features(toks: Column, buckets: int) -> Column:
-    """DSIR's hashed n-gram featurizer (Xie et al. 2023,
-    arXiv:2302.03169 §3): unigrams ∪ bigrams, each md5-hashed into one
-    of ``buckets`` integer buckets. Engine-portable — the first 8 hex
-    chars of md5 parsed as an integer, the construction every
-    md5-derived signature in this repo uses, so a DuckDB oracle
-    recomputes identical buckets. Returns array<bigint> (one entry per
-    feature OCCURRENCE — DSIR's bag-of-ngrams counts)."""
+def ngram_strings(toks: Column) -> Column:
+    """DSIR's n-gram feature STRINGS (Xie et al. 2023,
+    arXiv:2302.03169 §3): unigrams ∪ bigrams, one entry per feature
+    OCCURRENCE (DSIR's bag-of-ngrams counts). Returns array<string>.
+    Deliberately does NOT hash here: Spark executes lambda-HOF bodies
+    interpreted per element, so the md5 belongs AFTER the explode as a
+    top-level projected expression (`feature_bucket`) where Tungsten
+    codegen runs it — the HOF is left with only cheap string concats."""
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -523,12 +523,17 @@ def hashed_ngram_features(toks: Column, buckets: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = F.concat(toks, bigrams)
-    return F.transform(
-        feats,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-        % buckets,
-    )
+    return F.concat(toks, bigrams)
+
+
+def feature_bucket(feat: Column, buckets: int) -> Column:
+    """md5-bucket a feature string into [0, buckets): the first 8 hex
+    chars of md5 parsed as an integer — the construction every
+    md5-derived signature in this repo uses, so a DuckDB oracle
+    recomputes identical buckets. Applied as a top-level projection
+    (post-explode) this is whole-stage-codegen'd; the identical math
+    inside a `transform` HOF executes interpreted per element."""
+    return F.conv(F.substring(F.md5(feat), 1, 8), 16, 10).cast("long") % buckets
 
 
 def dsir_scores(
@@ -546,29 +551,32 @@ def dsir_scores(
     is pure integer arithmetic (the repo's engine-parity discipline —
     the single ln per bucket is the only float op, immediately
     quantized; its argument is an exact-integer ratio both engines
-    compute bit-identically). Returns the top-k (id, score), ties on
-    doc id.
+    compute bit-identically). Returns (id, score) for EVERY raw-pool
+    document; top-k selection lives in `dsir_importance`.
 
     Scale: the feature explode is ONE pass per corpus — materialized
     eagerly via localCheckpoint (the minhash-shingle discipline:
     blocks, not a CacheManager pin, reclaimable by the session owner's
     sweep) because the counts, totals, and scoring legs would otherwise
-    each re-run the md5 HOF pass, which executes interpreted
-    per-element, not codegen'd. The lr table is ≤B rows (broadcast);
-    the totals are 1-row aggregates (broadcast); scoring is a
-    broadcast join + per-doc sum; top-k is TakeOrderedAndProject — no
-    global sort, no all-pairs anything."""
+    each re-run the featurize pass. The md5 bucketing runs AFTER the
+    explode as a codegen'd top-level projection (`feature_bucket`) —
+    the HOF emits only the n-gram strings, so the hot hash loop is
+    Tungsten, not interpreted (the r8 profile's one flagged constant
+    factor). The lr table is ≤B rows (broadcast); the totals are 1-row
+    aggregates (broadcast); scoring is a broadcast join + per-doc sum;
+    top-k is TakeOrderedAndProject — no global sort, no all-pairs
+    anything."""
     def bucketed(df):
-        # the md5 HOF pass is CPU-bound and interpreted: spread the
-        # (often single-row-group) scan across right-sized partitions
-        # first — the minhash-signature discipline (dedup.cpu_partitions)
+        # the featurize pass is CPU-bound: spread the (often
+        # single-row-group) scan across right-sized partitions first —
+        # the minhash-signature discipline (dedup.cpu_partitions)
         from fiat2_spark.operators.dedup import cpu_partitions
 
         return df.repartition(cpu_partitions(df)).select(
             F.col(id_col).alias("doc"),
-            F.explode(
-                hashed_ngram_features(tokens(F.col(text_col)), buckets)
-            ).alias("bucket"),
+            F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+        ).select(
+            "doc", feature_bucket(F.col("feat"), buckets).alias("bucket")
         ).localCheckpoint()
 
     tb, rb = bucketed(target), bucketed(raw)
@@ -628,12 +636,14 @@ def dsir_resample(
     documents with probability ∝ exp(score/T) WITHOUT replacement via
     the Gumbel top-k trick — key = score/T + Gumbel(0,1), keep the k
     largest keys. The Gumbel noise is deterministic and
-    engine-portable: u = (52 salted-md5 bits + 1)/2⁵², g = −ln(−ln u)
-    (no RNG state — the Efraimidis–Spirakis discipline `sample_weighted`
-    established). Keys round to 6 decimals so a last-ulp libm-ln
-    difference cannot reorder near-equal keys; doc id breaks ties.
-    Top-k is TakeOrderedAndProject — the exchange never carries the
-    pool."""
+    engine-portable: u = (52 salted-md5 bits + 1)/(2⁵²+1), g =
+    −ln(−ln u) (no RNG state — the Efraimidis–Spirakis discipline
+    `sample_weighted` established). The +1 denominator keeps u in the
+    OPEN interval (0,1): an all-f 52-bit prefix would otherwise make
+    u exactly 1.0 and −ln(−ln 1) a NULL-vs-error engine divergence.
+    Keys round to 6 decimals so a last-ulp libm-ln difference cannot
+    reorder near-equal keys; doc id breaks ties. Top-k is
+    TakeOrderedAndProject — the exchange never carries the pool."""
     scores = dsir_scores(raw, target, id_col, text_col, buckets, quant)
     u = (
         F.conv(
@@ -644,7 +654,7 @@ def dsir_resample(
             10,
         ).cast("double")
         + F.lit(1.0)
-    ) / F.lit(float(1 << 52))
+    ) / F.lit(float((1 << 52) + 1))
     key = F.round(
         F.col("score").cast("double") / F.lit(float(quant) * temp) - F.log(-F.log(u)),
         6,

@@ -2237,7 +2237,8 @@ def _kmeans_oracle(k: int = 4, iters: int = 3, dims: int = 64, q: int = 1_000_00
              CAST(round(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) * {q}) AS BIGINT) AS qv
       FROM embeddings, unnest(generate_series(0, {dims - 1})) AS i(i)
     ),
-    c0 AS (SELECT vec_id AS cid, dim, qv AS qc FROM qe WHERE vec_id < {k})"""
+    c0 AS (SELECT vec_id AS cid, dim, qv AS qc FROM qe
+           WHERE vec_id IN (SELECT DISTINCT vec_id FROM qe ORDER BY vec_id LIMIT {k}))"""
     ]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -2282,7 +2283,9 @@ def kmeans_lloyd(spark, sf_dir):
     order — ties break on cid, and the centroid update is
     floor(exact-int / exact-int) evaluated in double (both operands
     < 2^53, IEEE division + floor bitwise-identical everywhere).
-    Init = the k lowest vec_ids' vectors; empty clusters drop out.
+    Init = the k SMALLEST actual vec_ids' vectors (TakeOrdered +
+    broadcast semi-join, not ``vec_id < k`` — robust to sparse or
+    offset id spaces); empty clusters drop out.
     At 100 TB: iterations multiply plan depth, not state — each round
     is one scan-join-agg pipeline and the centroid side stays a
     broadcast."""
@@ -2297,7 +2300,8 @@ def kmeans_lloyd(spark, sf_dir):
         "dim",
         F.round(F.col("v").cast("double") * 1_000_000).cast("long").alias("qv"),
     )
-    cent = qe.filter(F.col("vec_id") < k).select(
+    seeds = e.select("vec_id").orderBy("vec_id").limit(k)
+    cent = qe.join(F.broadcast(seeds), "vec_id").select(
         F.col("vec_id").alias("cid"), "dim", F.col("qv").alias("qc")
     )
     for _ in range(iters):
@@ -2731,7 +2735,8 @@ def _semantic_dedup_oracle(
       SELECT vec_id, CAST(i.i AS INTEGER) AS dim, qv[CAST(i.i AS INTEGER) + 1] AS v
       FROM qe, unnest(generate_series(0, {dims - 1})) AS i(i)
     ),
-    c0 AS (SELECT vec_id AS cid, dim, v AS qc FROM qx WHERE vec_id < {k})"""
+    c0 AS (SELECT vec_id AS cid, dim, v AS qc FROM qx
+           WHERE vec_id IN (SELECT vec_id FROM qe ORDER BY vec_id LIMIT {k}))"""
     ]
     prev = "c0"
     for it in range(1, iters + 1):
@@ -2850,7 +2855,7 @@ _DSIR_RESAMPLE_ORACLE = (
       SELECT doc_id, score,
              round(CAST(score AS DOUBLE) / 10000.0
                    - ln(-ln((CAST(('0x' || substr(md5('dsir#' || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1.0)
-                            / 4503599627370496.0)), 6) AS gkey
+                            / 4503599627370497.0)), 6) AS gkey
       FROM scored)
     ORDER BY gkey DESC, doc_id
     LIMIT 64

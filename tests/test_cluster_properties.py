@@ -157,9 +157,11 @@ def _py_semantic(vecs: dict[int, list[int]], k: int, iters: int,
                  t2_num: int = 4, t2_den: int = 25):
     """Exact Python mirror of `semantic_dedup` with q=1 (integer
     components, so quantization is the identity): Lloyd with init = the
-    k lowest ids, exact integer distances with ties on cid, floor-div
-    centroid updates (empty clusters drop), one final assignment, then
-    the keep-first cosine prune as the integer comparison
+    k SMALLEST ids' vectors (matching `lloyd_centroids`' rank-based
+    seeding — robust to sparse/offset/negative id spaces), exact
+    integer distances with ties on cid, floor-div centroid updates
+    (empty clusters drop), one final assignment, then the keep-first
+    cosine prune as the integer comparison
     t2_den·dot² > t2_num·|a|²·|b|² AND dot > 0."""
     def assign(cent):
         out = {}
@@ -172,7 +174,7 @@ def _py_semantic(vecs: dict[int, list[int]], k: int, iters: int,
             out[vid] = best[1]
         return out
 
-    cent = {vid: list(v) for vid, v in vecs.items() if vid < k}
+    cent = {vid: list(vecs[vid]) for vid in sorted(vecs)[:k]}
     for _ in range(iters):
         a = assign(cent)
         nxt: dict[int, list[int]] = {}
@@ -227,6 +229,39 @@ def test_semantic_dedup_matches_python_model(spark, vecs):
     }
     want = _py_semantic(table, k=3, iters=2)
     assert got == want, f"\nvecs={table}\ngot={got}\nwant={want}"
+
+
+def test_semantic_dedup_sparse_negative_ids(spark):
+    """Regression for two silent-id-space bugs (ADVICE r8): (1)
+    `lloyd_centroids` seeded with ``vid < k`` — a corpus whose ids are
+    all ≥ k (or sparse/offset) yielded fewer/zero centroids and an
+    empty result; (2) the pair-join salt used ``%``, whose
+    sign-keeping semantics gave negative-vid witnesses a salt the
+    probe-side explode over 0..pair_salt-1 never matches, silently
+    missing their pairs. Ids here are sparse, offset AND negative;
+    the near-duplicate pair's witness is the negative id."""
+    from fiat2_spark.operators.dedup import semantic_dedup
+
+    table = {
+        -7: [5, 5, 0, 0],      # witness for 903's dup mark
+        903: [5, 5, 0, 1],     # cosine-near -7 (well above t=0.4)
+        100: [-5, 5, 0, 0],
+        205: [0, 0, -6, 0],
+        999: [0, 0, 0, 6],
+    }
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in table.items()],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", k=3, iters=2, q=1, pair_salt=4
+        ).collect()
+    }
+    want = _py_semantic(table, k=3, iters=2)
+    assert got == want, f"\ngot={got}\nwant={want}"
+    assert got[903][1] is True and got[-7][1] is False
 
 
 @settings(max_examples=3, deadline=None,
