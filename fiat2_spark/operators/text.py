@@ -664,3 +664,158 @@ def dsir_resample(
         .orderBy(F.desc("gkey"), id_col)
         .limit(k)
     )
+
+
+def _vocab_mapped(df, col: str, vocab, unk: str):
+    """Replace ``col`` with its vocab-mapped value: itself if in the
+    broadcast vocab relation, else the ``unk`` token — CCNet's
+    closed-vocabulary step that bounds every LM table by the vocab, not
+    the corpus."""
+    probe = vocab.select(F.col("w").alias(f"__v_{col}"))
+    return (
+        df.join(F.broadcast(probe), df[col] == F.col(f"__v_{col}"), "left")
+        .withColumn(col, F.coalesce(F.col(f"__v_{col}"), F.lit(unk)))
+        .drop(f"__v_{col}")
+    )
+
+
+def lm_perplexity(
+    raw, ref, id_col: str, text_col: str,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5, unk: str = "<unk>",
+):
+    """CCNet-style n-gram LM scoring (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3 "LM filtering"): score every RAW document by
+    its total negative log-likelihood under a bigram LM with stupid
+    backoff (Brants et al. 2007) fit on the REF corpus — the
+    literature's quality-selection axis next to DSIR's
+    importance-vs-target (`dsir_scores`): DSIR asks "does this look
+    like the target?", perplexity asks "is this fluent under a
+    reference LM?" (CCNet, LLaMA, and RedPajama all gate on it).
+
+    Model (everything integer until a single ln per TABLE row, the
+    `dsir_scores` lr discipline — never a float op per token):
+      vocab  = top ``vocab_size`` ref unigrams by (count desc, word);
+               every other token maps to ``unk``
+      seen   (prev,w) in ref:  p = c2(prev,w) / c1(prev)
+      unseen (backoff):        p = α · (c1(w)+1) / (N + V + 1),
+               α = alpha_num/alpha_den (stupid backoff's fixed penalty;
+               add-1 on the vocab-closed unigram so p > 0 always)
+      per-transition cost q = round(-ln p · quant)  (exact BIGINT; the
+               ln argument is an exact-integer ratio both engines form
+               bit-identically)
+
+    Returns (id, n_trans, nll_q) for EVERY raw document: n_trans =
+    max(len(toks)-1, 0) scored transitions, nll_q = Σ q as BIGINT
+    (mean NLL in nats = nll_q / (quant·n_trans)). Docs with < 2 tokens
+    score (0, 0).
+
+    Scale: the LM tables are MODEL-sized, not corpus-sized — vocab ≤ V
+    rows, unigram table ≤ V+1, bigram table ≤ observed (vocab-closed)
+    bigrams — all broadcast; fitting is one explode+count pass over the
+    ref corpus and scoring is one explode + two broadcast probes + a
+    per-doc partial-aggregated sum over the raw corpus. No window, no
+    global sort, no corpus-keyed shuffle except the final per-doc agg."""
+    spark = raw.sparkSession
+
+    def transitions(df):
+        t = tokens(F.col(text_col))
+        pairs = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(
+                    F.element_at(t, i + 1).alias("prev"),
+                    F.element_at(t, i + 2).alias("w"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<prev:string,w:string>>"))
+        return df.select(
+            F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+        ).select("doc", "p.prev", "p.w")
+
+    # fit: one unigram pass over ref feeds vocab, c1, and N (blocks,
+    # not a CacheManager pin — the minhash-shingle discipline)
+    ref_uni = ref.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).localCheckpoint()
+    vocab = (
+        ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w").limit(vocab_size)
+        .select("w").localCheckpoint()
+    )
+    tot = ref_uni.agg(F.count(F.lit(1)).alias("n_tot"))
+    c1 = (
+        _vocab_mapped(ref_uni.select("w"), "w", vocab, unk)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    c2 = (
+        _vocab_mapped(
+            _vocab_mapped(transitions(ref), "prev", vocab, unk), "w", vocab, unk
+        )
+        .groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n2"))
+    )
+    q2 = c2.join(c1.select(F.col("w").alias("prev"), "n1"), "prev").select(
+        "prev", "w",
+        F.round(-F.log(F.col("n2").cast("double") / F.col("n1")) * quant)
+        .cast("long").alias("q"),
+    )
+    dom = vocab.unionByName(spark.createDataFrame([(unk,)], "w string"))
+    q1 = (
+        dom.join(c1, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(
+                -F.log(
+                    ((F.coalesce("n1", F.lit(0)) + 1) * alpha_num).cast("double")
+                    / ((F.col("n_tot") + vocab_size + 1) * alpha_den).cast("double")
+                )
+                * quant
+            ).cast("long").alias("q"),
+        )
+    )
+    # score: transitions probe the seen-bigram table, fall back to the
+    # per-word backoff (both broadcast), then one per-doc integer sum
+    rt = _vocab_mapped(
+        _vocab_mapped(transitions(raw), "prev", vocab, unk), "w", vocab, unk
+    )
+    scored = (
+        rt.join(F.broadcast(q2.withColumnRenamed("q", "q_bi")), ["prev", "w"], "left")
+        .join(F.broadcast(q1.withColumnRenamed("q", "q_uni")), "w", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trans"),
+            F.sum(F.coalesce("q_bi", "q_uni")).cast("long").alias("nll_q"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc")).distinct()
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+        )
+    )
+
+
+def perplexity_filter(
+    raw, ref, id_col: str, text_col: str, threshold_q: int,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5,
+):
+    """CCNet's LM quality gate: keep a document iff its MEAN per-token
+    NLL under the ref-fit bigram LM is at most threshold_q/quant nats —
+    evaluated as the exact integer comparison
+    ``nll_q ≤ threshold_q · n_trans`` (no float division, so the
+    decision is engine-bitwise). Docs with no transitions keep
+    trivially (0 ≤ 0 — nothing to judge them on; CCNet routes such
+    fragments to its "middle" bucket, a threshold policy knob).
+    Returns (id, n_trans, nll_q, keep)."""
+    s = lm_perplexity(
+        raw, ref, id_col, text_col, vocab_size, quant, alpha_num, alpha_den
+    )
+    return s.withColumn(
+        "keep", F.col("nll_q") <= F.lit(threshold_q) * F.col("n_trans")
+    )

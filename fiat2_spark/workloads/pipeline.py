@@ -13,6 +13,7 @@ from fiat2_spark.operators import dedup as D
 from fiat2_spark.operators import multimodal as M
 from fiat2_spark.operators import similarity as SIM
 from fiat2_spark.operators import text as TX
+from fiat2_spark.operators import web as WEB
 from fiat2_spark.workloads.util import tbl
 
 QUERIES = {}
@@ -2899,3 +2900,141 @@ def dsir_resample(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         "doc_id", "text", buckets=256, quant=10_000, k=64,
     )
+
+
+_PPL_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ref_uni AS (SELECT unnest(toks) AS w FROM tk WHERE source = 'src0'),
+    vocab AS (SELECT w FROM ref_uni GROUP BY w ORDER BY count(*) DESC, w LIMIT 1024),
+    tot AS (SELECT count(*) AS n_tot FROM ref_uni),
+    m1 AS (SELECT CASE WHEN v.w IS NOT NULL THEN u.w ELSE '<unk>' END AS w
+           FROM ref_uni u LEFT JOIN vocab v ON v.w = u.w),
+    c1 AS (SELECT w, count(*) AS n1 FROM m1 GROUP BY w),
+    ref_bi AS (
+      SELECT toks[CAST(i.i AS INTEGER)] AS prev, toks[CAST(i.i AS INTEGER) + 1] AS w
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+      WHERE source = 'src0' AND len(toks) >= 2
+    ),
+    mb AS (SELECT CASE WHEN vp.w IS NOT NULL THEN b.prev ELSE '<unk>' END AS prev,
+                  CASE WHEN vw.w IS NOT NULL THEN b.w ELSE '<unk>' END AS w
+           FROM ref_bi b LEFT JOIN vocab vp ON vp.w = b.prev
+                         LEFT JOIN vocab vw ON vw.w = b.w),
+    c2 AS (SELECT prev, w, count(*) AS n2 FROM mb GROUP BY prev, w),
+    q2 AS (SELECT c2.prev, c2.w,
+                  CAST(round(-ln(CAST(c2.n2 AS DOUBLE) / cp.n1) * 10000) AS BIGINT) AS q
+           FROM c2 JOIN c1 cp ON cp.w = c2.prev),
+    dom AS (SELECT w FROM vocab UNION ALL SELECT '<unk>'),
+    q1 AS (SELECT d.w,
+                  CAST(round(-ln(CAST((COALESCE(c1.n1, 0) + 1) * 2 AS DOUBLE)
+                                 / ((tot.n_tot + 1025) * 5)) * 10000) AS BIGINT) AS q
+           FROM dom d LEFT JOIN c1 ON c1.w = d.w, tot),
+    raw_bi AS (
+      SELECT doc_id, toks[CAST(i.i AS INTEGER)] AS prev, toks[CAST(i.i AS INTEGER) + 1] AS w
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+      WHERE source <> 'src0' AND len(toks) >= 2
+    ),
+    rmb AS (SELECT doc_id,
+                   CASE WHEN vp.w IS NOT NULL THEN b.prev ELSE '<unk>' END AS prev,
+                   CASE WHEN vw.w IS NOT NULL THEN b.w ELSE '<unk>' END AS w
+            FROM raw_bi b LEFT JOIN vocab vp ON vp.w = b.prev
+                          LEFT JOIN vocab vw ON vw.w = b.w),
+    sc AS (SELECT r.doc_id, count(*) AS n_trans, SUM(COALESCE(q2.q, q1.q)) AS nll_q
+           FROM rmb r LEFT JOIN q2 ON q2.prev = r.prev AND q2.w = r.w
+                      LEFT JOIN q1 ON q1.w = r.w
+           GROUP BY r.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_trans, 0) AS BIGINT) AS n_trans,
+           CAST(COALESCE(sc.nll_q, 0) AS BIGINT) AS nll_q,
+           COALESCE(sc.nll_q, 0) <= 36500 * COALESCE(sc.n_trans, 0) AS keep
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
+@q("perplexity_filter", _PPL_ORACLE)
+def perplexity_filter(spark, sf_dir):
+    """CCNet-style LM quality gate (Wenzek et al. 2019,
+    arXiv:1911.00359): fit a bigram stupid-backoff LM on the src0
+    reference corpus (top-1024 vocab, OOV→<unk>, integer-quantized
+    per-transition NLLs — the `dsir_select` lr-table discipline), score
+    every pool document's total NLL, keep iff mean NLL ≤ 3.65 nats via
+    the exact integer comparison nll_q ≤ 36500·n_trans. The
+    literature's second quality-selection axis next to DSIR: CCNet,
+    LLaMA, and RedPajama all bucket on reference-LM perplexity. Plan:
+    LM tables are MODEL-sized broadcasts (≤V+1 unigrams, vocab-closed
+    bigrams); fitting is one explode+count pass over ref; scoring is
+    one explode + broadcast probes + a per-doc partial-agg sum — the
+    only corpus-keyed shuffle."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.perplexity_filter(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", threshold_q=36_500,
+        vocab_size=1024, quant=10_000,
+    )
+
+
+_DOMAIN_BLOCKLIST = tuple(
+    [f"src13-{i}.example.com" for i in range(7)]
+    + ["src5-2.example.com", "src8-6.example.com", "spam.example.net"]
+)
+
+_DOMAIN_URL_SQL = """
+      'https://' ||
+      CASE WHEN doc_id % 11 = 0 THEN 'crawler:t0ken@' ELSE '' END ||
+      source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com' ||
+      CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END ||
+      '/page/' || CAST(doc_id AS VARCHAR)
+"""
+
+_DOMAIN_ORACLE = f"""
+    WITH urls AS (
+      SELECT doc_id, {_DOMAIN_URL_SQL} AS url FROM documents
+    ),
+    hosts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+      FROM urls
+    ),
+    kept AS (
+      SELECT * FROM hosts
+      WHERE host NOT IN ({", ".join(f"'{h}'" for h in _DOMAIN_BLOCKLIST)})
+    )
+    SELECT doc_id, host FROM kept
+    QUALIFY row_number() OVER (PARTITION BY host ORDER BY doc_id) <= 3
+"""
+
+
+@q("domain_filter", _DOMAIN_ORACLE)
+def domain_filter(spark, sf_dir):
+    """C4/RefinedWeb-style domain/URL gate (Raffel et al. 2020 §2.2;
+    Penedo et al. 2023 §3.1): extract each document's host (regexp —
+    handles userinfo@ and :port authority junk, exercised here by
+    deriving URLs with both), drop blocklisted hosts via a BROADCAST
+    anti-join (the corpus never shuffles for the drop — plan-asserted),
+    and cap every host at 3 documents keeping the smallest doc_ids
+    (the WindowGroupLimit rank-limit shape). The testdata carries no
+    URL column, so the query derives a deterministic one from
+    (source, doc_id) — the oracle derives the identical string, and
+    the operator itself (`operators/web.py`) takes any url column.
+    Every web-corpus build runs this stage before any dedup."""
+    d = tbl(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("crawler:t0ken@")).otherwise(F.lit("")),
+            F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".EXAMPLE.com"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    blocked = spark.createDataFrame([(h,) for h in _DOMAIN_BLOCKLIST], "host string")
+    return WEB.domain_filter(urls, "doc_id", "url", blocked, max_per_domain=3) \
+        .withColumnRenamed("doc", "doc_id")

@@ -1003,3 +1003,33 @@ def test_dsir_plan_shape(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_domain_filter_drop_is_broadcast_anti_no_corpus_shuffle(spark):
+    """The blocklist drop must be a BROADCAST LeftAnti hash join — the
+    corpus never exchanges for the decision (C4/RefinedWeb runs this on
+    every crawled page BEFORE any dedup; a shuffled anti-join would be
+    the most expensive stage of the whole pipeline at 100 TB). The only
+    exchange in the plan is the per-domain cap's host-keyed one, and
+    the cap runs as WindowGroupLimit (partial per-partition limit)."""
+    p = plan_of(QUERIES["domain_filter"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    # exactly one data exchange: the host-keyed cap (plus the blocklist's
+    # own broadcast exchange, which carries the 10-row list, not corpus)
+    data_exchanges = [
+        ln for ln in p.splitlines()
+        if "Exchange hashpartitioning" in ln or "Exchange rangepartitioning" in ln
+    ]
+    assert len(data_exchanges) <= 1, data_exchanges
+
+
+def test_perplexity_lm_tables_broadcast(spark):
+    """The LM probes must be broadcast hash joins (the tables are
+    model-sized by construction — vocab-closed); the corpus-keyed
+    shuffle is only the per-doc aggregation."""
+    p = plan_of(QUERIES["perplexity_filter"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p and "partial_sum" in p

@@ -184,3 +184,125 @@ def test_dsir_scores_match_python_model(spark, raw, target):
     }
     want = _py_dsir_scores(raw_t, target_t, buckets=64)
     assert got == want, f"\nraw={raw_t}\ntarget={target_t}\ngot={got}\nwant={want}"
+
+
+# -- CCNet-style perplexity vs an exact Python model -------------------------
+
+def _py_lm_perplexity(raw: dict[int, str], ref: dict[int, str],
+                      vocab_size: int = 4, quant: int = 10_000,
+                      alpha_num: int = 2, alpha_den: int = 5):
+    """Exact Python mirror of `lm_perplexity`: same tokenizer, top-V
+    vocab by (count desc, word), OOV→<unk>, bigram MLE with stupid
+    backoff to the add-1 vocab-closed unigram, per-transition NLL
+    quantized with ROUND_HALF_UP (Spark's F.round mode)."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def q_round(x: float) -> int:
+        return int(Decimal(x * quant).quantize(Decimal(1), ROUND_HALF_UP))
+
+    ref_toks = [w for t in ref.values() for w in toks(t)]
+    cnt = Counter(ref_toks)
+    vocab = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    }
+
+    def m(w):
+        return w if w in vocab else "<unk>"
+
+    c1 = Counter(m(w) for w in ref_toks)
+    n_tot = len(ref_toks)
+    c2: Counter = Counter()
+    for t in ref.values():
+        ts = [m(w) for w in toks(t)]
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+
+    def q_of(prev, w):
+        if (prev, w) in c2:
+            return q_round(-math.log(c2[(prev, w)] / c1[prev]))
+        return q_round(
+            -math.log(
+                ((c1.get(w, 0) + 1) * alpha_num)
+                / ((n_tot + vocab_size + 1) * alpha_den)
+            )
+        )
+
+    out = {}
+    for doc, t in raw.items():
+        ts = [m(w) for w in toks(t)]
+        pairs = list(zip(ts, ts[1:]))
+        out[doc] = (len(pairs), sum(q_of(a, b) for a, b in pairs))
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                 min_size=0, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_lm_perplexity_matches_python_model(spark, raw, ref):
+    """lm_perplexity ≡ the exact Python model on random small corpora —
+    tokenizer, vocab ranking (count desc, word ties), OOV mapping,
+    bigram MLE, stupid backoff, and quantization all at once, with
+    empty/one-token docs pinned to (0, 0). The third independent
+    realization next to the Spark plan and the DuckDB oracle."""
+    from fiat2_spark.operators.text import lm_perplexity
+
+    raw_t = {i: t for i, t in enumerate(raw)}
+    ref_t = {100 + i: t for i, t in enumerate(ref)}
+    rdf = spark.createDataFrame(list(raw_t.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(ref_t.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity(rdf, tdf, "doc_id", "text", vocab_size=4).collect()
+    }
+    want = _py_lm_perplexity(raw_t, ref_t, vocab_size=4)
+    assert got == want, f"\nraw={raw_t}\nref={ref_t}\ngot={got}\nwant={want}"
+
+
+def test_perplexity_filter_ranks_fluent_text_first(spark):
+    """Directional CCNet property: a pool document whose transitions the
+    reference LM has seen scores lower mean NLL than word salad over
+    the same vocabulary (every transition backs off), which in turn
+    beats out-of-vocabulary text (backoff at the <unk>/rare floor) —
+    and the keep flag splits exactly at the integer threshold."""
+    from fiat2_spark.operators.text import perplexity_filter
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the spark engine runs the query plan") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "the spark engine runs the query plan"),   # fluent (all seen)
+            (2, "plan the runs query spark engine the"),   # salad, in-vocab
+            (3, "llama alpaca vicuna gnu emu okapi heron"),  # out-of-vocab
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in perplexity_filter(
+            raw, ref, "doc_id", "text", threshold_q=20_000, vocab_size=16
+        ).collect()
+    }
+    mean = {i: rows[i]["nll_q"] / rows[i]["n_trans"] for i in rows}
+    assert mean[1] < mean[2] < mean[3], mean
+    assert rows[1]["keep"] and not rows[3]["keep"], rows
+    for i, r in rows.items():
+        assert r["keep"] == (r["nll_q"] <= 20_000 * r["n_trans"])
