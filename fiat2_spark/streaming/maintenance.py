@@ -750,6 +750,47 @@ class SemanticDedupCorpus:
         release_blocks(self.members.sparkSession, prev | nm_blocks)
         return out
 
+    def cluster_sizes(self) -> DataFrame:
+        """(cid, n_members) over the accumulated state — the monitor a
+        long-lived corpus watches to decide WHEN to `recluster`: batch
+        SemDeDup's pair cost is Σ|cluster|², so a cluster growing past
+        its budget is the signal the frozen-k regime has expired."""
+        return self.members.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members")
+        )
+
+    def recluster(self, k: int, iters: int = 2) -> None:
+        """Re-fit the frozen centroid relation over the ACCUMULATED
+        membership and remap every member's cid — the k-growth path:
+        batch SemDeDup's 100 TB story is k ∝ n (Abbas et al. 2023 use
+        k ~ √n·const), but a long-lived corpus whose n grows 100×
+        under construction-time centroids slides into the quadratic
+        per-cluster pair regime silently. Call with k scaled to the
+        CURRENT corpus size; afterwards the state's (vid, cid)
+        clustering equals the one-shot `semantic_dedup`'s over the
+        accumulated corpus at the same (k, iters) — agreement-tested —
+        so subsequent ingests prune within refreshed, bounded clusters.
+        Already-emitted is_dup decisions are ingest-time facts and are
+        NOT revised (SemDeDup's keep-first rule is arrival-order-
+        dependent by construction). Cost: one Lloyd fit + one
+        assignment pass over the state — the same plan family as a
+        batch of equal size; superseded snapshot and centroid blocks
+        are retired."""
+        from fiat2_spark.operators.dedup import lloyd_assign, lloyd_centroids
+
+        qe = self.members.select("vid", "qv", "n2")
+        cent, cent_blocks = local_checkpoint_tracked(
+            lloyd_centroids(qe, k, iters)
+        )
+        af = lloyd_assign(qe, cent)
+        members, blocks = local_checkpoint_tracked(
+            qe.join(af, "vid").select("vid", "cid", "qv", "n2")
+        )
+        old = self._blocks | self._cent_blocks
+        self.cent, self._cent_blocks = cent, cent_blocks
+        self.members, self._blocks = members, blocks
+        release_blocks(self.members.sparkSession, old)
+
     def close(self) -> int:
         """Free centroid, state, and last-output blocks."""
         n = release_blocks(

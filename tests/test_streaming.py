@@ -657,3 +657,62 @@ def test_semantic_dedup_corpus_agrees_with_one_shot(spark):
     live = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
     assert not (final & live)
     assert got == one_shot
+
+
+def test_semantic_dedup_corpus_recluster_boundary(spark):
+    """recluster(k') must leave the corpus in EXACTLY the state a fresh
+    one-shot clustering of the accumulated corpus at k' would produce —
+    (vid, cid) equal to lloyd_assign over lloyd_centroids at k' — and a
+    subsequent ingest must prune against the REFRESHED clusters:
+    its (vid, cid, is_dup) rows equal semantic_dedup_members evaluated
+    on the post-recluster membership plus the batch (the incremental
+    contract, restated across the recluster boundary). Superseded
+    snapshot + centroid blocks retire."""
+    from fiat2_spark.operators.dedup import (
+        lloyd_assign, lloyd_centroids, quantize_embeddings,
+        semantic_dedup_members,
+    )
+    from fiat2_spark.streaming.maintenance import SemanticDedupCorpus
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = e.filter(F.col("vec_id") < 300)
+    later = e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 380))
+
+    cent0 = lloyd_centroids(quantize_embeddings(first, "vec_id", "embedding"), 4, 2)
+    corpus = SemanticDedupCorpus(spark, cent0)
+    corpus.ingest(first, "vec_id", "embedding")
+
+    pre_blocks = corpus._blocks | corpus._cent_blocks
+    corpus.recluster(k=8, iters=2)
+    live = set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    assert not (pre_blocks & live), "superseded snapshot/centroids must retire"
+
+    # state == one-shot clustering of the accumulated corpus at k'=8
+    qe = quantize_embeddings(first, "vec_id", "embedding")
+    want_cent = lloyd_centroids(qe, 8, 2)
+    want_assign = {
+        r["vid"]: r["cid"] for r in lloyd_assign(qe, want_cent).collect()
+    }
+    got_assign = {
+        r["vid"]: r["cid"] for r in corpus.members.select("vid", "cid").collect()
+    }
+    assert got_assign == want_assign
+    ks = {r["cid"] for r in corpus.cluster_sizes().collect()}
+    assert ks == set(got_assign.values())
+
+    # next ingest prunes within the refreshed clusters
+    out = corpus.ingest(later, "vec_id", "embedding")
+    got = {r["vid"]: (r["cid"], r["is_dup"]) for r in out.collect()}
+    qe_new = quantize_embeddings(later, "vec_id", "embedding")
+    new_members = qe_new.join(
+        lloyd_assign(qe_new, corpus.cent), "vid"
+    ).select("vid", "cid", "qv", "n2")
+    acc = qe.join(lloyd_assign(qe, want_cent), "vid").select(
+        "vid", "cid", "qv", "n2"
+    ).unionByName(new_members)
+    want = {
+        r["vid"]: (r["cid"], r["is_dup"])
+        for r in semantic_dedup_members(acc, new_members).collect()
+    }
+    corpus.close()
+    assert got == want
