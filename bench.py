@@ -139,6 +139,9 @@ HEADLINE = [
     "dedup_semantic",               # SemDeDup: cluster + within-cluster cosine prune
     "dsir_select",                  # DSIR hashed-ngram importance scoring, hard top-k
     "dsir_resample",                # DSIR Gumbel top-k resampling
+    # round-9 additions
+    "perplexity_filter",            # CCNet bigram-LM quality gate, broadcast LM tables
+    "domain_filter",                # C4/RefinedWeb host blocklist + per-domain cap
 ]
 
 

@@ -291,7 +291,7 @@ PRIORITY_R7 = (
 #   → changed = exactly the 16 queries marked (A) below + the 2 new
 #     ones (B); held_count = 166 — every other registered query's
 #     reachable hash is IDENTICAL to its row-earning round's.
-PRIORITY = (
+PRIORITY_R8 = (  # kept for the r8 row-premise audit trail
     # (A) tool-mandated reachable-delta rotate-ins: the DSL family
     # (compile.py's cons_to_insert shape guard + autoindex.py's
     # BitmapIdx residual rewrite sit in every AST program's closure),
@@ -325,15 +325,57 @@ PRIORITY = (
     "server_album_join", "csv_roundtrip", "upsert_keyed",
     "tpch_q18_shape", "window_rownum",
 )
-# Round-9 rotation candidates (the r4-row tail + percentile_cont_scalable,
-# which ceded its slot to dsir_resample): chunk_sliding,
-# full_outer_join, group_concat, group_concat_scalable,
-# grouped_rank_family_scalable, grouped_rownum_scalable, mode_per_group,
-# multimodal_audio_rms, pack_sequences, partition_pruned_lookup,
-# profile_columns, salted_join, scalar_subquery, stratified_split,
-# unpivot_long, vocab_topn, window_range_frame — plus anything
-# tools/fingerprints.py --compare flags against FINGERPRINTS_r08.json.
+# Round-9 window. The fingerprint tool is UNCHANGED this round, so the
+# rotation baseline is FINGERPRINTS_r08.json at r8 HEAD directly. The
+# must-rotate-in set is the tool's output:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r08.json
+#   → changed = exactly the 5 queries marked (A) below + the 2 new
+#     ones (B); held_count = 180 — every other registered query's
+#     reachable hash is IDENTICAL to its row-earning round's.
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins: the Lloyd-seeding
+    # fix (rank-based k-smallest init) touches kmeans_lloyd +
+    # dedup_semantic, the pmod pair-salt fix touches dedup_semantic,
+    # the post-explode codegen'd feature hash + open-interval Gumbel
+    # touch the DSIR pair, and the one-exchange reassembly touches
+    # substring_dedup_apply
+    "dedup_semantic", "dsir_select", "dsir_resample", "kmeans_lloyd",
+    "substring_dedup_apply",
+    # (B) round-9 additions — driver evidence in the round they land
+    "perplexity_filter", "domain_filter",
+    # (C) oldest-evidence refresh, the whole r4-row tail (18 — the r8
+    # comment's deferred list + percentile_cont_scalable): after r9 no
+    # driver row is older than r5
+    "chunk_sliding", "full_outer_join", "group_concat",
+    "group_concat_scalable", "grouped_rank_family_scalable",
+    "grouped_rownum_scalable", "mode_per_group", "multimodal_audio_rms",
+    "pack_sequences", "partition_pruned_lookup", "percentile_cont_scalable",
+    "profile_columns", "salted_join", "scalar_subquery",
+    "stratified_split", "unpivot_long", "vocab_topn", "window_range_frame",
+    # (D) oldest-evidence refresh, r5 rows (25 of the 44 remaining —
+    # the TPC-H family and the event-analytics/retrieval compositions;
+    # the 19 core/runtime-pruning micro queries named at the bottom of
+    # this block hold tool-verified identical premises on untouched
+    # relational/core code and defer to r10 under the (A)/(B)-over-(D)
+    # rule)
+    "tpch_q1_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
+    "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
+    "tpch_q13_shape", "tpch_q14_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "funnel_conversion", "retention_cohorts", "anomaly_zscore",
+    "gapfill_daily", "length_histogram", "hybrid_rrf_retrieval",
+    "quality_filter_apply", "asof_tolerance_join", "ewma_user_value",
+    "rolling_7day_revenue",
+)
+# Round-10 rotation candidates (the r5-row tail deferred above):
+# anti_join, bag_ops_all, bfs_recursive_cte, bloom_pruned_join,
+# corr_moments, dpp_partitioned_join, filter_scan, flatmap2_zip,
+# flatmap_explode, join_fk, mad_scalable, proj_compute, semi_join,
+# sort_canonical, theta_join_nonequi, top_k, udaf_mad, window_nav,
+# zonemap_range_scan — plus anything tools/fingerprints.py --compare
+# flags against FINGERPRINTS_r09.json.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
 assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
 assert len(PRIORITY_R6) == 50 and len(set(PRIORITY_R6)) == 50
 assert len(PRIORITY_R5) == 50 and len(set(PRIORITY_R5)) == 50
@@ -355,6 +397,8 @@ _missing_r6 = [n for n in PRIORITY_R6 if n not in _queries]
 assert not _missing_r6, f"PRIORITY_R6 names no longer registered: {_missing_r6}"
 _missing_r7 = [n for n in PRIORITY_R7 if n not in _queries]
 assert not _missing_r7, f"PRIORITY_R7 names no longer registered: {_missing_r7}"
+_missing_r8 = [n for n in PRIORITY_R8 if n not in _queries]
+assert not _missing_r8, f"PRIORITY_R8 names no longer registered: {_missing_r8}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
