@@ -142,6 +142,7 @@ HEADLINE = [
     # round-9 additions
     "perplexity_filter",            # CCNet bigram-LM quality gate, broadcast LM tables
     "domain_filter",                # C4/RefinedWeb host blocklist + per-domain cap
+    "url_dedup",                    # canonical-URL exact dedup, scan-side normalize
 ]
 
 

@@ -86,3 +86,49 @@ def domain_stats(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
         F.min("doc").alias("min_doc"),
         F.max("doc").alias("max_doc"),
     )
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL — the exact-dedup KEY every crawl pipeline applies
+    before any content dedup: lowercase scheme and host, strip
+    userinfo, strip the port when it is the scheme default (http:80 /
+    https:443) but keep a non-default one, drop query and fragment,
+    trim trailing '/' runs from the path. Pure regexp/string
+    expressions (codegen'd, oracle-recomputable); unparseable URLs
+    normalize to ''."""
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
+    port = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1
+    )
+    keep_port = F.when(
+        (port == "")
+        | ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+        r"/+$",
+        "",
+    )
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(scheme, F.lit("://"), host, keep_port, path)
+    )
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Exact URL dedup by normalized URL: one representative per
+    canonical URL (smallest id — the keep-first rule), with the
+    duplicate count. One partial-agg pass keyed on the normalized
+    string; text never moves. Returns (url_norm, keeper, n_dups)."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"), url_normalize(F.col(url_col)).alias("url_norm")
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.min("doc").alias("keeper"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dups"),
+        )
+    )

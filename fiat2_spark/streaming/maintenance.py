@@ -799,3 +799,87 @@ class SemanticDedupCorpus:
         )
         self._blocks = self._out_blocks = self._cent_blocks = frozenset()
         return n
+
+
+class DomainCapCorpus:
+    """Incremental per-domain admission control — the streaming twin of
+    `operators.web.domain_filter` for a corpus arriving in batches (a
+    crawl frontier): the blocklist is frozen at construction (curated,
+    model-sized, broadcast) and the state is the per-host ADMITTED
+    count. Each batch: extract hosts, drop blocklisted hosts with a
+    broadcast anti-join (zero batch shuffle for the drop), rank the
+    batch's rows per host by ascending id, admit while the host's
+    running total stays within the cap, fold admitted counts into the
+    state.
+
+    With id-ordered batches the accumulated admitted set equals the
+    one-shot `domain_filter` over the concatenated corpus
+    (agreement-tested): the one-shot keeps each host's ``cap`` smallest
+    ids, which id-ordered arrival admits in arrival order.
+
+    State = (host, n_admitted) — |hosts| rows, never text (the
+    corpus-class digest-only discipline); localCheckpointed with
+    per-ingest retirement of the superseded snapshot and the previous
+    batch's output blocks. At 100 TB the state is a host-bucketed
+    table and the per-batch window keys on host — the same exchange
+    family as the batch operator."""
+
+    def __init__(self, spark, blocked: DataFrame, cap: int):
+        self.cap = cap
+        self.blocked, self._bl_blocks = local_checkpoint_tracked(
+            blocked.select(F.col(blocked.columns[0]).alias("host"))
+        )
+        self.counts, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "host string, n_admitted long")
+        )
+        self._out_blocks: frozenset = frozenset()
+
+    def ingest(self, batch: DataFrame, id_col: str, url_col: str) -> DataFrame:
+        """Returns this batch's admitted (doc, host); updates the
+        per-host counts. Results valid until the next ingest."""
+        from pyspark.sql import Window as W
+
+        from fiat2_spark.operators.web import url_host
+
+        hosts = batch.select(
+            F.col(id_col).alias("doc"), url_host(F.col(url_col)).alias("host")
+        )
+        ok = hosts.join(F.broadcast(self.blocked), "host", "left_anti")
+        rn = F.row_number().over(W.partitionBy("host").orderBy("doc"))
+        admitted = (
+            ok.join(self.counts, "host", "left")
+            .withColumn("rn", rn)
+            .filter(
+                F.coalesce("n_admitted", F.lit(0)) + F.col("rn") <= F.lit(self.cap)
+            )
+            .select("doc", "host")
+        )
+        out, out_blocks = local_checkpoint_tracked(admitted)
+        merged = (
+            self.counts.withColumnRenamed("n_admitted", "n_old")
+            .join(
+                out.groupBy("host").agg(F.count(F.lit(1)).alias("n_new")),
+                "host",
+                "full_outer",
+            )
+            .select(
+                "host",
+                (F.coalesce("n_old", F.lit(0)) + F.coalesce("n_new", F.lit(0)))
+                .cast("long")
+                .alias("n_admitted"),
+            )
+        )
+        prev = self._blocks | self._out_blocks
+        self.counts, self._blocks = local_checkpoint_tracked(merged)
+        self._out_blocks = out_blocks
+        release_blocks(self.counts.sparkSession, prev)
+        return out
+
+    def close(self) -> int:
+        """Free blocklist, state, and last-output blocks."""
+        n = release_blocks(
+            self.counts.sparkSession,
+            self._blocks | self._out_blocks | self._bl_blocks,
+        )
+        self._blocks = self._out_blocks = self._bl_blocks = frozenset()
+        return n

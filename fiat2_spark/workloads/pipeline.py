@@ -3038,3 +3038,76 @@ def domain_filter(spark, sf_dir):
     blocked = spark.createDataFrame([(h,) for h in _DOMAIN_BLOCKLIST], "host string")
     return WEB.domain_filter(urls, "doc_id", "url", blocked, max_per_domain=3) \
         .withColumnRenamed("doc", "doc_id")
+
+
+_URLDEDUP_URL_SQL = """
+      'https://' ||
+      CASE WHEN doc_id % 11 = 0 THEN 'crawler:t0ken@' ELSE '' END ||
+      source || '-' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.com' ||
+      CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END ||
+      CASE WHEN doc_id % 17 = 0 THEN ':443' ELSE '' END ||
+      '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+      CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+      CASE WHEN doc_id % 5 = 0 THEN '?utm=x#frag' ELSE '' END
+"""
+
+_URL_DEDUP_ORACLE = f"""
+    WITH urls AS (
+      SELECT doc_id, {_URLDEDUP_URL_SQL} AS url FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host,
+             regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '') AS path
+      FROM urls
+    ),
+    norm AS (
+      SELECT doc_id,
+             CASE WHEN host = '' THEN '' ELSE
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END ||
+               path
+             END AS url_norm
+      FROM parts
+    )
+    SELECT url_norm, MIN(doc_id) AS keeper,
+           CAST(count(*) - 1 AS BIGINT) AS n_dups
+    FROM norm GROUP BY url_norm
+"""
+
+
+@q("url_dedup", _URL_DEDUP_ORACLE)
+def url_dedup(spark, sf_dir):
+    """Exact URL dedup by canonical URL — the FIRST dedup key every
+    crawl pipeline applies, before any content pass: normalize
+    (lowercase scheme/host, strip userinfo + query + fragment, strip
+    scheme-default ports but keep non-default ones, trim trailing
+    path slashes), then keep one representative per canonical URL
+    (smallest doc_id) with the duplicate count. Derived URLs here
+    carry every junk axis the normalizer handles (userinfo, :8443
+    kept vs :443 stripped, trailing '/', ?query#fragment) with
+    colliding /p/<id%50> paths so the groups are real. One partial-agg
+    pass keyed on the normalized string; scan-side normalization."""
+    d = tbl(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("crawler:t0ken@")).otherwise(F.lit("")),
+            F.col("source"), F.lit("-"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".EXAMPLE.com"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("?utm=x#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return WEB.url_dedup(urls, "doc_id", "url")
