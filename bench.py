@@ -143,6 +143,7 @@ HEADLINE = [
     "perplexity_filter",            # CCNet bigram-LM quality gate, broadcast LM tables
     "domain_filter",                # C4/RefinedWeb host blocklist + per-domain cap
     "url_dedup",                    # canonical-URL exact dedup, scan-side normalize
+    "decontaminate_semantic",       # embedding-space eval decontamination
 ]
 
 

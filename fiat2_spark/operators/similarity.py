@@ -398,3 +398,63 @@ def hard_negatives(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neg_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    vec_col: str,
+    q: int = 1_000_000,
+    t2_num: int = 4,
+    t2_den: int = 25,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    document whose embedding is cosine-near ANY held-out evaluation
+    example — the semantic complement of the n-gram `decontaminate`
+    (surface rewrites and paraphrases evade n-gram overlap; embedding
+    similarity catches them, the check modern model reports run next
+    to the lexical one).
+
+    EXACT brute force against the eval relation, which is model-sized
+    by construction (an eval benchmark is thousands of rows, not a
+    corpus): the quantized eval vectors collapse into ONE broadcast row
+    carrying array<struct<qv, n2>>, the corpus cross-joins that single
+    row (scan-side — no corpus exchange anywhere in the plan) and
+    F.exists evaluates the exact-integer cosine predicate
+    (`dedup.cosine_near_pred`'s DECIMAL(38,0) comparison — bitwise
+    oracle parity, no sqrt) per eval entry with early exit on the first
+    hit. Per-row work is ≤ |eval|·dims integer ops; for an eval set too
+    large to broadcast, the LSH-bucketed candidate path the
+    `dedup_embedding` family uses is the swap-in. Returns
+    (id, contaminated)."""
+    from fiat2_spark.operators.dedup import quantize_embeddings
+
+    dec = "decimal(38,0)"
+    qe_c = quantize_embeddings(corpus, id_col, vec_col, q)
+    qe_e = quantize_embeddings(eval_set, id_col, vec_col, q)
+    evals = qe_e.agg(F.collect_list(F.struct("qv", "n2")).alias("evs"))
+    dots = F.transform(
+        F.col("evs"),
+        lambda e: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("qv"), e["qv"], lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("dot"),
+            e["n2"].alias("n2e"),
+        ),
+    )
+    near = F.exists(
+        "__dots",
+        lambda s: (
+            F.lit(t2_den).cast(dec) * s["dot"].cast(dec) * s["dot"].cast(dec)
+            > F.lit(t2_num).cast(dec) * F.col("n2").cast(dec) * s["n2e"].cast(dec)
+        )
+        & (s["dot"] > 0),
+    )
+    return (
+        qe_c.crossJoin(F.broadcast(evals))
+        .withColumn("__dots", dots)
+        .select(F.col("vid").alias(id_col), near.alias("contaminated"))
+    )

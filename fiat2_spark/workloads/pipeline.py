@@ -3111,3 +3111,47 @@ def url_dedup(spark, sf_dir):
         ).alias("url"),
     )
     return WEB.url_dedup(urls, "doc_id", "url")
+
+
+_DECON_SEM_ORACLE = """
+    WITH qe AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    qn AS (
+      SELECT vec_id, qv,
+             CAST(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[])) AS HUGEINT) AS n2
+      FROM qe
+    ),
+    ev AS (SELECT qv, n2 FROM qn WHERE vec_id < 8),
+    co AS (SELECT * FROM qn WHERE vec_id >= 8)
+    SELECT c.vec_id,
+           EXISTS (
+             SELECT 1 FROM ev e
+             WHERE 25 * CAST(list_dot_product(CAST(c.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[])) AS HUGEINT)
+                      * CAST(list_dot_product(CAST(c.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[])) AS HUGEINT)
+                   > 4 * c.n2 * e.n2
+               AND list_dot_product(CAST(c.qv AS DOUBLE[]), CAST(e.qv AS DOUBLE[])) > 0
+           ) AS contaminated
+    FROM co c
+"""
+
+
+@q("decontaminate_semantic", _DECON_SEM_ORACLE)
+def decontaminate_semantic(spark, sf_dir):
+    """Embedding-space decontamination: flag corpus vectors cosine-near
+    ANY held-out eval vector (vec_id < 8 plays the benchmark) — the
+    semantic complement of `decontaminate`'s 3-gram overlap; paraphrase
+    contamination evades n-grams but not embedding similarity. Exact
+    brute force against the model-sized eval relation collapsed to ONE
+    broadcast row: the corpus scan cross-joins it (no corpus exchange)
+    and F.exists short-circuits the exact-integer cosine predicate per
+    eval entry. Threshold t=0.4 (t²=4/25), the embedding family's
+    corpus calibration."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return SIM.decontaminate_semantic(
+        e.filter(F.col("vec_id") >= 8),
+        e.filter(F.col("vec_id") < 8),
+        "vec_id", "embedding",
+    )

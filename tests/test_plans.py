@@ -1033,3 +1033,13 @@ def test_perplexity_lm_tables_broadcast(spark):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p and "partial_sum" in p
+
+
+def test_decontaminate_semantic_no_corpus_exchange(spark):
+    """The eval relation collapses to ONE broadcast row; the corpus
+    side must stay scan-side — no hashpartitioning exchange of corpus
+    rows anywhere in the plan (the single-row eval aggregate's own
+    exchange is a SinglePartition of one row)."""
+    p = plan_of(QUERIES["decontaminate_semantic"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p
+    assert "Exchange hashpartitioning" not in p, p
