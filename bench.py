@@ -144,6 +144,7 @@ HEADLINE = [
     "domain_filter",                # C4/RefinedWeb host blocklist + per-domain cap
     "url_dedup",                    # canonical-URL exact dedup, scan-side normalize
     "decontaminate_semantic",       # embedding-space eval decontamination
+    "boilerplate_dedup",            # CCNet/RefinedWeb corpus-frequent segment removal
 ]
 
 

@@ -1116,3 +1116,87 @@ def semantic_dedup(
     members = qe.join(af, "vid").select("vid", "cid", "qv", "n2").localCheckpoint()
     out = semantic_dedup_members(members, None, t2_num, t2_den, pair_salt)
     return out.select(F.col("vid").alias(id_col), "cid", "is_dup")
+
+
+# -- corpus-frequent segment (boilerplate) removal ---------------------------
+
+def boilerplate_remove(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_len: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal (Wenzek et al. 2019
+    arXiv:1911.00359 §3.1 paragraph-hash dedup; Penedo et al. 2023
+    arXiv:2306.01116 line dedup): drop every text UNIT that recurs
+    across >= ``min_docs`` DISTINCT documents, then reassemble each
+    document from its surviving units in order. On real web text the
+    unit is a line/paragraph; this corpus is single-line, so the unit
+    is a fixed-width token segment (``token_segments``) — the
+    distributed shape (explode -> corpus-wide distinct-doc count ->
+    anti join -> ordered reassembly) is identical, and swapping the
+    splitter expression swaps the unit.
+
+    Returns (id, n_segs, n_removed, clean_text) for EVERY input row
+    (a doc whose segments are ALL boilerplate comes back with
+    clean_text = '' — the caller decides whether empty docs survive).
+
+    Scale: the corpus text crosses the wire only as (id, seg_idx, seg)
+    unit rows — the distinct-doc count is map-side partial on
+    (seg, id) then (seg), and the frequent set is by construction a
+    TINY relation (only units repeated across documents survive the
+    HAVING), so the anti join broadcasts under AQE — no corpus-sized
+    exchange for the drop decision (plan behavior asserted in
+    tests/test_plans.py). The reassembly is ONE doc-keyed shuffle of
+    surviving units. No incremental twin by design: the threshold is
+    corpus-global, so a unit CROSSING it would have to retract
+    already-emitted clean_text — CCNet likewise runs a dedicated
+    corpus hash pass first; recompute is the honest semantics.
+
+    Reference analog: composes the §2.2/§2.5 filter/agg surface
+    (fiat2/src/fiat2/Interpret.v:369-404, :212-238)."""
+    from fiat2_spark.operators.text import token_segments
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    segs = base.select(
+        "__id",
+        F.explode(token_segments(tokens(F.col("__text")), seg_len)).alias("s"),
+    ).select(
+        "__id",
+        F.col("s.seg_idx").alias("seg_idx"),
+        F.concat_ws(" ", F.col("s.seg")).alias("seg"),
+    )
+    freq = (
+        segs.select("seg", "__id")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("seg")
+    )
+    kept = segs.join(freq, "seg", "left_anti")
+    per_doc_all = segs.groupBy("__id").agg(F.count(F.lit(1)).alias("n_segs"))
+    per_doc_kept = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("__id")
+        .join(per_doc_all, "__id", "left")
+        .join(per_doc_kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
+            (F.coalesce("n_segs", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

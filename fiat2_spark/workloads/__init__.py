@@ -342,11 +342,12 @@ PRIORITY = (
     "dedup_semantic", "dsir_select", "dsir_resample", "kmeans_lloyd",
     "substring_dedup_apply",
     # (B) round-9 additions — driver evidence in the round they land
-    # (rolling_7day_revenue and ewma_user_value cede their (D) slots to
-    # the late-round url_dedup and decontaminate_semantic and join the
-    # r10 tail — the same (B)-over-(D) rule as r7/r8)
+    # (rolling_7day_revenue, ewma_user_value, and asof_tolerance_join
+    # cede their (D) slots to the late-round url_dedup,
+    # decontaminate_semantic, and boilerplate_dedup and join the r10
+    # tail — the same (B)-over-(D) rule as r7/r8)
     "perplexity_filter", "domain_filter", "url_dedup",
-    "decontaminate_semantic",
+    "decontaminate_semantic", "boilerplate_dedup",
     # (C) oldest-evidence refresh, the whole r4-row tail (18 — the r8
     # comment's deferred list + percentile_cont_scalable): after r9 no
     # driver row is older than r5
@@ -368,15 +369,16 @@ PRIORITY = (
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
     "funnel_conversion", "retention_cohorts", "anomaly_zscore",
     "gapfill_daily", "length_histogram", "hybrid_rrf_retrieval",
-    "quality_filter_apply", "asof_tolerance_join",
+    "quality_filter_apply",
 )
 # Round-10 rotation candidates (the r5-row tail deferred above):
-# anti_join, bag_ops_all, bfs_recursive_cte, bloom_pruned_join,
-# corr_moments, dpp_partitioned_join, ewma_user_value, filter_scan,
-# flatmap2_zip, flatmap_explode, join_fk, mad_scalable, proj_compute,
-# rolling_7day_revenue, semi_join, sort_canonical, theta_join_nonequi,
-# top_k, udaf_mad, window_nav, zonemap_range_scan — plus anything
-# tools/fingerprints.py --compare flags against FINGERPRINTS_r09.json.
+# anti_join, asof_tolerance_join, bag_ops_all, bfs_recursive_cte,
+# bloom_pruned_join, corr_moments, dpp_partitioned_join,
+# ewma_user_value, filter_scan, flatmap2_zip, flatmap_explode, join_fk,
+# mad_scalable, proj_compute, rolling_7day_revenue, semi_join,
+# sort_canonical, theta_join_nonequi, top_k, udaf_mad, window_nav,
+# zonemap_range_scan — plus anything tools/fingerprints.py --compare
+# flags against FINGERPRINTS_r09.json.
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
 assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50

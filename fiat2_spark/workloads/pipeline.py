@@ -3155,3 +3155,53 @@ def decontaminate_semantic(spark, sf_dir):
         e.filter(F.col("vec_id") < 8),
         "vec_id", "embedding",
     )
+
+
+_BOILERPLATE_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(toks[(i*4+1):((i+1)*4)], ' ') AS seg
+      FROM toks,
+           unnest(generate_series(0, CAST(ceil(len(toks)::DOUBLE / 4) AS INT) - 1)) AS g(i)
+    ),
+    freq AS (
+      SELECT seg FROM (SELECT DISTINCT seg, doc_id FROM segs)
+      GROUP BY seg HAVING count(*) >= 2
+    ),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg FROM segs s ANTI JOIN freq f USING (seg)
+    ),
+    n_all AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id),
+    n_kept AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_segs, 0) AS BIGINT) AS n_segs,
+           CAST(COALESCE(a.n_segs, 0) - COALESCE(k.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM documents d
+    LEFT JOIN n_all a USING (doc_id)
+    LEFT JOIN n_kept k USING (doc_id)
+"""
+
+
+@q("boilerplate_dedup", _BOILERPLATE_ORACLE)
+def boilerplate_dedup(spark, sf_dir):
+    """CCNet/RefinedWeb-style boilerplate removal APPLIED: drop every
+    4-token segment that recurs across >= 2 distinct documents and
+    return each document's reassembled surviving text with removal
+    counts — full clean_text equality is the check (the redact_pii
+    discipline), so the oracle pins segmentation, the corpus-global
+    distinct-doc threshold, AND ordered reassembly bitwise. The unit
+    on real web text is the line/paragraph; the single-line synthetic
+    corpus substitutes fixed-width token segments with the identical
+    distributed shape (see operators/dedup.py:boilerplate_remove)."""
+    d = tbl(spark, sf_dir, "documents")
+    return D.boilerplate_remove(d, "doc_id", "text", seg_len=4, min_docs=2)

@@ -227,3 +227,71 @@ def test_substring_dedup_apply_chunked_reassembly_exact(spark):
     # order across the chunk seams: tail tokens stay strictly increasing
     toks = tiny_chunks[3]["kept_text"].split()
     assert toks == "no duplicated content in this one at all".split()
+
+
+def test_boilerplate_remove_hand_case(spark):
+    """Boilerplate = a 4-token segment recurring across >=2 DISTINCT
+    docs; within-doc repeats alone don't qualify; reassembly preserves
+    segment order; a doc that is ALL boilerplate survives as ''."""
+    from fiat2_spark.operators.dedup import boilerplate_remove
+
+    bp = "click here to subscribe"
+    docs = spark.createDataFrame(
+        [
+            # doc 1: boilerplate + unique tail (two segments)
+            (1, f"{bp} alpha beta gamma delta"),
+            # doc 2: unique head + the same boilerplate segment
+            (2, f"epsilon zeta eta theta {bp}"),
+            # doc 3: a WITHIN-doc repeat that no other doc shares
+            (3, "iota kappa mu nu iota kappa mu nu"),
+            # doc 4: all boilerplate
+            (4, bp),
+            # doc 5: empty text
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_remove(docs, "doc_id", "text", seg_len=4, min_docs=2).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert (out[1]["n_segs"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["clean_text"] == "epsilon zeta eta theta"
+    assert (out[2]["n_segs"], out[2]["n_removed"]) == (2, 1)
+    # within-doc repeat is NOT corpus boilerplate (1 distinct doc)
+    assert out[3]["clean_text"] == "iota kappa mu nu iota kappa mu nu"
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    assert (out[5]["n_segs"], out[5]["n_removed"], out[5]["clean_text"]) == (0, 0, "")
+
+
+def test_boilerplate_remove_threshold_and_order(spark):
+    """min_docs=3 spares a 2-doc repeat; surviving segments reassemble
+    in seg_idx order across a removed middle segment."""
+    from fiat2_spark.operators.dedup import boilerplate_remove
+
+    seg = "one two three four"
+    docs = spark.createDataFrame(
+        [
+            (1, f"a b c d {seg} e f g h"),
+            (2, f"{seg} x y z w"),
+            (3, f"p q r s {seg}"),
+            (4, "v w u t only here once more words"),
+        ],
+        "doc_id long, text string",
+    )
+    out3 = {
+        r["doc_id"]: r
+        for r in boilerplate_remove(docs, "doc_id", "text", seg_len=4, min_docs=3).collect()
+    }
+    # seg recurs in docs 1,2,3 -> removed at min_docs=3; doc 1's
+    # surviving head and tail reassemble around the removed middle
+    assert out3[1]["clean_text"] == "a b c d e f g h"
+    assert out3[4]["n_removed"] == 0
+    out9 = {
+        r["doc_id"]: r
+        for r in boilerplate_remove(docs, "doc_id", "text", seg_len=4, min_docs=9).collect()
+    }
+    assert all(r["n_removed"] == 0 for r in out9.values())

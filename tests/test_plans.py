@@ -1043,3 +1043,19 @@ def test_decontaminate_semantic_no_corpus_exchange(spark):
     p = plan_of(QUERIES["decontaminate_semantic"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_boilerplate_anti_join_broadcasts_under_aqe(spark):
+    """boilerplate_remove's frequent-set anti join must NOT plan as a
+    cartesian, and at runtime AQE must convert it to a broadcast: the
+    frequent set is by construction tiny (only units recurring across
+    docs survive the HAVING), so the drop decision never shuffles the
+    unit stream a second time. The corpus text itself crosses the wire
+    only as (id, seg_idx, seg) rows."""
+    df = QUERIES["boilerplate_dedup"](spark, SF_SMOKE)
+    df.collect()
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    assert "isFinalPlan=true" in p
+    # AQE turned the statically-unknown-size anti join into a broadcast
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
