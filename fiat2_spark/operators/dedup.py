@@ -687,9 +687,18 @@ def _segmented(df: DataFrame, id_col: str, text_col: str, seg_len: int) -> DataF
     CPU-bound tokenize/digest stage."""
     from fiat2_spark.operators.text import token_segments, tokens as toks_of
 
-    slim = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
+    # tokenize into a REAL column before segmenting: token_segments
+    # slices its argument inside a transform lambda, and an embedded
+    # tokens() expression there re-runs the regex split per SEGMENT
+    # (interpreted HOFs get no subexpression caching) — measured 4.6×
+    # on the segment stage at sf0.1. A multiply-referenced non-trivial
+    # projection survives CollapseProject, so the lambda captures a
+    # cheap bound reference.
+    slim = df.select(
+        F.col(id_col).alias("doc"), toks_of(F.col(text_col)).alias("__toks")
+    )
     return slim.repartition(cpu_partitions(df, rows_per_task=200)).select(
-        "doc", token_segments(toks_of(F.col("__t")), seg_len).alias("segs")
+        "doc", token_segments(F.col("__toks"), seg_len).alias("segs")
     )
 
 
@@ -1158,10 +1167,14 @@ def boilerplate_remove(
     (fiat2/src/fiat2/Interpret.v:369-404, :212-238)."""
     from fiat2_spark.operators.text import token_segments
 
-    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__text"))
+    # tokens as a real column: see doc_segments — an embedded tokens()
+    # inside token_segments' transform lambda re-tokenizes per segment
+    base = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    )
     segs = base.select(
         "__id",
-        F.explode(token_segments(tokens(F.col("__text")), seg_len)).alias("s"),
+        F.explode(token_segments(F.col("__toks"), seg_len)).alias("s"),
     ).select(
         "__id",
         F.col("s.seg_idx").alias("seg_idx"),
@@ -1176,7 +1189,6 @@ def boilerplate_remove(
         .select("seg")
     )
     kept = segs.join(freq, "seg", "left_anti")
-    per_doc_all = segs.groupBy("__id").agg(F.count(F.lit(1)).alias("n_segs"))
     per_doc_kept = kept.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(
@@ -1187,14 +1199,18 @@ def boilerplate_remove(
             ),
         ).alias("clean_text"),
     )
+    # n_segs needs no third pass over the unit stream: it is
+    # ceil(n_tokens/seg_len), a scan-side expression on the base
+    # relation — one explode pass and one join fewer than counting it
+    # from ``segs``
+    n_segs = F.ceil(F.size(F.col("__toks")) / float(seg_len)).cast("long")
     return (
-        base.select("__id")
-        .join(per_doc_all, "__id", "left")
+        base.select("__id", n_segs.alias("n_segs"))
         .join(per_doc_kept, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("n_segs", F.lit(0)).cast("long").alias("n_segs"),
-            (F.coalesce("n_segs", F.lit(0)) - F.coalesce("n_kept", F.lit(0)))
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0)))
             .cast("long")
             .alias("n_removed"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),

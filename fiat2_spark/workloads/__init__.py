@@ -337,10 +337,13 @@ PRIORITY = (
     # fix (rank-based k-smallest init) touches kmeans_lloyd +
     # dedup_semantic, the pmod pair-salt fix touches dedup_semantic,
     # the post-explode codegen'd feature hash + open-interval Gumbel
-    # touch the DSIR pair, and the one-exchange reassembly touches
-    # substring_dedup_apply
+    # touch the DSIR pair, the one-exchange reassembly touches
+    # substring_dedup_apply, and the HOF de-quadratification (native
+    # transitions/bigrams, pre-projected token column for
+    # token_segments) additionally touches span_dedup via doc_segments
+    # (quality_filter_apply cedes its (D) slot for it)
     "dedup_semantic", "dsir_select", "dsir_resample", "kmeans_lloyd",
-    "substring_dedup_apply",
+    "substring_dedup_apply", "span_dedup",
     # (B) round-9 additions — driver evidence in the round they land
     # (rolling_7day_revenue, ewma_user_value, and asof_tolerance_join
     # cede their (D) slots to the late-round url_dedup,
@@ -369,10 +372,10 @@ PRIORITY = (
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
     "funnel_conversion", "retention_cohorts", "anomaly_zscore",
     "gapfill_daily", "length_histogram", "hybrid_rrf_retrieval",
-    "quality_filter_apply",
 )
 # Round-10 rotation candidates (the r5-row tail deferred above):
 # anti_join, asof_tolerance_join, bag_ops_all, bfs_recursive_cte,
+# quality_filter_apply,
 # bloom_pruned_join, corr_moments, dpp_partitioned_join,
 # ewma_user_value, filter_scan, flatmap2_zip, flatmap_explode, join_fk,
 # mad_scalable, proj_compute, rolling_7day_revenue, semi_join,
