@@ -225,6 +225,8 @@ def corpus_growth_probe(spark, factor: int) -> dict:
 
 
 def run_once(spark, name: str, sf_dir: str) -> float:
+    from fiat2_spark.session import release_checkpoint_blocks
+
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -232,6 +234,13 @@ def run_once(spark, name: str, sf_dir: str) -> float:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
+        # sweep localCheckpoint blocks between reps: accumulated blocks
+        # from checkpoint-heavy queries (dedup_semantic's membership,
+        # the DSIR feature pass) pile up across a long probe session and
+        # GC-thrash LATER queries' timings (observed: url_dedup — a tiny
+        # partial agg that never changed — drifting 0.56 s → 14.5 s by
+        # probe position). run_gate.py sweeps for the same reason.
+        release_checkpoint_blocks(spark)
     return best
 
 
