@@ -835,3 +835,204 @@ def perplexity_filter(
     return s.withColumn(
         "keep", F.col("nll_q") <= F.lit(threshold_q) * F.col("n_trans")
     )
+
+
+# The 8 "must contain 2 of" stop words from Gopher's quality table
+# (Rae et al. 2021, arXiv:2112.11446 Table A1).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+):
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table
+    A1) — the literature's named heuristic rule set (reused verbatim by
+    RedPajama/FineWeb), distinct from the composite `quality_score`:
+    each rule is a separate boolean column so a pipeline can bucket or
+    ablate per rule, and `keep` is their conjunction.
+
+      r_word_count : min_words ≤ #words ≤ max_words
+      r_mean_len   : mean word length in [3, 10]
+      r_symbol     : (#'#' + #'...') / #words < 0.1
+      r_bullet     : < 90% of lines start with a bullet
+      r_ellipsis   : < 30% of lines end with '...'
+      r_alpha      : > 80% of words contain an alphabetic char
+      r_stopword   : ≥ 2 distinct Gopher stop words present
+
+    Every ratio is evaluated as an exact integer cross-multiplication
+    (10·sym < n, 10·bullets < 9·lines, …) so the decision is
+    engine-bitwise — the repo's no-float-compare discipline. All
+    expressions are top-level or linear per-token/per-line lambdas over
+    PRE-PROJECTED arrays (the r9 HOF rule: never re-evaluate the
+    tokenizer inside a lambda). One scan, no shuffle, no UDF.
+    Returns (id, n_words, the 7 rule booleans, keep)."""
+    toks = tokens(F.col(text_col))
+    lines = F.split(F.col(text_col), "\n", -1)
+    d = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        lines.alias("__lines"),
+        (
+            F.length(F.col(text_col))
+            - F.length(F.regexp_replace(F.col(text_col), "#", ""))
+        ).alias("__hash_cnt"),
+        (
+            (
+                F.length(F.col(text_col))
+                - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+            )
+            / 3
+        ).cast("long").alias("__ell_cnt"),
+    )
+    n = F.size(F.col("__toks"))
+    total_chars = F.length(F.array_join(F.col("__toks"), ""))
+    alpha_words = F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]")))
+    n_lines = F.size(F.col("__lines"))
+    bullet_lines = F.size(
+        F.filter(
+            F.col("__lines"),
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("• "),
+        )
+    )
+    ell_lines = F.size(
+        F.filter(F.col("__lines"), lambda l: F.rtrim(l).endswith("..."))
+    )
+    stop_hits = sum(
+        F.array_contains(F.col("__toks"), w).cast("int")
+        for w in GOPHER_STOPWORDS
+    )
+    sym = F.col("__hash_cnt") + F.col("__ell_cnt")
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_len": (F.lit(3) * n <= total_chars)
+        & (total_chars <= F.lit(10) * n),
+        "r_symbol": F.lit(10) * sym < n,
+        "r_bullet": F.lit(10) * bullet_lines < F.lit(9) * n_lines,
+        "r_ellipsis": F.lit(10) * ell_lines < F.lit(3) * n_lines,
+        "r_alpha": F.lit(10) * alpha_words > F.lit(8) * n,
+        "r_stopword": stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return d.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def nb_classifier_scores(
+    train,
+    score,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    buckets: int = 256,
+    quant: int = 10_000,
+):
+    """fastText-style linear text classifier (Joulin et al. 2016,
+    arXiv:1607.01759) over hashed unigram+bigram features, with
+    multinomial-naive-Bayes log-odds as the weight vector — the shape
+    CCNet (Wenzek et al. 2019) uses to keep "Wikipedia-like" pages.
+    DSIR (`dsir_scores`) answers "reweight toward a target
+    distribution"; this answers "binary keep/drop with a decision
+    boundary": per-bucket weight
+
+        w[b] = round(ln((n_pos[b]+1)·(N_neg+B) / ((n_neg[b]+1)·(N_pos+B)))·quant)
+        bias = round(ln((P_docs+1) / (N_docs+1))·quant)
+
+    (add-1 smoothing; the single ln per TABLE row immediately
+    quantized to BIGINT — per-doc scoring is pure integer sums, so
+    both engines agree bitwise). logit_q = bias + Σ_features w[bucket];
+    pred = logit_q > 0.
+
+    Plan: one featurize pass per corpus (post-explode codegen'd md5
+    bucketing, localCheckpointed — `dsir_scores`' discipline); the
+    model is a ≤B-row broadcast + a 1-row bias; scoring is a broadcast
+    join + per-doc partial-agg sum; docs with zero features score the
+    bare bias via the final left join. Returns (id, logit_q, pred)."""
+    from fiat2_spark.operators.dedup import cpu_partitions
+
+    def bucketed(df, extra=()):
+        return (
+            df.repartition(cpu_partitions(df))
+            .select(
+                F.col(id_col).alias("doc"),
+                *[F.col(c) for c in extra],
+                F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+            )
+            .select(
+                "doc",
+                *extra,
+                feature_bucket(F.col("feat"), buckets).alias("bucket"),
+            )
+            .localCheckpoint()
+        )
+
+    tb = bucketed(train, extra=(label_col,))
+    sb = bucketed(score)
+    pos = tb.filter(F.col(label_col))
+    neg = tb.filter(~F.col(label_col))
+    pc = pos.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_p"))
+    nc = neg.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_n"))
+    tot = pos.agg(F.count(F.lit(1)).alias("tot_p")).crossJoin(
+        neg.agg(F.count(F.lit(1)).alias("tot_n"))
+    )
+    w = (
+        pc.join(nc, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce("n_p", F.lit(0)) + 1)
+                        * (F.col("tot_n") + buckets)
+                    ).cast("double")
+                    / (
+                        (F.coalesce("n_n", F.lit(0)) + 1)
+                        * (F.col("tot_p") + buckets)
+                    ).cast("double")
+                )
+                * quant
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    bias = train.agg(
+        F.round(
+            F.log(
+                (F.sum(F.col(label_col).cast("long")) + 1).cast("double")
+                / (F.sum((~F.col(label_col)).cast("long")) + 1).cast("double")
+            )
+            * quant
+        )
+        .cast("long")
+        .alias("bias")
+    )
+    doc_sums = (
+        sb.join(F.broadcast(w), "bucket")
+        .groupBy("doc")
+        .agg(F.sum("w").alias("fsum"))
+    )
+    return (
+        score.select(F.col(id_col).alias("doc"))
+        .join(doc_sums, "doc", "left")
+        .crossJoin(F.broadcast(bias))
+        .select(
+            F.col("doc").alias(id_col),
+            (F.coalesce("fsum", F.lit(0)) + F.col("bias"))
+            .cast("long")
+            .alias("logit_q"),
+        )
+        .withColumn("pred", F.col("logit_q") > 0)
+    )

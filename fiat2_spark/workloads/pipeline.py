@@ -3205,3 +3205,144 @@ def boilerplate_dedup(spark, sf_dir):
     distributed shape (see operators/dedup.py:boilerplate_remove)."""
     d = tbl(spark, sf_dir, "documents")
     return D.boilerplate_remove(d, "doc_id", "text", seg_len=4, min_docs=2)
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+    for w in TX.GOPHER_STOPWORDS
+)
+
+_GOPHER_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks,
+             string_split(text, chr(10)) AS lines,
+             length(text) - length(replace(text, '#', '')) AS hash_cnt,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ell_cnt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             length(array_to_string(toks, '')) AS total_chars,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS alpha_words,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l ->
+                 starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* ')
+                 OR starts_with(ltrim(l), '• '))) AS bullet_lines,
+             len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS ell_lines,
+             hash_cnt + ell_cnt AS sym,
+             {_GOPHER_STOP_SQL} AS stop_hits
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_words,
+           (n >= 50 AND n <= 100000) AS r_word_count,
+           (3 * n <= total_chars AND total_chars <= 10 * n) AS r_mean_len,
+           (10 * sym < n) AS r_symbol,
+           (10 * bullet_lines < 9 * n_lines) AS r_bullet,
+           (10 * ell_lines < 3 * n_lines) AS r_ellipsis,
+           (10 * alpha_words > 8 * n) AS r_alpha,
+           (stop_hits >= 2) AS r_stopword,
+           ((n >= 50 AND n <= 100000)
+            AND (3 * n <= total_chars AND total_chars <= 10 * n)
+            AND (10 * sym < n)
+            AND (10 * bullet_lines < 9 * n_lines)
+            AND (10 * ell_lines < 3 * n_lines)
+            AND (10 * alpha_words > 8 * n)
+            AND (stop_hits >= 2)) AS keep
+    FROM m
+"""
+
+
+@q("gopher_quality", _GOPHER_ORACLE)
+def gopher_quality(spark, sf_dir):
+    """The Gopher quality rule set (Rae et al. 2021, arXiv:2112.11446
+    Table A1; reused by RedPajama/FineWeb) as SEPARATE per-rule boolean
+    columns + their conjunction — distinct from `text_quality`'s
+    composite score so a pipeline can ablate or bucket per rule. Every
+    ratio rule is an exact integer cross-multiplication; one scan, no
+    shuffle, no UDF (see operators/text.py:gopher_rules)."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.gopher_rules(d, "doc_id", "text")
+
+
+_NB_FEAT_SQL = """
+      SELECT doc_id,
+             ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS bucket
+      FROM (
+        SELECT doc_id, unnest(toks) AS f FROM {src}
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i + 1])) AS f
+        FROM {src} WHERE len(toks) >= 2
+      )
+"""
+
+_CLASSIFIER_ORACLE = f"""
+    WITH tr AS (
+      SELECT doc_id, lang = 'en' AS label,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    sc AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    ft AS ({_NB_FEAT_SQL.format(src="tr")}),
+    fs AS ({_NB_FEAT_SQL.format(src="sc")}),
+    pos_ids AS (SELECT doc_id FROM tr WHERE label),
+    neg_ids AS (SELECT doc_id FROM tr WHERE NOT label),
+    pc AS (SELECT bucket, count(*) AS n_p FROM ft JOIN pos_ids USING (doc_id) GROUP BY 1),
+    nc AS (SELECT bucket, count(*) AS n_n FROM ft JOIN neg_ids USING (doc_id) GROUP BY 1),
+    tot AS (
+      SELECT (SELECT count(*) FROM ft JOIN pos_ids USING (doc_id)) AS tot_p,
+             (SELECT count(*) FROM ft JOIN neg_ids USING (doc_id)) AS tot_n
+    ),
+    w AS (
+      SELECT COALESCE(pc.bucket, nc.bucket) AS bucket,
+             CAST(round(ln(CAST((COALESCE(pc.n_p, 0) + 1) * (tot.tot_n + 256) AS DOUBLE)
+                           / CAST((COALESCE(nc.n_n, 0) + 1) * (tot.tot_p + 256) AS DOUBLE))
+                        * 10000) AS BIGINT) AS w
+      FROM pc FULL OUTER JOIN nc ON pc.bucket = nc.bucket, tot
+    ),
+    bias AS (
+      SELECT CAST(round(ln(CAST((SELECT count(*) FROM pos_ids) + 1 AS DOUBLE)
+                           / CAST((SELECT count(*) FROM neg_ids) + 1 AS DOUBLE))
+                        * 10000) AS BIGINT) AS bias
+    ),
+    doc_sums AS (
+      SELECT fs.doc_id, SUM(w.w) AS fsum
+      FROM fs JOIN w USING (bucket)
+      GROUP BY fs.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(ds.fsum, 0) + bias.bias AS BIGINT) AS logit_q,
+           (COALESCE(ds.fsum, 0) + bias.bias) > 0 AS pred
+    FROM sc d
+    LEFT JOIN doc_sums ds ON ds.doc_id = d.doc_id
+    CROSS JOIN bias
+"""
+
+
+@q("quality_classifier", _CLASSIFIER_ORACLE)
+def quality_classifier(spark, sf_dir):
+    """fastText-style hashed-n-gram linear classifier (Joulin et al.
+    2016, arXiv:1607.01759) with naive-Bayes log-odds weights — the
+    CCNet "looks like Wikipedia" keep/drop discriminator, the third
+    selection axis next to DSIR (importance-vs-target) and
+    perplexity_filter (fluency-under-LM). Trains on the even-doc_id
+    half (label: lang = 'en'), scores the odd half; model = a ≤256-row
+    broadcast weight table + 1-row bias; integer-quantized logits so
+    the decision boundary is engine-bitwise (see
+    operators/text.py:nb_classifier_scores)."""
+    d = tbl(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    return TX.nb_classifier_scores(
+        train, score, "doc_id", "text", "label", buckets=256, quant=10_000
+    )

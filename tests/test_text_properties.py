@@ -306,3 +306,136 @@ def test_perplexity_filter_ranks_fluent_text_first(spark):
     assert rows[1]["keep"] and not rows[3]["keep"], rows
     for i, r in rows.items():
         assert r["keep"] == (r["nll_q"] <= 20_000 * r["n_trans"])
+
+
+# -- fastText-style NB classifier vs an exact Python model --------------------
+
+def _py_nb_classifier(train: dict[int, tuple[str, bool]],
+                      score: dict[int, str],
+                      buckets: int = 64, quant: int = 10_000):
+    """Exact Python mirror of `nb_classifier_scores`: same tokenizer,
+    unigram∪bigram features, md5 bucketing, add-1 NB log-odds weights,
+    doc-prior bias, ROUND_HALF_UP quantization (Spark's F.round)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def feats(text):
+        t = toks(text)
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % buckets
+
+    def q_round(x: float) -> int:
+        return int(Decimal(x * quant).quantize(Decimal(1), ROUND_HALF_UP))
+
+    pos = Counter(bucket(f) for _, (t, y) in train.items() if y for f in feats(t))
+    neg = Counter(bucket(f) for _, (t, y) in train.items() if not y for f in feats(t))
+    tot_p, tot_n = sum(pos.values()), sum(neg.values())
+    w = {
+        b: q_round(math.log((pos[b] + 1) * (tot_n + buckets))
+                   - math.log((neg[b] + 1) * (tot_p + buckets)))
+        for b in set(pos) | set(neg)
+    }
+    n_posdoc = sum(1 for _, (_, y) in train.items() if y)
+    n_negdoc = len(train) - n_posdoc
+    bias = q_round(math.log((n_posdoc + 1) / (n_negdoc + 1)))
+    out = {}
+    for doc, text in score.items():
+        fsum = sum(w[bucket(f)] for f in feats(text) if bucket(f) in w)
+        out[doc] = (fsum + bias, fsum + bias > 0)
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    pos=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta".split()),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+    neg=st.lists(
+        st.lists(st.sampled_from("mu nu xi omicron".split()),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+    pool=st.lists(
+        st.lists(st.sampled_from("alpha beta mu nu kappa".split()),
+                 min_size=0, max_size=6).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+)
+def test_nb_classifier_match_python_model(spark, pos, neg, pool):
+    """nb_classifier_scores ≡ the exact Python model on random small
+    corpora — third independent realization next to the Spark plan and
+    the DuckDB oracle (tokenizer, hashing, NB smoothing, bias, and the
+    zero-feature bare-bias path all at once)."""
+    from fiat2_spark.operators.text import nb_classifier_scores
+
+    train = {i: (t, True) for i, t in enumerate(pos)}
+    train.update({100 + i: (t, False) for i, t in enumerate(neg)})
+    score = {200 + i: t for i, t in enumerate(pool)}
+    tdf = spark.createDataFrame(
+        [(d, t, y) for d, (t, y) in train.items()],
+        "doc_id long, text string, label boolean",
+    )
+    sdf = spark.createDataFrame(list(score.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in nb_classifier_scores(
+            tdf, sdf, "doc_id", "text", "label", buckets=64
+        ).collect()
+    }
+    want = _py_nb_classifier(train, score, buckets=64)
+    assert got == want, f"\ntrain={train}\nscore={score}\ngot={got}\nwant={want}"
+
+
+# -- Gopher rules: one crafted doc per rule ----------------------------------
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One crafted document per Gopher rule violation (plus a clean
+    pass): word count, mean length, symbol ratio, bullet lines,
+    ellipsis lines, alpha fraction, stop words — each failing doc fails
+    EXACTLY its targeted rule, and the integer cross-multiplication
+    boundaries (90% bullets, 30% ellipses, 10% symbols, 80% alpha) land
+    on the strict side."""
+    from fiat2_spark.operators.text import gopher_rules
+
+    good = "the quick brown fox and the lazy dog have fun with all of that " * 5
+    docs = [
+        (0, good),                                     # passes everything
+        (1, "the and of that have with be to"),        # too few words
+        (2, " ".join(["a"] * 30) + " " + good),        # mean len < 3
+        (3, good + " " + "#" * 40),                    # symbol ratio (40 '#')
+        (4, "\n".join(["- bullet line"] * 9 + [good])),   # 90% bullets
+        (5, "\n".join(["ends here..."] * 3 + [good] * 7)),  # 30% ellipses
+        (6, good + " " + " ".join(["12345"] * 60)),    # alpha ≤ 80%
+        (7, "alpha beta gamma delta " * 15),           # no stop words
+    ]
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", min_words=10,
+        ).collect()
+    }
+    assert rows[0]["keep"], rows[0]
+    expected_fail = {
+        1: "r_word_count", 2: "r_mean_len", 3: "r_symbol", 4: "r_bullet",
+        5: "r_ellipsis", 6: "r_alpha", 7: "r_stopword",
+    }
+    rule_names = ["r_word_count", "r_mean_len", "r_symbol", "r_bullet",
+                  "r_ellipsis", "r_alpha", "r_stopword"]
+    for doc, bad_rule in expected_fail.items():
+        r = rows[doc]
+        assert not r[bad_rule] and not r["keep"], (doc, r)
+        for other in rule_names:
+            if other != bad_rule:
+                assert r[other], (doc, other, r)
