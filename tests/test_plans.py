@@ -1059,3 +1059,23 @@ def test_boilerplate_anti_join_broadcasts_under_aqe(spark):
     assert "isFinalPlan=true" in p
     # AQE turned the statically-unknown-size anti join into a broadcast
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_gopher_quality_single_scan_no_shuffle(spark):
+    """The Gopher rule set is one scan → project: no Exchange, no join,
+    and the document scan reads only (doc_id, text)."""
+    p = plan_of(QUERIES["gopher_quality"](spark, SF_SMOKE))
+    assert "Exchange" not in p, p
+    assert "Join" not in p, p
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "lang" not in read and "n_chars" not in read
+
+
+def test_quality_classifier_model_broadcasts(spark):
+    """The classifier's weight table and bias join the scoring pass as
+    broadcasts; the only nested-loop is the 1-row bias cross factor —
+    never a cartesian over corpus-sized relations."""
+    p = plan_of(QUERIES["quality_classifier"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
