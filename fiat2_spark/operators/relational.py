@@ -318,8 +318,11 @@ def global_row_number(
     # probability list, so skip the call (single-bucket degenerate case)
     cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
     if cuts:
-        cut_arr = F.array(*[F.lit(c) for c in cuts])
-        bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
+        # when-sum, not a filter-HOF: see _value_buckets — the lambda
+        # form trips Catalyst binding when inlined into a window spec,
+        # and the when-chain codegens
+        terms = [F.when(F.lit(c) < F.col(order_col), 1).otherwise(0) for c in cuts]
+        bucket = sum(terms[1:], terms[0])
     else:
         bucket = F.lit(0)
     bucketed = df.withColumn("__bucket", bucket)
@@ -354,11 +357,22 @@ def _value_buckets(
     # probability list, so skip the call (single-bucket degenerate case)
     cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
     if cuts:
-        cut_arr = F.array(*[F.lit(c) for c in cuts])
+        # plain when-sum over the (tiny, driver-side) cut list — NOT a
+        # filter-HOF over an array literal: a lambda-variable bucket
+        # expression inlined through the downstream aggregate into a
+        # window's ORDER BY trips Catalyst reference binding
+        # (INTERNAL_ERROR ATTRIBUTE_NOT_FOUND on Spark 4.1), and the
+        # when-chain is whole-stage-codegen'd where the HOF body runs
+        # interpreted per cut
         if descending:
-            bucket = F.size(F.filter(cut_arr, lambda c: c > F.col(order_col)))
+            terms = [
+                F.when(F.lit(c) > F.col(order_col), 1).otherwise(0) for c in cuts
+            ]
         else:
-            bucket = F.size(F.filter(cut_arr, lambda c: c < F.col(order_col)))
+            terms = [
+                F.when(F.lit(c) < F.col(order_col), 1).otherwise(0) for c in cuts
+            ]
+        bucket = sum(terms[1:], terms[0])
     else:
         bucket = F.lit(0)
     return df.withColumn("__bucket", bucket)

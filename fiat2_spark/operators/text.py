@@ -1036,3 +1036,44 @@ def nb_classifier_scores(
         )
         .withColumn("pred", F.col("logit_q") > 0)
     )
+
+
+def token_budget_select(
+    scored,
+    id_col: str,
+    ntok_col: str,
+    priority_col: str,
+    budget: int,
+    n_buckets: int | None = None,
+):
+    """Budget-constrained selection: keep documents in descending
+    ``priority_col`` order (ties on id) while the INCLUSIVE running
+    token total stays ≤ ``budget`` — the greedy fill every
+    curated-corpus build runs once per source ("take the best N tokens
+    of this pool", the knapsack relaxation under a token budget).
+
+    The running total uses `grouped_running_sum`'s quantile-bucket
+    prefix sum with an EMPTY group — never ``SUM() OVER (ORDER BY …)``,
+    whose single-partition global window is the one shape that cannot
+    scale: rows bucket by priority value, per-bucket sums prefix-sum on
+    a bucket-count-sized relation, and the heavy cumulative window runs
+    per bucket in parallel. Integer token counts and (typically
+    integer-quantized) priorities keep the cut engine-bitwise.
+    Returns the kept rows + ``cum_tokens``."""
+    from fiat2_spark.operators.relational import grouped_running_sum
+
+    # constant group, not group_cols=[]: keeps the bucket-offset
+    # window declared-partitioned (grouped_running_sum's offset pass
+    # would otherwise run "No Partition Defined" over the tiny offsets
+    # relation) at the cost of one constant byte per row
+    cum = grouped_running_sum(
+        scored.withColumn("__g", F.lit(0)),
+        ["__g"],
+        priority_col,
+        F.col(ntok_col).cast("long"),
+        out_name="cum_tokens",
+        descending=True,
+        tiebreak=(F.col(id_col),),
+        n_buckets=n_buckets,
+    )
+    return cum.filter(F.col("cum_tokens") <= budget).drop("__g")

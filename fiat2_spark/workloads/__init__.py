@@ -344,16 +344,25 @@ PRIORITY = (
     # (quality_filter_apply cedes its (D) slot for it)
     "dedup_semantic", "dsir_select", "dsir_resample", "kmeans_lloyd",
     "substring_dedup_apply", "span_dedup",
+    # …and the late-r9 _value_buckets rewrite (when-sum bucket, no
+    # lambda HOF — the Catalyst window-binding fix budget_select
+    # surfaced) additionally reaches the three quantile-bucket-family
+    # queries NOT already seated above: mad_scalable, window_rownum
+    # (via global_row_number), and pipeline_training_set (via sequence
+    # packing's grouped_running_sum); funnel_conversion /
+    # retention_cohorts / anomaly_zscore cede their (D) slots
+    "mad_scalable", "window_rownum", "pipeline_training_set",
     # (B) round-9 additions — driver evidence in the round they land
     # (rolling_7day_revenue, ewma_user_value, and asof_tolerance_join
     # cede their (D) slots to the late-round url_dedup,
     # decontaminate_semantic, and boilerplate_dedup; length_histogram
     # and hybrid_rrf_retrieval cede theirs to the still-later
-    # gopher_quality and quality_classifier and join the r10 tail —
-    # the same (B)-over-(D) rule as r7/r8)
+    # gopher_quality and quality_classifier, gapfill_daily cedes to
+    # budget_select, and all three join the r10 tail — the same
+    # (B)-over-(D) rule as r7/r8)
     "perplexity_filter", "domain_filter", "url_dedup",
     "decontaminate_semantic", "boilerplate_dedup",
-    "gopher_quality", "quality_classifier",
+    "gopher_quality", "quality_classifier", "budget_select",
     # (C) oldest-evidence refresh, the whole r4-row tail (18 — the r8
     # comment's deferred list + percentile_cont_scalable): after r9 no
     # driver row is older than r5
@@ -373,12 +382,11 @@ PRIORITY = (
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
     "tpch_q13_shape", "tpch_q14_shape", "tpch_q16_shape", "tpch_q17_shape",
     "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "funnel_conversion", "retention_cohorts", "anomaly_zscore",
-    "gapfill_daily",
 )
 # Round-10 rotation candidates (the r5-row tail deferred above):
 # anti_join, asof_tolerance_join, bag_ops_all, bfs_recursive_cte,
 # quality_filter_apply, length_histogram, hybrid_rrf_retrieval,
+# gapfill_daily, funnel_conversion, retention_cohorts, anomaly_zscore,
 # bloom_pruned_join, corr_moments, dpp_partitioned_join,
 # ewma_user_value, filter_scan, flatmap2_zip, flatmap_explode, join_fk,
 # mad_scalable, proj_compute, rolling_7day_revenue, semi_join,

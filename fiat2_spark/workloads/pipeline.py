@@ -3280,7 +3280,7 @@ _NB_FEAT_SQL = """
       )
 """
 
-_CLASSIFIER_ORACLE = f"""
+_CLASSIFIER_CTES = f"""
     WITH tr AS (
       SELECT doc_id, lang = 'en' AS label,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
@@ -3317,13 +3317,19 @@ _CLASSIFIER_ORACLE = f"""
       SELECT fs.doc_id, SUM(w.w) AS fsum
       FROM fs JOIN w USING (bucket)
       GROUP BY fs.doc_id
+    ),
+    clf AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(ds.fsum, 0) + bias.bias AS BIGINT) AS logit_q,
+             (COALESCE(ds.fsum, 0) + bias.bias) > 0 AS pred
+      FROM sc d
+      LEFT JOIN doc_sums ds ON ds.doc_id = d.doc_id
+      CROSS JOIN bias
     )
-    SELECT d.doc_id,
-           CAST(COALESCE(ds.fsum, 0) + bias.bias AS BIGINT) AS logit_q,
-           (COALESCE(ds.fsum, 0) + bias.bias) > 0 AS pred
-    FROM sc d
-    LEFT JOIN doc_sums ds ON ds.doc_id = d.doc_id
-    CROSS JOIN bias
+"""
+
+_CLASSIFIER_ORACLE = _CLASSIFIER_CTES + """
+    SELECT doc_id, logit_q, pred FROM clf
 """
 
 
@@ -3346,3 +3352,44 @@ def quality_classifier(spark, sf_dir):
     return TX.nb_classifier_scores(
         train, score, "doc_id", "text", "label", buckets=256, quant=10_000
     )
+
+
+_BUDGET_ORACLE = _CLASSIFIER_CTES + """
+    , ntok AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS ntok
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    cum AS (
+      SELECT c.doc_id, c.logit_q, n.ntok,
+             SUM(n.ntok) OVER (ORDER BY c.logit_q DESC, c.doc_id) AS cum_tokens
+      FROM clf c JOIN ntok n USING (doc_id)
+    )
+    SELECT doc_id, logit_q, CAST(ntok AS BIGINT) AS ntok,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= 6000
+"""
+
+
+@q("budget_select", _BUDGET_ORACLE)
+def budget_select(spark, sf_dir):
+    """Token-budget selection: fill a 6,000-token budget with the
+    highest-classifier-score documents — `quality_classifier`'s logits
+    feeding `token_budget_select`'s bucketed global prefix sum (never a
+    single-partition SUM-OVER-ORDER-BY window), the greedy per-source
+    fill a curated-corpus build runs under a token budget. The oracle's
+    plain global window pins the same cut."""
+    d = tbl(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "label", F.col("lang") == "en"
+    )
+    score = d.filter(F.col("doc_id") % 2 == 1)
+    scored = TX.nb_classifier_scores(
+        train, score, "doc_id", "text", "label", buckets=256, quant=10_000
+    )
+    ntok = score.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("ntok")
+    )
+    return TX.token_budget_select(
+        scored.join(ntok, "doc_id"), "doc_id", "ntok", "logit_q", budget=6_000
+    ).select("doc_id", "logit_q", F.col("ntok").cast("long").alias("ntok"), "cum_tokens")

@@ -439,3 +439,30 @@ def test_gopher_rules_each_rule_fires(spark):
         for other in rule_names:
             if other != bad_rule:
                 assert r[other], (doc, other, r)
+
+
+def test_token_budget_select_matches_plain_window(spark):
+    """token_budget_select's bucketed global prefix sum ≡ the plain
+    SUM() OVER (ORDER BY priority DESC, id) cut, including duplicate
+    priorities straddling bucket boundaries and a budget that lands
+    mid-tie-group."""
+    from pyspark.sql import Window as W
+
+    from fiat2_spark.operators.text import token_budget_select
+
+    rows = [(i, (i * 7) % 5, 10 + (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, prio long, ntok long")
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in token_budget_select(
+            df, "doc_id", "ntok", "prio", budget=700, n_buckets=8
+        ).collect()
+    }
+    w = W.orderBy(F.desc("prio"), "doc_id").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        r["doc_id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("ntok").over(w))
+        .filter(F.col("cum") <= 700)
+        .collect()
+    }
+    assert got == want and 0 < len(want) < 200
