@@ -1077,3 +1077,281 @@ def token_budget_select(
         n_buckets=n_buckets,
     )
     return cum.filter(F.col("cum_tokens") <= budget).drop("__g")
+
+
+# --- DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429) ---
+
+
+def token_transitions(df, id_col: str, text_col: str):
+    """(doc, prev, w) adjacent-token pairs via arrays_zip over two
+    shifted slices — the all-native form `lm_perplexity` uses (HOF
+    lambdas would run interpreted per element)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+    ).select("doc", F.col("p")["0"].alias("prev"), F.col("p")["1"].alias("w"))
+
+
+def doremi_weights(
+    pool, ref, id_col: str, text_col: str, domain_col: str,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5,
+    eta_num: int = 1, eta_den: int = 1,
+    smooth_num: int = 1, smooth_den: int = 100,
+    escale: int = 10**9,
+):
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    one Group-DRO multiplicative-weights step over the pool's domains.
+    Per-domain EXCESS LOSS is what the stronger reference-fit model
+    still improves over a context-free baseline — here instantiated
+    with the repo's LM pair: proxy = add-1 unigram, reference = bigram
+    with stupid backoff (both fit on ``ref``, `lm_perplexity`'s exact
+    construction and constants):
+
+        exc(prev,w) = max(0, q_uni(w) − q_bi(prev,w))   [exact BIGINT]
+        λ_k  = Σ_k exc / (quant · Σ_k 1)                 [nats]
+        e_k  = round(exp(η·λ_k) · escale)                [exact BIGINT]
+        α_k  = (1−c) · e_k / Σ e  +  c / K,   rounded to 6 dp
+
+    Engine-parity discipline: every per-token quantity is an integer
+    (q_uni/q_bi are the usual round(-ln(exact-int ratio)·quant)); the
+    per-domain exp runs ONCE per domain on an exact-integer-ratio
+    argument and is immediately quantized to e_k, so the normalizing
+    sum Σ e is exact integer arithmetic — no float summation-order
+    hazard between engines. Domains with no scorable transition get
+    λ = 0 (e = escale), never NULL.
+
+    Scale: LM tables are MODEL-sized broadcasts (≤V+1 unigrams,
+    vocab-closed bigrams); the pool is touched by ONE transition
+    explode + two broadcast probes + a per-domain partial agg (K rows,
+    K = #domains); everything after is K-row arithmetic. No corpus
+    shuffle, no window. Returns
+    (domain, n_docs, n_trans, excess_q, weight)."""
+    spark = pool.sparkSession
+
+    # fit on ref — lm_perplexity's construction (one unigram pass
+    # feeds vocab/c1/N; bigrams vocab-closed)
+    ref_uni = ref.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
+    ).localCheckpoint()
+    vocab = (
+        ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w").limit(vocab_size)
+        .select("w").localCheckpoint()
+    )
+    tot = ref_uni.agg(F.count(F.lit(1)).alias("n_tot"))
+    unk = "<unk>"
+    c1 = (
+        _vocab_mapped(ref_uni.select("w"), "w", vocab, unk)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    c2 = (
+        _vocab_mapped(
+            _vocab_mapped(token_transitions(ref, id_col, text_col), "prev", vocab, unk),
+            "w", vocab, unk,
+        )
+        .groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n2"))
+    )
+    q2 = c2.join(c1.select(F.col("w").alias("prev"), "n1"), "prev").select(
+        "prev", "w",
+        F.round(-F.log(F.col("n2").cast("double") / F.col("n1")) * quant)
+        .cast("long").alias("q_bi"),
+    )
+    # per-word table carrying BOTH the context-free baseline q_uni
+    # (add-1, no backoff penalty) and the unseen-bigram backoff cost
+    dom = vocab.unionByName(spark.createDataFrame([(unk,)], "w string"))
+    add1 = (F.coalesce("n1", F.lit(0)) + 1).cast("double")
+    denom = (F.col("n_tot") + vocab_size + 1).cast("double")
+    qw = (
+        dom.join(c1, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(-F.log(add1 / denom) * quant).cast("long").alias("q_uni"),
+            F.round(-F.log(add1 * alpha_num / (denom * alpha_den)) * quant)
+            .cast("long").alias("q_bo"),
+        )
+    )
+    # score pool transitions: excess = max(0, baseline − reference).
+    # The domain rides the explode itself — no corpus-keyed join back
+    # to the pool (the one shuffle a doc-keyed formulation would add).
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
+    pt = _vocab_mapped(
+        _vocab_mapped(
+            pool.select(
+                F.col(domain_col).alias("domain"), F.explode(pairs).alias("p")
+            ).select("domain", F.col("p")["0"].alias("prev"), F.col("p")["1"].alias("w")),
+            "prev", vocab, unk,
+        ),
+        "w", vocab, unk,
+    )
+    exc = (
+        pt.join(F.broadcast(q2), ["prev", "w"], "left")
+        .join(F.broadcast(qw), "w")
+        .select(
+            "domain",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("q_uni") - F.coalesce("q_bi", "q_bo"),
+            ).alias("exc"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("exc").alias("excess_q"), F.count(F.lit(1)).alias("n_trans"))
+    )
+    # every pool domain appears even with zero scorable transitions
+    domains = pool.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    per = domains.join(exc, "domain", "left").select(
+        "domain", "n_docs",
+        F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+        F.coalesce("excess_q", F.lit(0)).cast("long").alias("excess_q"),
+    )
+    e_k = F.when(
+        F.col("n_trans") > 0,
+        F.round(
+            F.exp(
+                (F.col("excess_q") * eta_num).cast("double")
+                / (F.col("n_trans") * F.lit(quant) * eta_den).cast("double")
+            )
+            * escale
+        ).cast("long"),
+    ).otherwise(F.lit(escale).cast("long"))
+    per = per.withColumn("e", e_k)
+    norm = per.agg(
+        F.sum("e").alias("e_sum"), F.count(F.lit(1)).alias("k_dom")
+    )
+    return (
+        per.crossJoin(F.broadcast(norm))
+        .select(
+            "domain", "n_docs", "n_trans", "excess_q",
+            F.round(
+                (F.col("e") * (smooth_den - smooth_num)).cast("double")
+                / (F.col("e_sum") * smooth_den).cast("double")
+                + F.lit(smooth_num).cast("double")
+                / (F.col("k_dom") * smooth_den).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+# --- BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909) ---
+
+# Per-symbol wrappers: every symbol is stored as \x01<sym>\x02 inside a
+# word's symbol string, so a merge is ONE non-regex string replace of
+# \x01l\x02\x01r\x02 with \x01lr\x02 — left-to-right non-overlapping in
+# Spark (java.lang.String.replace), DuckDB (replace), and Python
+# (str.replace) alike, which is exactly BPE's within-word merge rule.
+# Tokens are [a-z0-9]+ by the shared tokenizer contract, so the
+# wrappers and the '</w>' end marker can never collide with symbol text.
+BPE_LB = "\x01"
+BPE_RB = "\x02"
+BPE_EOW = "</w>"
+
+
+def bpe_symbolize(word: Column) -> Column:
+    """Initial BPE symbol string for a word: each character wrapped as
+    an individual symbol, plus the end-of-word marker symbol."""
+    return F.concat(
+        F.regexp_replace(word, "(.)", BPE_LB + "$1" + BPE_RB),
+        F.lit(BPE_LB + BPE_EOW + BPE_RB),
+    )
+
+
+def bpe_symbols(wrapped: Column) -> Column:
+    """Symbol array from a wrapped symbol string (inverse of the
+    wrapping, native split/filter/substring — no UDF)."""
+    return F.transform(
+        F.filter(F.split(wrapped, BPE_RB), lambda x: x != ""),
+        lambda x: F.substring(x, F.lit(2), F.length(x)),
+    )
+
+
+def bpe_word_table(df, text_col: str):
+    """(wrapped, freq): the word-frequency relation BPE learning runs
+    on. One tokenize+explode pass over the corpus, then a vocab-sized
+    groupBy — every subsequent merge iteration touches ONLY this
+    model-sized relation, never the corpus again (the property that
+    makes distributed BPE tractable at 100 TB: the corpus contributes
+    one aggregation pass, the merge loop is vocabulary-work)."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(bpe_symbolize(F.col("word")).alias("wrapped"), "freq")
+    )
+
+
+def bpe_pair_stats(words):
+    """(lhs, rhs, freq): adjacent-symbol pair counts over a
+    (wrapped, freq) word table, weighted by word frequency — one
+    explode + partial agg over the vocab-sized relation."""
+    syms = bpe_symbols(F.col("wrapped"))
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2, F.arrays_zip(F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1))
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p")["0"].alias("lhs"), F.col("p")["1"].alias("rhs"), "freq"
+        )
+        .groupBy("lhs", "rhs")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def bpe_pair_counts(df, text_col: str, top_k: int = 32):
+    """Top-k first-iteration BPE pair counts over a corpus (count
+    desc, then lexicographic — the deterministic tie-break
+    `bpe_learn` merges by). TakeOrderedAndProject over the vocab-sized
+    pair relation."""
+    return (
+        bpe_pair_stats(bpe_word_table(df, text_col))
+        .orderBy(F.desc("freq"), "lhs", "rhs")
+        .limit(top_k)
+    )
+
+
+def bpe_learn(df, text_col: str, n_merges: int):
+    """Learn ``n_merges`` BPE merges over a corpus (Sennrich et al.
+    2016 `learn_bpe`): repeatedly take the highest-frequency adjacent
+    symbol pair (ties: lexicographic on (lhs, rhs)) and merge it
+    everywhere, left-to-right non-overlapping within each word.
+
+    Iterative by nature (each argmax depends on the previous rewrite),
+    so the loop runs on the driver — but every iteration's job touches
+    only the VOCAB-sized (wrapped, freq) relation: a pair count + a
+    1-row TakeOrdered + a string replace, localCheckpoint-truncated so
+    lineage stays flat. The corpus is read exactly once (the
+    `bpe_word_table` aggregation). Returns (words, merges) where
+    merges is [(step, lhs, rhs, freq)] and words is the final
+    symbolized vocab."""
+    spark = df.sparkSession
+    words = bpe_word_table(df, text_col).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            bpe_pair_stats(words)
+            .orderBy(F.desc("freq"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], top[0]["freq"]
+        merges.append((step, lhs, rhs, freq))
+        pattern = BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB
+        repl = BPE_LB + lhs + rhs + BPE_RB
+        words = words.withColumn(
+            "wrapped", F.replace(F.col("wrapped"), F.lit(pattern), F.lit(repl))
+        ).localCheckpoint()
+    mdf = spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, freq bigint"
+    )
+    return words, mdf

@@ -2902,7 +2902,9 @@ def dsir_resample(spark, sf_dir):
     )
 
 
-_PPL_ORACLE = """
+# LM fit + pool-transition CTEs shared by perplexity_filter and
+# doremi_reweight (same reference corpus, same vocab/backoff constants)
+_LM_CTES = """
     WITH tk AS (
       SELECT doc_id, source,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
@@ -2941,8 +2943,11 @@ _PPL_ORACLE = """
                    CASE WHEN vp.w IS NOT NULL THEN b.prev ELSE '<unk>' END AS prev,
                    CASE WHEN vw.w IS NOT NULL THEN b.w ELSE '<unk>' END AS w
             FROM raw_bi b LEFT JOIN vocab vp ON vp.w = b.prev
-                          LEFT JOIN vocab vw ON vw.w = b.w),
-    sc AS (SELECT r.doc_id, count(*) AS n_trans, SUM(COALESCE(q2.q, q1.q)) AS nll_q
+                          LEFT JOIN vocab vw ON vw.w = b.w)
+"""
+
+_PPL_ORACLE = _LM_CTES + """
+    , sc AS (SELECT r.doc_id, count(*) AS n_trans, SUM(COALESCE(q2.q, q1.q)) AS nll_q
            FROM rmb r LEFT JOIN q2 ON q2.prev = r.prev AND q2.w = r.w
                       LEFT JOIN q1 ON q1.w = r.w
            GROUP BY r.doc_id)
@@ -3393,3 +3398,162 @@ def budget_select(spark, sf_dir):
     return TX.token_budget_select(
         scored.join(ntok, "doc_id"), "doc_id", "ntok", "logit_q", budget=6_000
     ).select("doc_id", "logit_q", F.col("ntok").cast("long").alias("ntok"), "cum_tokens")
+
+
+_DOREMI_ORACLE = _LM_CTES + """
+    , qU AS (SELECT d.w,
+                    CAST(round(-ln(CAST(COALESCE(c1.n1, 0) + 1 AS DOUBLE)
+                                   / (tot.n_tot + 1025)) * 10000) AS BIGINT) AS q_uni
+             FROM dom d LEFT JOIN c1 ON c1.w = d.w, tot),
+    docdom AS (SELECT doc_id, source AS domain FROM documents WHERE source <> 'src0'),
+    exc AS (
+      SELECT dd.domain,
+             SUM(greatest(0, qU.q_uni - COALESCE(q2.q, q1.q))) AS excess_q,
+             COUNT(*) AS n_trans
+      FROM rmb r
+      JOIN docdom dd ON dd.doc_id = r.doc_id
+      LEFT JOIN q2 ON q2.prev = r.prev AND q2.w = r.w
+      LEFT JOIN q1 ON q1.w = r.w
+      JOIN qU ON qU.w = r.w
+      GROUP BY dd.domain
+    ),
+    doms AS (SELECT source AS domain, COUNT(*) AS n_docs
+             FROM documents WHERE source <> 'src0' GROUP BY 1),
+    per AS (
+      SELECT d.domain, d.n_docs,
+             CAST(COALESCE(e.n_trans, 0) AS BIGINT) AS n_trans,
+             CAST(COALESCE(e.excess_q, 0) AS BIGINT) AS excess_q
+      FROM doms d LEFT JOIN exc e ON e.domain = d.domain
+    ),
+    pe AS (
+      SELECT per.*,
+             CASE WHEN n_trans > 0
+                  THEN CAST(round(exp(CAST(excess_q * 1 AS DOUBLE)
+                                      / (n_trans * 10000 * 1)) * 1000000000) AS BIGINT)
+                  ELSE CAST(1000000000 AS BIGINT) END AS e
+      FROM per
+    ),
+    nrm AS (SELECT CAST(SUM(e) AS BIGINT) AS e_sum, COUNT(*) AS k_dom FROM pe)
+    SELECT domain, n_docs, n_trans, excess_q,
+           round(CAST(e * 99 AS DOUBLE) / (nrm.e_sum * 100)
+                 + CAST(1 AS DOUBLE) / (nrm.k_dom * 100), 6) AS weight
+    FROM pe, nrm
+"""
+
+
+@q("doremi_reweight", _DOREMI_ORACLE)
+def doremi_reweight(spark, sf_dir):
+    """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
+    one Group-DRO multiplicative-weights step over the pool's 19
+    source domains, excess loss = what the src0-fit bigram LM still
+    improves over the context-free unigram baseline (both
+    `perplexity_filter`'s exact fit, shared oracle CTEs). The mixture
+    axis of the selection family: DSIR picks documents FOR a target,
+    the classifier/perplexity gates drop documents, DoReMi reweights
+    DOMAINS. Plan: model-sized broadcast LM tables, one pool
+    transition explode, a K-row domain agg — no corpus shuffle (see
+    operators/text.py:doremi_weights)."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.doremi_weights(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", "source",
+        vocab_size=1024, quant=10_000,
+    )
+
+
+def _bpe_wf_sql() -> str:
+    """The initial BPE word-frequency CTEs: tokenize the corpus, count
+    words, wrap each character as an individual \\x01…\\x02 symbol plus
+    the </w> end marker (mirrors operators/text.py:bpe_symbolize)."""
+    return r"""
+    WITH tk AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    v0 AS (
+      SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS wrapped,
+             COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS w FROM tk)
+      GROUP BY 1
+    )
+"""
+
+
+def _bpe_pairs_sql(src: str) -> str:
+    """Adjacent-symbol pair counts over a (wrapped, freq) CTE —
+    unwraps the symbol string exactly as bpe_symbols does."""
+    return f"""(
+      SELECT syms[CAST(j.j AS INTEGER)] AS lhs,
+             syms[CAST(j.j AS INTEGER) + 1] AS rhs,
+             CAST(SUM(freq) AS BIGINT) AS freq
+      FROM (SELECT freq,
+                   list_transform(list_filter(string_split(wrapped, chr(2)), x -> x <> ''),
+                                  x -> substr(x, 2)) AS syms
+            FROM {src}) s,
+           unnest(generate_series(1, len(syms) - 1)) AS j(j)
+      WHERE len(syms) >= 2
+      GROUP BY 1, 2
+    )"""
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    """The full BPE learner unrolled to SQL: each iteration is a pair
+    count, a 1-row argmax (freq desc, lhs, rhs), and a non-regex
+    replace of \\x01lhs\\x02\\x01rhs\\x02 — left-to-right non-overlapping
+    in DuckDB's replace() exactly as in java.lang.String.replace, so
+    the oracle IS the algorithm, not an approximation."""
+    parts = [_bpe_wf_sql()]
+    for i in range(n_merges):
+        parts.append(f"""
+    , p{i} AS {_bpe_pairs_sql(f"v{i}")},
+    b{i} AS (SELECT {i + 1} AS step, lhs, rhs, freq FROM p{i}
+             ORDER BY freq DESC, lhs, rhs LIMIT 1),
+    v{i + 1} AS (
+      SELECT replace(wrapped,
+                     chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                     chr(1) || b.lhs || b.rhs || chr(2)) AS wrapped,
+             v{i}.freq AS freq
+      FROM v{i}, b{i} b
+    )""")
+    union = "\n      UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(n_merges))
+    parts.append(f"""
+    SELECT step, lhs, rhs, freq FROM ({union}) ORDER BY step
+""")
+    return "".join(parts)
+
+
+_BPE_PAIRS_ORACLE = _bpe_wf_sql() + f"""
+    SELECT lhs, rhs, freq FROM {_bpe_pairs_sql("v0")} p
+    ORDER BY freq DESC, lhs, rhs LIMIT 32
+"""
+
+
+@q("bpe_pair_counts", _BPE_PAIRS_ORACLE)
+def bpe_pair_counts(spark, sf_dir):
+    """Distributed BPE, first iteration (Sennrich et al. 2016,
+    arXiv:1508.07909): top-32 adjacent-symbol pair counts over the
+    corpus — the statistic every merge step argmaxes. Plan: one
+    tokenize+explode pass feeds a vocab-sized word table; pairs
+    explode + partial agg run on that MODEL-sized relation;
+    TakeOrderedAndProject top-k (see operators/text.py:bpe_pair_counts
+    for why the corpus is touched exactly once)."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.bpe_pair_counts(d, "text", top_k=32)
+
+
+@q("bpe_merges", _bpe_merges_oracle(8))
+def bpe_merges(spark, sf_dir):
+    """BPE merge learning, 8 merges (Sennrich et al. 2016 learn_bpe):
+    iteratively merge the highest-frequency adjacent symbol pair
+    (ties lexicographic), left-to-right non-overlapping within words —
+    the tokenizer-training step of a training-data pipeline. Iterative
+    with a data-dependent argmax per step, yet fully oracled: the
+    DuckDB side unrolls the same 8 iterations as CTEs over the same
+    wrapped-symbol encoding. Driver-side loop work is 8 × (vocab-sized
+    pair agg + 1-row TakeOrdered + string replace); the corpus
+    contributes ONE aggregation pass (see operators/text.py:bpe_learn)."""
+    d = tbl(spark, sf_dir, "documents")
+    _, merges = TX.bpe_learn(d, "text", n_merges=8)
+    return merges

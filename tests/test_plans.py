@@ -1079,3 +1079,29 @@ def test_quality_classifier_model_broadcasts(spark):
     p = plan_of(QUERIES["quality_classifier"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_doremi_no_corpus_join_lm_broadcast(spark):
+    """DoReMi's pool side is ONE transition explode with the domain
+    riding the explode (no corpus-keyed join back to the pool); the LM
+    probes are broadcasts. Sort-merge joins may survive only on
+    MODEL-sized fit relations (vocab/bigram/K-domain tables -- the
+    `perplexity_filter` precedent); a doc-keyed one would mean the
+    corpus join-back shape this operator exists to avoid."""
+    p = plan_of(QUERIES["doremi_reweight"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin [doc" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    assert "partial_sum" in p and "partial_count" in p
+
+
+def test_bpe_pair_counts_vocab_sized_topk(spark):
+    """BPE pair counting touches the corpus once (tokenize+explode into
+    the word aggregation, reading only the text column); the pair
+    explode runs on the vocab-sized word table and top-k is
+    TakeOrderedAndProject — never a global sort."""
+    p = plan_of(QUERIES["bpe_pair_counts"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in p, p
+    assert "Join" not in p, p
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read and "doc_id" not in read and "lang" not in read

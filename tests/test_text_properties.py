@@ -466,3 +466,235 @@ def test_token_budget_select_matches_plain_window(spark):
         .collect()
     }
     assert got == want and 0 < len(want) < 200
+
+
+# -- BPE merge learning vs an exact Python model ------------------------------
+
+def _py_bpe(words: list[str], n_merges: int):
+    """Exact Python mirror of `bpe_learn` (Sennrich et al. 2016
+    learn_bpe): per-word symbol lists, highest-frequency adjacent pair
+    with (freq desc, lhs, rhs) tie-break, merged left-to-right
+    non-overlapping — the third independent realization next to the
+    Spark loop (string replace over wrapped symbols) and the DuckDB
+    unrolled-CTE oracle."""
+    from collections import Counter
+
+    wf = Counter(words)
+    vocab = {w: [*w, "</w>"] for w in wf}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        (l, r), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, f))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges, {w: (vocab[w], wf[w]) for w in vocab}
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    words=st.lists(
+        # a 2-letter alphabet forces overlapping runs (aaa, abab) and
+        # freq ties — the regimes where left-to-right non-overlap and
+        # the lexicographic tie-break actually decide the answer
+        st.text(alphabet="ab", min_size=1, max_size=5),
+        min_size=1, max_size=12,
+    ),
+)
+def test_bpe_learn_matches_python_model(spark, words):
+    """bpe_learn ≡ the exact Python model: the merge LIST (order, pair,
+    frequency) and the final per-word symbolization both match — the
+    wrapped-string replace implements the same left-to-right
+    non-overlapping merge as the symbol-list walk."""
+    from fiat2_spark.operators.text import bpe_learn, bpe_symbols
+
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    wdf, mdf = bpe_learn(df, "text", n_merges=6)
+    got_merges = [(r["step"], r["lhs"], r["rhs"], r["freq"]) for r in
+                  mdf.orderBy("step").collect()]
+    got_vocab = {
+        # merges may absorb the end marker (e.g. a+</w> → 'a</w>'), so
+        # the word key is the concatenation minus the trailing marker
+        "".join(r["syms"]).removesuffix("</w>"): (r["syms"], r["freq"])
+        for r in wdf.select(bpe_symbols(F.col("wrapped")).alias("syms"),
+                            "freq").collect()
+    }
+    want_merges, want_vocab = _py_bpe(words, 6)
+    assert got_merges == want_merges, f"\nwords={words}\ngot={got_merges}\nwant={want_merges}"
+    assert got_vocab == want_vocab, f"\nwords={words}\ngot={got_vocab}\nwant={want_vocab}"
+
+
+def test_bpe_merges_left_to_right_non_overlapping(spark):
+    """The overlap pin: merging (a,a) over 'aaaa' yields [aa, aa], over
+    'aaa' yields [aa, a] — never the overlapped [a, aa] / [aa, aa|a]."""
+    from fiat2_spark.operators.text import bpe_learn, bpe_symbols
+
+    df = spark.createDataFrame([("aaaa aaa",)], "text string")
+    wdf, mdf = bpe_learn(df, "text", n_merges=1)
+    assert [(r["lhs"], r["rhs"]) for r in mdf.collect()] == [("a", "a")]
+    got = {
+        "".join(s for s in r["syms"] if s != "</w>"): r["syms"]
+        for r in wdf.select(bpe_symbols(F.col("wrapped")).alias("syms")).collect()
+    }
+    assert got == {"aaaa": ["aa", "aa", "</w>"], "aaa": ["aa", "a", "</w>"]}, got
+
+
+# -- DoReMi domain reweighting vs an exact Python model -----------------------
+
+def _py_doremi(pool: dict[int, tuple[str, str]], ref: dict[int, str],
+               vocab_size: int = 4, quant: int = 10_000,
+               alpha_num: int = 2, alpha_den: int = 5,
+               smooth_num: int = 1, smooth_den: int = 100,
+               escale: int = 10**9):
+    """Exact Python mirror of `doremi_weights`: the `_py_lm_perplexity`
+    fit (same vocab ranking, OOV mapping, bigram MLE, stupid backoff),
+    plus the add-1 unigram baseline, per-domain integer excess sums,
+    one quantized exp per domain, and the smoothed normalized weight."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def q_round(x: float, scale: int) -> int:
+        return int(Decimal(x * scale).quantize(Decimal(1), ROUND_HALF_UP))
+
+    ref_toks = [w for t in ref.values() for w in toks(t)]
+    cnt = Counter(ref_toks)
+    vocab = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    }
+
+    def m(w):
+        return w if w in vocab else "<unk>"
+
+    c1 = Counter(m(w) for w in ref_toks)
+    n_tot = len(ref_toks)
+    c2: Counter = Counter()
+    for t in ref.values():
+        ts = [m(w) for w in toks(t)]
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+
+    def q_bi(prev, w):
+        if (prev, w) in c2:
+            return q_round(-math.log(c2[(prev, w)] / c1[prev]), quant)
+        return q_round(
+            -math.log(((c1.get(w, 0) + 1) * alpha_num)
+                      / ((n_tot + vocab_size + 1) * alpha_den)), quant)
+
+    def q_uni(w):
+        return q_round(
+            -math.log((c1.get(w, 0) + 1) / (n_tot + vocab_size + 1)), quant)
+
+    agg: dict[str, list[int]] = {}
+    for _doc, (domain, t) in pool.items():
+        st_ = agg.setdefault(domain, [0, 0, 0])  # n_docs, n_trans, excess_q
+        st_[0] += 1
+        ts = [m(w) for w in toks(t)]
+        for a, b in zip(ts, ts[1:]):
+            st_[1] += 1
+            st_[2] += max(0, q_uni(b) - q_bi(a, b))
+    e = {
+        d: (q_round(math.exp(x[2] / (x[1] * quant)), escale) if x[1] > 0 else escale)
+        for d, x in agg.items()
+    }
+    e_sum, k = sum(e.values()), len(agg)
+    return {
+        d: (x[0], x[1], x[2],
+            (e[d] * (smooth_den - smooth_num)) / (e_sum * smooth_den)
+            + smooth_num / (k * smooth_den))
+        for d, x in agg.items()
+    }
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    pool=st.lists(
+        st.tuples(
+            st.sampled_from(["news", "web", "code"]),
+            st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                     min_size=0, max_size=6).map(" ".join),
+        ),
+        min_size=1, max_size=8,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_doremi_weights_match_python_model(spark, pool, ref):
+    """doremi_weights ≡ the exact Python model: integer columns
+    (n_docs, n_trans, excess_q) bit-equal, weights within 1e-6 of the
+    unrounded model (the one float the operator rounds), Σ weights ≈ 1
+    — covering empty-transition domains (λ = 0, e = escale) and the
+    OOV/backoff floor."""
+    from fiat2_spark.operators.text import doremi_weights
+
+    pool_t = {i: dt for i, dt in enumerate(pool)}
+    ref_t = {100 + i: t for i, t in enumerate(ref)}
+    pdf = spark.createDataFrame(
+        [(i, d, t) for i, (d, t) in pool_t.items()],
+        "doc_id long, source string, text string",
+    )
+    rdf = spark.createDataFrame(
+        [(i, "ref", t) for i, t in ref_t.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["n_trans"], r["excess_q"], r["weight"])
+        for r in doremi_weights(
+            pdf, rdf, "doc_id", "text", "source", vocab_size=4
+        ).collect()
+    }
+    want = _py_doremi(pool_t, ref_t, vocab_size=4)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][:3] == want[d][:3], f"\n{d}\ngot={got[d]}\nwant={want[d]}"
+        assert abs(got[d][3] - want[d][3]) <= 1e-6, f"\n{d}\ngot={got[d]}\nwant={want[d]}"
+    assert abs(sum(v[3] for v in got.values()) - 1.0) <= 1e-5 * max(len(got), 1)
+
+
+def test_doremi_upweights_learnable_domains(spark):
+    """Directional DoReMi property: a domain whose bigrams the
+    reference LM knows (large unigram→bigram improvement = high excess
+    loss on the learnability axis) outweighs a same-vocabulary salad
+    domain whose transitions all back off (zero excess)."""
+    from fiat2_spark.operators.text import doremi_weights
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the spark engine runs the query plan") for i in range(4)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "seen", "the spark engine runs the query plan"),
+            (2, "salad", "plan runs the spark query engine plan the runs"),
+        ],
+        "doc_id long, dom string, text string",
+    )
+    rows = {
+        r["domain"]: r
+        for r in doremi_weights(pool, ref, "doc_id", "text", "dom",
+                                vocab_size=16).collect()
+    }
+    assert rows["seen"]["excess_q"] > rows["salad"]["excess_q"], rows
+    assert rows["seen"]["weight"] > rows["salad"]["weight"], rows
