@@ -145,6 +145,13 @@ HEADLINE = [
     "url_dedup",                    # canonical-URL exact dedup, scan-side normalize
     "decontaminate_semantic",       # embedding-space eval decontamination
     "boilerplate_dedup",            # CCNet/RefinedWeb corpus-frequent segment removal
+    "gopher_quality",               # Gopher per-rule quality table, one scan
+    "quality_classifier",           # fastText-style NB keep/drop classifier
+    "budget_select",                # token-budget greedy fill, bucketed prefix sum
+    "doremi_reweight",              # DoReMi Group-DRO domain mixture step
+    "bpe_pair_counts",              # BPE first-iteration pair counts
+    "bpe_merges",                   # BPE 8-merge learner, vocab-sized iterations
+    "bpe_encode",                   # apply_bpe: chained-replace vocab, per-doc counts
 ]
 
 

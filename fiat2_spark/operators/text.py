@@ -1355,3 +1355,39 @@ def bpe_learn(df, text_col: str, n_merges: int):
         merges, "step int, lhs string, rhs string, freq bigint"
     )
     return words, mdf
+
+
+def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
+    """Apply learned BPE merges to a corpus (Sennrich et al. 2016
+    `apply_bpe`): each word's symbol string gets every merge's replace
+    IN LEARNED ORDER — one chained codegen'd projection of
+    ``len(merges)`` non-regex replaces, the same left-to-right
+    non-overlapping semantics the learner used. Returns
+    (id, n_words, n_bpe_tokens) per document.
+
+    Scale: the merge chain runs on the DISTINCT word relation
+    (vocab-sized), never per corpus token; the corpus contributes one
+    tokenize+explode pass that probes the encoded vocab by broadcast
+    and partial-aggregates per document. Encoding cost is
+    O(corpus tokens) joins + O(vocab · merges) string work."""
+    wrapped = bpe_symbolize(F.col("word"))
+    for lhs, rhs in merges:
+        wrapped = F.replace(
+            wrapped,
+            F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
+            F.lit(BPE_LB + lhs + rhs + BPE_RB),
+        )
+    toks_per_word = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .select("word", F.size(bpe_symbols(wrapped)).alias("n_sym"))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        .join(F.broadcast(toks_per_word), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )

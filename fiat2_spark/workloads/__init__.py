@@ -364,10 +364,10 @@ PRIORITY = (
     "decontaminate_semantic", "boilerplate_dedup",
     "gopher_quality", "quality_classifier", "budget_select",
     # …and the final-session r9 additions: DoReMi domain reweighting
-    # and the BPE tokenizer-training pair (Q19/Q21/Q22 cede their (D)
-    # refresh slots and join the r10 tail — (B)-over-(D) again; all
-    # three r5 rows sit on fingerprint-unchanged code)
-    "doremi_reweight", "bpe_pair_counts", "bpe_merges",
+    # and the BPE tokenizer-training trio (Q17/Q19/Q21/Q22 cede their
+    # (D) refresh slots and join the r10 tail — (B)-over-(D) again; all
+    # four r5 rows sit on fingerprint-unchanged code)
+    "doremi_reweight", "bpe_pair_counts", "bpe_merges", "bpe_encode",
     # (C) oldest-evidence refresh, the whole r4-row tail (18 — the r8
     # comment's deferred list + percentile_cont_scalable): after r9 no
     # driver row is older than r5
@@ -385,10 +385,10 @@ PRIORITY = (
     # rule)
     "tpch_q1_shape", "tpch_q4_shape", "tpch_q5_shape", "tpch_q6_shape",
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
-    "tpch_q13_shape", "tpch_q14_shape", "tpch_q16_shape", "tpch_q17_shape",
+    "tpch_q13_shape", "tpch_q14_shape", "tpch_q16_shape",
 )
 # Round-10 rotation candidates (the r5-row tail deferred above):
-# tpch_q19_shape, tpch_q21_shape, tpch_q22_shape,
+# tpch_q17_shape, tpch_q19_shape, tpch_q21_shape, tpch_q22_shape,
 # anti_join, asof_tolerance_join, bag_ops_all, bfs_recursive_cte,
 # quality_filter_apply, length_histogram, hybrid_rrf_retrieval,
 # gapfill_daily, funnel_conversion, retention_cohorts, anomaly_zscore,

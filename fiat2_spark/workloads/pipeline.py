@@ -3557,3 +3557,64 @@ def bpe_merges(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     _, merges = TX.bpe_learn(d, "text", n_merges=8)
     return merges
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled learn-then-encode: the same n_merges iterations as
+    `_bpe_merges_oracle` but with the raw word riding every CTE, so the
+    final vocab's symbol counts join back to the per-doc token stream."""
+    parts = [r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    v0 AS (
+      SELECT w AS word,
+             regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS wrapped,
+             COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS w FROM tk)
+      GROUP BY 1
+    )
+"""]
+    for i in range(n_merges):
+        parts.append(f"""
+    , p{i} AS {_bpe_pairs_sql(f"v{i}")},
+    b{i} AS (SELECT lhs, rhs FROM p{i}
+             ORDER BY freq DESC, lhs, rhs LIMIT 1),
+    v{i + 1} AS (
+      SELECT word,
+             replace(wrapped,
+                     chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                     chr(1) || b.lhs || b.rhs || chr(2)) AS wrapped,
+             v{i}.freq AS freq
+      FROM v{i}, b{i} b
+    )""")
+    parts.append(f"""
+    , enc AS (SELECT word,
+                     len(list_filter(string_split(wrapped, chr(2)), x -> x <> '')) AS n_sym
+              FROM v{n_merges}),
+    dt AS (SELECT doc_id, unnest(toks) AS word FROM tk)
+    SELECT dt.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM dt JOIN enc e USING (word)
+    GROUP BY 1
+""")
+    return "".join(parts)
+
+
+@q("bpe_encode", _bpe_encode_oracle(8))
+def bpe_encode(spark, sf_dir):
+    """BPE encoding (Sennrich et al. 2016 apply_bpe): learn 8 merges,
+    then tokenize every document with them — per-doc word and BPE-token
+    counts (symbol counts include the </w> marker unless a merge
+    absorbed it; the oracle mirrors the same accounting). The encode
+    chain is ONE codegen'd projection of 8 non-regex replaces over the
+    DISTINCT word relation; the corpus pass is a broadcast probe + a
+    per-doc partial agg (see operators/text.py:bpe_encode)."""
+    d = tbl(spark, sf_dir, "documents")
+    _, mdf = TX.bpe_learn(d, "text", n_merges=8)
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
+    return TX.bpe_encode(d, "doc_id", "text", merges)

@@ -1105,3 +1105,13 @@ def test_bpe_pair_counts_vocab_sized_topk(spark):
     assert "Join" not in p, p
     read = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "text" in read and "doc_id" not in read and "lang" not in read
+
+
+def test_bpe_encode_vocab_broadcast(spark):
+    """The encode chain runs on the DISTINCT word relation and joins
+    the corpus token stream by broadcast — never a corpus-keyed
+    sort-merge join; the per-doc counts partial-aggregate."""
+    p = plan_of(QUERIES["bpe_encode"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "partial_sum" in p and "partial_count" in p

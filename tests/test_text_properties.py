@@ -698,3 +698,40 @@ def test_doremi_upweights_learnable_domains(spark):
     }
     assert rows["seen"]["excess_q"] > rows["salad"]["excess_q"], rows
     assert rows["seen"]["weight"] > rows["salad"]["weight"], rows
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_bpe_encode_matches_python_model(spark, docs):
+    """bpe_encode ≡ learn-then-apply in the exact Python model: per-doc
+    word and BPE-symbol counts after 8 learned merges applied in order,
+    left-to-right non-overlapping (the chained-replace projection
+    agrees with the symbol-list walk on overlap runs and tie merges)."""
+    from fiat2_spark.operators.text import bpe_encode, bpe_learn
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    _, mdf = bpe_learn(df, "text", n_merges=8)
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    words = [w for t in docs for w in t.split()]
+    want_merges, want_vocab = _py_bpe(words, 8)
+    assert merges == [(l, r) for _, l, r, _ in want_merges]
+    n_sym = {w: len(syms) for w, (syms, _) in want_vocab.items()}
+    want = {}
+    for i, t in enumerate(docs):
+        ws = t.split()
+        if ws:
+            want[i] = (len(ws), sum(n_sym[w] for w in ws))
+    assert got == want, f"\ndocs={docs}\nmerges={merges}\ngot={got}\nwant={want}"
