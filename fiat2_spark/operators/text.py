@@ -1110,10 +1110,15 @@ def doremi_weights(
     with stupid backoff (both fit on ``ref``, `lm_perplexity`'s exact
     construction and constants):
 
-        exc(prev,w) = max(0, q_uni(w) − q_bi(prev,w))   [exact BIGINT]
-        λ_k  = Σ_k exc / (quant · Σ_k 1)                 [nats]
-        e_k  = round(exp(η·λ_k) · escale)                [exact BIGINT]
+        exc(prev,w) = max(0, q_uni(w) − q_bi(prev,w))      [exact BIGINT]
+        λq_k = round(Σ_k exc / Σ_k 1)        [quant-units/transition]
+        e_k  = round(exp(η·(λq_k − max λq)/quant) · escale) [≤ escale]
         α_k  = (1−c) · e_k / Σ e  +  c / K,   rounded to 6 dp
+
+    The max-shift before the exp is softmax stabilization: it cancels
+    in the normalization but bounds e_k ≤ escale, so the exact-integer
+    normalizing sum can never overflow BIGINT however large the excess
+    loss grows (un-shifted, λ > ~22.9 nats would).
 
     Engine-parity discipline: every per-token quantity is an integer
     (q_uni/q_bi are the usual round(-ln(exact-int ratio)·quant)); the
@@ -1211,17 +1216,28 @@ def doremi_weights(
         F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
         F.coalesce("excess_q", F.lit(0)).cast("long").alias("excess_q"),
     )
-    e_k = F.when(
+    # λ quantized to integer quant-units per transition, then softmax-
+    # stabilized by the max BEFORE the exp: e_k = round(exp(η·(λ_k −
+    # λ_max))·escale) ≤ escale, so e never overflows BIGINT no matter
+    # how large the excess loss grows (un-shifted, λ > ~22.9 nats
+    # would); the shift cancels in the normalization, and both the
+    # oracle and the Python model mirror the identical quantize+shift.
+    lamq = F.when(
         F.col("n_trans") > 0,
+        F.round(F.col("excess_q") / F.col("n_trans").cast("double")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    per = per.withColumn("lamq", lamq)
+    lam_max = per.agg(F.max("lamq").alias("lam_max"))
+    per = per.crossJoin(F.broadcast(lam_max)).withColumn(
+        "e",
         F.round(
             F.exp(
-                (F.col("excess_q") * eta_num).cast("double")
-                / (F.col("n_trans") * F.lit(quant) * eta_den).cast("double")
+                ((F.col("lamq") - F.col("lam_max")) * eta_num).cast("double")
+                / F.lit(float(quant * eta_den))
             )
             * escale
         ).cast("long"),
-    ).otherwise(F.lit(escale).cast("long"))
-    per = per.withColumn("e", e_k)
+    )
     norm = per.agg(
         F.sum("e").alias("e_sum"), F.count(F.lit(1)).alias("k_dom")
     )

@@ -3425,13 +3425,19 @@ _DOREMI_ORACLE = _LM_CTES + """
              CAST(COALESCE(e.excess_q, 0) AS BIGINT) AS excess_q
       FROM doms d LEFT JOIN exc e ON e.domain = d.domain
     ),
-    pe AS (
+    pl AS (
       SELECT per.*,
              CASE WHEN n_trans > 0
-                  THEN CAST(round(exp(CAST(excess_q * 1 AS DOUBLE)
-                                      / (n_trans * 10000 * 1)) * 1000000000) AS BIGINT)
-                  ELSE CAST(1000000000 AS BIGINT) END AS e
+                  THEN CAST(round(excess_q / CAST(n_trans AS DOUBLE)) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS lamq
       FROM per
+    ),
+    mx AS (SELECT MAX(lamq) AS lam_max FROM pl),
+    pe AS (
+      SELECT pl.*,
+             CAST(round(exp(CAST((lamq - mx.lam_max) * 1 AS DOUBLE)
+                            / (10000.0 * 1)) * 1000000000) AS BIGINT) AS e
+      FROM pl, mx
     ),
     nrm AS (SELECT CAST(SUM(e) AS BIGINT) AS e_sum, COUNT(*) AS k_dom FROM pe)
     SELECT domain, n_docs, n_trans, excess_q,

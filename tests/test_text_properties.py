@@ -611,9 +611,12 @@ def _py_doremi(pool: dict[int, tuple[str, str]], ref: dict[int, str],
         for a, b in zip(ts, ts[1:]):
             st_[1] += 1
             st_[2] += max(0, q_uni(b) - q_bi(a, b))
+    lamq = {
+        d: (q_round(x[2] / x[1], 1) if x[1] > 0 else 0) for d, x in agg.items()
+    }
+    lam_max = max(lamq.values())
     e = {
-        d: (q_round(math.exp(x[2] / (x[1] * quant)), escale) if x[1] > 0 else escale)
-        for d, x in agg.items()
+        d: q_round(math.exp((lamq[d] - lam_max) / quant), escale) for d in agg
     }
     e_sum, k = sum(e.values()), len(agg)
     return {
