@@ -1383,8 +1383,12 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
 
     Scale: the merge chain runs on the DISTINCT word relation
     (vocab-sized), never per corpus token; the corpus contributes one
-    tokenize+explode pass that probes the encoded vocab by broadcast
-    and partial-aggregates per document. Encoding cost is
+    tokenize+explode pass that probes the encoded vocab and
+    partial-aggregates per document. The vocab probe is deliberately
+    UN-hinted: a natural-language vocab is heavy-tailed (can reach
+    1e8 rows on a 100 TB corpus — past any broadcast budget), so AQE
+    sizes the join at runtime — broadcast when the vocab is small,
+    word-co-partitioned hash join when it isn't. Encoding cost is
     O(corpus tokens) joins + O(vocab · merges) string work."""
     wrapped = bpe_symbolize(F.col("word"))
     for lhs, rhs in merges:
@@ -1400,7 +1404,7 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
     )
     return (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
-        .join(F.broadcast(toks_per_word), "word")
+        .join(toks_per_word, "word")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_words"),

@@ -1108,10 +1108,16 @@ def test_bpe_pair_counts_vocab_sized_topk(spark):
 
 
 def test_bpe_encode_vocab_broadcast(spark):
-    """The encode chain runs on the DISTINCT word relation and joins
-    the corpus token stream by broadcast — never a corpus-keyed
-    sort-merge join; the per-doc counts partial-aggregate."""
-    p = plan_of(QUERIES["bpe_encode"](spark, SF_SMOKE))
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p, p
+    """The encode chain runs on the DISTINCT word relation; the vocab
+    probe is un-hinted (a 100 TB vocab outgrows any broadcast budget)
+    so AQE sizes it -- at test scale the executed plan must have
+    broadcast it, and the per-doc counts partial-aggregate."""
+    df = QUERIES["bpe_encode"](spark, SF_SMOKE)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "CartesianProduct" not in p, p
+    final = p.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
     assert "partial_sum" in p and "partial_count" in p
