@@ -1379,7 +1379,9 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
     IN LEARNED ORDER — one chained codegen'd projection of
     ``len(merges)`` non-regex replaces, the same left-to-right
     non-overlapping semantics the learner used. Returns
-    (id, n_words, n_bpe_tokens) per document.
+    (id, n_words, n_bpe_tokens) per document; documents with zero
+    tokens are absent (nothing to encode — the inner join against the
+    token stream is the contract, mirrored by the oracle).
 
     Scale: the merge chain runs on the DISTINCT word relation
     (vocab-sized), never per corpus token; the corpus contributes one
