@@ -929,96 +929,95 @@ def gopher_rules(
     )
 
 
-def nb_classifier_scores(
-    train,
-    score,
-    id_col: str,
-    text_col: str,
-    label_col: str = "label",
-    buckets: int = 256,
-    quant: int = 10_000,
-):
-    """fastText-style linear text classifier (Joulin et al. 2016,
-    arXiv:1607.01759) over hashed unigram+bigram features, with
-    multinomial-naive-Bayes log-odds as the weight vector — the shape
-    CCNet (Wenzek et al. 2019) uses to keep "Wikipedia-like" pages.
-    DSIR (`dsir_scores`) answers "reweight toward a target
-    distribution"; this answers "binary keep/drop with a decision
-    boundary": per-bucket weight
-
-        w[b] = round(ln((n_pos[b]+1)·(N_neg+B) / ((n_neg[b]+1)·(N_pos+B)))·quant)
-        bias = round(ln((P_docs+1) / (N_docs+1))·quant)
-
-    (add-1 smoothing; the single ln per TABLE row immediately
-    quantized to BIGINT — per-doc scoring is pure integer sums, so
-    both engines agree bitwise). logit_q = bias + Σ_features w[bucket];
-    pred = logit_q > 0.
-
-    Plan: one featurize pass per corpus (post-explode codegen'd md5
-    bucketing, localCheckpointed — `dsir_scores`' discipline); the
-    model is a ≤B-row broadcast + a 1-row bias; scoring is a broadcast
-    join + per-doc partial-agg sum; docs with zero features score the
-    bare bias via the final left join. Returns (id, logit_q, pred)."""
+def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=()):
+    """One featurize pass: hashed unigram+bigram buckets per doc
+    (post-explode codegen'd md5 bucketing, localCheckpointed —
+    `dsir_scores`' discipline). Shared by the one-shot classifier and
+    the streaming `NBClassifierCorpus` so both realize the identical
+    feature map."""
     from fiat2_spark.operators.dedup import cpu_partitions
 
-    def bucketed(df, extra=()):
-        return (
-            df.repartition(cpu_partitions(df))
-            .select(
-                F.col(id_col).alias("doc"),
-                *[F.col(c) for c in extra],
-                F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
-            )
-            .select(
-                "doc",
-                *extra,
-                feature_bucket(F.col("feat"), buckets).alias("bucket"),
-            )
-            .localCheckpoint()
-        )
-
-    tb = bucketed(train, extra=(label_col,))
-    sb = bucketed(score)
-    pos = tb.filter(F.col(label_col))
-    neg = tb.filter(~F.col(label_col))
-    pc = pos.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_p"))
-    nc = neg.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_n"))
-    tot = pos.agg(F.count(F.lit(1)).alias("tot_p")).crossJoin(
-        neg.agg(F.count(F.lit(1)).alias("tot_n"))
-    )
-    w = (
-        pc.join(nc, "bucket", "full_outer")
-        .crossJoin(F.broadcast(tot))
+    return (
+        df.repartition(cpu_partitions(df))
         .select(
-            "bucket",
-            F.round(
-                F.log(
-                    (
-                        (F.coalesce("n_p", F.lit(0)) + 1)
-                        * (F.col("tot_n") + buckets)
-                    ).cast("double")
-                    / (
-                        (F.coalesce("n_n", F.lit(0)) + 1)
-                        * (F.col("tot_p") + buckets)
-                    ).cast("double")
-                )
-                * quant
-            )
-            .cast("long")
-            .alias("w"),
+            F.col(id_col).alias("doc"),
+            *[F.col(c) for c in extra],
+            F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+        )
+        .select(
+            "doc",
+            *extra,
+            feature_bucket(F.col("feat"), buckets).alias("bucket"),
+        )
+        .localCheckpoint()
+    )
+
+
+def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
+    """The naive-Bayes sufficient statistics of a labeled corpus:
+    (bucket, n_p, n_n) per observed feature bucket plus the 1-row
+    (tot_p, tot_n, docs_p, docs_n) totals. These are ADDITIVE — summing
+    the counts of two corpora equals the counts of their union — which
+    is exactly what makes the classifier incrementally trainable
+    (`NBClassifierCorpus`)."""
+    tb = _nb_bucketed(train, id_col, text_col, buckets, extra=(label_col,))
+    counts = tb.groupBy("bucket").agg(
+        F.sum(F.col(label_col).cast("long")).alias("n_p"),
+        F.sum((~F.col(label_col)).cast("long")).alias("n_n"),
+    )
+    totals = tb.agg(
+        F.sum(F.col(label_col).cast("long")).alias("tot_p"),
+        F.sum((~F.col(label_col)).cast("long")).alias("tot_n"),
+    ).crossJoin(
+        train.agg(
+            F.sum(F.col(label_col).cast("long")).alias("docs_p"),
+            F.sum((~F.col(label_col)).cast("long")).alias("docs_n"),
         )
     )
-    bias = train.agg(
+    return counts, totals
+
+
+def nb_score_from_counts(
+    score, counts, totals, id_col: str, text_col: str,
+    buckets: int = 256, quant: int = 10_000,
+):
+    """Classify with a model given as sufficient statistics: per-bucket
+    weight w[b] = round(ln((n_p+1)·(tot_n+B) / ((n_n+1)·(tot_p+B)))·quant)
+    and bias = round(ln((docs_p+1)/(docs_n+1))·quant) — the single ln
+    per TABLE row immediately quantized to BIGINT, so per-doc scoring
+    is pure integer sums and both engines agree bitwise. Buckets never
+    observed in training contribute nothing (inner probe — the oracle
+    mirrors). Returns (id, logit_q, pred)."""
+    w = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
         F.round(
             F.log(
-                (F.sum(F.col(label_col).cast("long")) + 1).cast("double")
-                / (F.sum((~F.col(label_col)).cast("long")) + 1).cast("double")
+                (
+                    (F.coalesce("n_p", F.lit(0)) + 1)
+                    * (F.col("tot_n") + buckets)
+                ).cast("double")
+                / (
+                    (F.coalesce("n_n", F.lit(0)) + 1)
+                    * (F.col("tot_p") + buckets)
+                ).cast("double")
+            )
+            * quant
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    bias = totals.select(
+        F.round(
+            F.log(
+                (F.col("docs_p") + 1).cast("double")
+                / (F.col("docs_n") + 1).cast("double")
             )
             * quant
         )
         .cast("long")
         .alias("bias")
     )
+    sb = _nb_bucketed(score, id_col, text_col, buckets)
     doc_sums = (
         sb.join(F.broadcast(w), "bucket")
         .groupBy("doc")
@@ -1035,6 +1034,36 @@ def nb_classifier_scores(
             .alias("logit_q"),
         )
         .withColumn("pred", F.col("logit_q") > 0)
+    )
+
+
+def nb_classifier_scores(
+    train,
+    score,
+    id_col: str,
+    text_col: str,
+    label_col: str = "label",
+    buckets: int = 256,
+    quant: int = 10_000,
+):
+    """fastText-style linear text classifier (Joulin et al. 2016,
+    arXiv:1607.01759) over hashed unigram+bigram features, with
+    multinomial-naive-Bayes log-odds as the weight vector — the shape
+    CCNet (Wenzek et al. 2019) uses to keep "Wikipedia-like" pages.
+    DSIR (`dsir_scores`) answers "reweight toward a target
+    distribution"; this answers "binary keep/drop with a decision
+    boundary". Composed as `nb_counts` (the additive sufficient
+    statistics) feeding `nb_score_from_counts` (weights + bias +
+    integer scoring) — the streaming `NBClassifierCorpus` reuses BOTH,
+    so batch/stream agreement is structural, not coincidental.
+
+    Plan: one featurize pass per corpus; the model is a ≤B-row
+    broadcast + a 1-row bias; scoring is a broadcast join + per-doc
+    partial-agg sum; docs with zero features score the bare bias via
+    the final left join. Returns (id, logit_q, pred)."""
+    counts, totals = nb_counts(train, id_col, text_col, label_col, buckets)
+    return nb_score_from_counts(
+        score, counts, totals, id_col, text_col, buckets, quant
     )
 
 

@@ -883,3 +883,87 @@ class DomainCapCorpus:
         )
         self._blocks = self._out_blocks = self._bl_blocks = frozenset()
         return n
+
+
+class NBClassifierCorpus:
+    """Incrementally trained fastText/CCNet quality classifier — the
+    streaming twin of `operators.text.nb_classifier_scores` for
+    labeled training data arriving in batches (human review queues,
+    weak-label refreshes): the state is the model's ADDITIVE
+    sufficient statistics — per-bucket positive/negative feature
+    counts (≤B rows) plus the 1-row doc/feature totals — and each
+    ingest folds a labeled batch in with one featurize pass + a
+    model-sized merge. ``score()`` classifies any corpus with the
+    CURRENT accumulated model via the same `nb_score_from_counts` the
+    one-shot classifier uses, so after ingesting the same training
+    rows in ANY batch split, scores equal the one-shot's bitwise
+    (agreement-tested) — the equality is structural: naive-Bayes
+    counts of a union are the sums of the parts' counts, and weights
+    are a pure function of the counts.
+
+    State is MODEL-sized (never corpus-sized — the corpus-class
+    digest-only discipline), localCheckpointed with per-ingest
+    retirement of the superseded snapshot. At 100 TB of accumulated
+    training data the state is still ≤B+1 rows; only ingest's
+    featurize pass scales with the batch."""
+
+    def __init__(self, spark, buckets: int = 256, quant: int = 10_000):
+        self.buckets, self.quant = buckets, quant
+        self.counts, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "bucket long, n_p long, n_n long")
+        )
+        self.totals, self._tot_blocks = local_checkpoint_tracked(
+            spark.createDataFrame(
+                [(0, 0, 0, 0)], "tot_p long, tot_n long, docs_p long, docs_n long"
+            )
+        )
+
+    def ingest(self, batch, id_col: str, text_col: str, label_col: str) -> None:
+        """Fold a labeled batch into the model state."""
+        from fiat2_spark.operators.text import nb_counts
+
+        bc, bt = nb_counts(batch, id_col, text_col, label_col, self.buckets)
+        merged = (
+            self.counts.withColumnRenamed("n_p", "p0").withColumnRenamed("n_n", "n0")
+            .join(bc, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (F.coalesce("p0", F.lit(0)) + F.coalesce("n_p", F.lit(0)))
+                .cast("long").alias("n_p"),
+                (F.coalesce("n0", F.lit(0)) + F.coalesce("n_n", F.lit(0)))
+                .cast("long").alias("n_n"),
+            )
+        )
+        tot = self.totals.crossJoin(
+            bt.withColumnsRenamed(
+                {"tot_p": "tp", "tot_n": "tn", "docs_p": "dp", "docs_n": "dn"}
+            )
+        ).select(
+            (F.col("tot_p") + F.col("tp")).cast("long").alias("tot_p"),
+            (F.col("tot_n") + F.col("tn")).cast("long").alias("tot_n"),
+            (F.col("docs_p") + F.col("dp")).cast("long").alias("docs_p"),
+            (F.col("docs_n") + F.col("dn")).cast("long").alias("docs_n"),
+        )
+        prev = self._blocks | self._tot_blocks
+        self.counts, self._blocks = local_checkpoint_tracked(merged)
+        self.totals, self._tot_blocks = local_checkpoint_tracked(tot)
+        release_blocks(self.counts.sparkSession, prev)
+
+    def score(self, batch, id_col: str, text_col: str):
+        """(id, logit_q, pred) under the current accumulated model.
+        With no training ingested yet, every doc scores the zero bias
+        (pred False) — the weight table is empty by construction."""
+        from fiat2_spark.operators.text import nb_score_from_counts
+
+        return nb_score_from_counts(
+            batch, self.counts, self.totals, id_col, text_col,
+            self.buckets, self.quant,
+        )
+
+    def close(self) -> int:
+        """Free the model-state blocks."""
+        n = release_blocks(
+            self.counts.sparkSession, self._blocks | self._tot_blocks
+        )
+        self._blocks = self._tot_blocks = frozenset()
+        return n

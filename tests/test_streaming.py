@@ -716,3 +716,61 @@ def test_semantic_dedup_corpus_recluster_boundary(spark):
     }
     corpus.close()
     assert got == want
+
+
+def test_nb_classifier_corpus_split_agreement(spark):
+    """NBClassifierCorpus trained in 3 uneven batches must score a pool
+    bitwise-equal to the one-shot nb_classifier_scores over the
+    concatenated training set — naive-Bayes counts are additive and
+    the weight table is a pure function of the counts. Also pins the
+    untrained state: zero bias, empty weights, pred False everywhere."""
+    from fiat2_spark.operators.text import nb_classifier_scores
+    from fiat2_spark.streaming.maintenance import NBClassifierCorpus
+
+    train_rows = [
+        (i, t, lab)
+        for i, (t, lab) in enumerate(
+            [
+                ("the spark engine runs the query plan", True),
+                ("spark shuffles partitions with hash joins", True),
+                ("the catalyst optimizer prunes columns", True),
+                ("buy cheap pills now best price deal", False),
+                ("click here win money now now now", False),
+                ("cheap cheap deal click buy now", False),
+                ("query plans broadcast small tables", True),
+                ("win best cheap price click pills", False),
+            ]
+        )
+    ]
+    pool_rows = [
+        (100, "the spark optimizer runs hash joins"),
+        (101, "cheap pills click now best deal"),
+        (102, "plan the query broadcast tables"),
+        (103, ""),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string, label boolean")
+    pool = spark.createDataFrame(pool_rows, "doc_id long, text string")
+
+    corpus = NBClassifierCorpus(spark, buckets=64)
+    untrained = {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in corpus.score(pool, "doc_id", "text").collect()
+    }
+    assert untrained == {i: (0, False) for i, _ in pool_rows}, untrained
+
+    for pred in (F.col("doc_id") < 2, (F.col("doc_id") >= 2) & (F.col("doc_id") < 7),
+                 F.col("doc_id") >= 7):
+        corpus.ingest(train.filter(pred), "doc_id", "text", "label")
+    got = {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in corpus.score(pool, "doc_id", "text").collect()
+    }
+    corpus.close()
+    want = {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in nb_classifier_scores(
+            train, pool, "doc_id", "text", "label", buckets=64
+        ).collect()
+    }
+    assert got == want, f"\ngot={got}\nwant={want}"
+    assert got[100][1] and got[102][1] and not got[101][1], got
