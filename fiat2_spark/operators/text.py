@@ -955,30 +955,34 @@ def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=()):
 
 def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
     """The naive-Bayes sufficient statistics of a labeled corpus:
-    (bucket, n_p, n_n) per observed feature bucket plus the 1-row
-    (tot_p, tot_n, docs_p, docs_n) totals. These are ADDITIVE — summing
-    the counts of two corpora equals the counts of their union — which
-    is exactly what makes the classifier incrementally trainable
-    (`NBClassifierCorpus`)."""
+    (bucket, n_p, n_n) per observed feature bucket, the 1-row feature
+    totals (tot_p, tot_n), and the 1-row doc totals (docs_p, docs_n).
+    All ADDITIVE — summing two corpora's statistics equals the union's
+    — which is exactly what makes the classifier incrementally
+    trainable (`NBClassifierCorpus`). Feature and doc totals stay
+    SEPARATE relations so each score-side broadcast subtree computes
+    only its own aggregate (the weight table reads the feature pass,
+    the bias reads one train scan — fusing them into one crossJoined
+    row made BOTH broadcast subtrees pay BOTH aggregations, serially,
+    measured ~1.5x on the classifier queries)."""
     tb = _nb_bucketed(train, id_col, text_col, buckets, extra=(label_col,))
     counts = tb.groupBy("bucket").agg(
         F.sum(F.col(label_col).cast("long")).alias("n_p"),
         F.sum((~F.col(label_col)).cast("long")).alias("n_n"),
     )
-    totals = tb.agg(
+    ftot = tb.agg(
         F.sum(F.col(label_col).cast("long")).alias("tot_p"),
         F.sum((~F.col(label_col)).cast("long")).alias("tot_n"),
-    ).crossJoin(
-        train.agg(
-            F.sum(F.col(label_col).cast("long")).alias("docs_p"),
-            F.sum((~F.col(label_col)).cast("long")).alias("docs_n"),
-        )
     )
-    return counts, totals
+    dtot = train.agg(
+        F.sum(F.col(label_col).cast("long")).alias("docs_p"),
+        F.sum((~F.col(label_col)).cast("long")).alias("docs_n"),
+    )
+    return counts, ftot, dtot
 
 
 def nb_score_from_counts(
-    score, counts, totals, id_col: str, text_col: str,
+    score, counts, ftot, dtot, id_col: str, text_col: str,
     buckets: int = 256, quant: int = 10_000,
 ):
     """Classify with a model given as sufficient statistics: per-bucket
@@ -988,7 +992,7 @@ def nb_score_from_counts(
     is pure integer sums and both engines agree bitwise. Buckets never
     observed in training contribute nothing (inner probe — the oracle
     mirrors). Returns (id, logit_q, pred)."""
-    w = counts.crossJoin(F.broadcast(totals)).select(
+    w = counts.crossJoin(F.broadcast(ftot)).select(
         "bucket",
         F.round(
             F.log(
@@ -1006,7 +1010,7 @@ def nb_score_from_counts(
         .cast("long")
         .alias("w"),
     )
-    bias = totals.select(
+    bias = dtot.select(
         F.round(
             F.log(
                 (F.col("docs_p") + 1).cast("double")
@@ -1061,9 +1065,9 @@ def nb_classifier_scores(
     broadcast + a 1-row bias; scoring is a broadcast join + per-doc
     partial-agg sum; docs with zero features score the bare bias via
     the final left join. Returns (id, logit_q, pred)."""
-    counts, totals = nb_counts(train, id_col, text_col, label_col, buckets)
+    counts, ftot, dtot = nb_counts(train, id_col, text_col, label_col, buckets)
     return nb_score_from_counts(
-        score, counts, totals, id_col, text_col, buckets, quant
+        score, counts, ftot, dtot, id_col, text_col, buckets, quant
     )
 
 

@@ -922,7 +922,7 @@ class NBClassifierCorpus:
         """Fold a labeled batch into the model state."""
         from fiat2_spark.operators.text import nb_counts
 
-        bc, bt = nb_counts(batch, id_col, text_col, label_col, self.buckets)
+        bc, bf, bd = nb_counts(batch, id_col, text_col, label_col, self.buckets)
         merged = (
             self.counts.withColumnRenamed("n_p", "p0").withColumnRenamed("n_n", "n0")
             .join(bc, "bucket", "full_outer")
@@ -935,9 +935,9 @@ class NBClassifierCorpus:
             )
         )
         tot = self.totals.crossJoin(
-            bt.withColumnsRenamed(
-                {"tot_p": "tp", "tot_n": "tn", "docs_p": "dp", "docs_n": "dn"}
-            )
+            bf.withColumnsRenamed({"tot_p": "tp", "tot_n": "tn"})
+        ).crossJoin(
+            bd.withColumnsRenamed({"docs_p": "dp", "docs_n": "dn"})
         ).select(
             (F.col("tot_p") + F.col("tp")).cast("long").alias("tot_p"),
             (F.col("tot_n") + F.col("tn")).cast("long").alias("tot_n"),
@@ -952,12 +952,16 @@ class NBClassifierCorpus:
     def score(self, batch, id_col: str, text_col: str):
         """(id, logit_q, pred) under the current accumulated model.
         With no training ingested yet, every doc scores the zero bias
-        (pred False) — the weight table is empty by construction."""
+        (pred False) — the weight table is empty by construction. The
+        checkpointed state splits into trivial ftot/dtot broadcast
+        subtrees (block reads, no recomputation)."""
         from fiat2_spark.operators.text import nb_score_from_counts
 
         return nb_score_from_counts(
-            batch, self.counts, self.totals, id_col, text_col,
-            self.buckets, self.quant,
+            batch, self.counts,
+            self.totals.select("tot_p", "tot_n"),
+            self.totals.select("docs_p", "docs_n"),
+            id_col, text_col, self.buckets, self.quant,
         )
 
     def close(self) -> int:
