@@ -327,11 +327,14 @@ PRIORITY_R8 = (  # kept for the r8 row-premise audit trail
 )
 # Round-9 window. The fingerprint tool is UNCHANGED this round, so the
 # rotation baseline is FINGERPRINTS_r08.json at r8 HEAD directly. The
-# must-rotate-in set is the tool's output:
+# must-rotate-in set is the tool's output; at FINAL r9 HEAD:
 #   python tools/fingerprints.py --compare FINGERPRINTS_r08.json
-#   → changed = exactly the 5 queries marked (A) below + the 2 new
-#     ones (B); held_count = 180 — every other registered query's
-#     reachable hash is IDENTICAL to its row-earning round's.
+#   → changed = 26, new = 12, held_count = 171 — and every changed/new
+#     name is in this window (tool-audited; the mid-round state was
+#     5 changed + 2 new, grown by the late-r9 additions (B), the
+#     _value_buckets rewrite, and the NB counts/score split). Every
+#     query whose reachable hash is IDENTICAL to its row-earning
+#     round's may rotate out; all 147 out-of-window queries hold.
 PRIORITY = (
     # (A) tool-mandated reachable-delta rotate-ins: the Lloyd-seeding
     # fix (rank-based k-smallest init) touches kmeans_lloyd +
