@@ -970,13 +970,19 @@ def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
         F.sum(F.col(label_col).cast("long")).alias("n_p"),
         F.sum((~F.col(label_col)).cast("long")).alias("n_n"),
     )
+    # Spark's SUM over zero rows is NULL, not 0 — uncoalesced, an empty
+    # training corpus (or an empty batch folded into a live
+    # NBClassifierCorpus) would poison the totals state / the bias to
+    # NULL. The per-bucket counts need no guard: an empty corpus has no
+    # bucket rows at all.
+    z = F.lit(0).cast("long")
     ftot = tb.agg(
-        F.sum(F.col(label_col).cast("long")).alias("tot_p"),
-        F.sum((~F.col(label_col)).cast("long")).alias("tot_n"),
+        F.coalesce(F.sum(F.col(label_col).cast("long")), z).alias("tot_p"),
+        F.coalesce(F.sum((~F.col(label_col)).cast("long")), z).alias("tot_n"),
     )
     dtot = train.agg(
-        F.sum(F.col(label_col).cast("long")).alias("docs_p"),
-        F.sum((~F.col(label_col)).cast("long")).alias("docs_n"),
+        F.coalesce(F.sum(F.col(label_col).cast("long")), z).alias("docs_p"),
+        F.coalesce(F.sum((~F.col(label_col)).cast("long")), z).alias("docs_n"),
     )
     return counts, ftot, dtot
 

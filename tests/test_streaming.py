@@ -774,3 +774,41 @@ def test_nb_classifier_corpus_split_agreement(spark):
     }
     assert got == want, f"\ngot={got}\nwant={want}"
     assert got[100][1] and got[102][1] and not got[101][1], got
+
+
+def test_nb_classifier_corpus_empty_batch_is_identity(spark):
+    """Folding an EMPTY labeled batch into a live NBClassifierCorpus
+    must not perturb the model: Spark's SUM over zero rows is NULL,
+    and uncoalesced totals would poison the state (and the bias) to
+    NULL. Scores before and after the empty ingest are identical, and
+    an UNTRAINED corpus ingesting only an empty batch still scores the
+    zero bias."""
+    from fiat2_spark.streaming.maintenance import NBClassifierCorpus
+
+    train = spark.createDataFrame(
+        [(0, "the spark engine runs", True), (1, "buy cheap pills now", False)],
+        "doc_id long, text string, label boolean",
+    )
+    empty = train.filter(F.lit(False))
+    pool = spark.createDataFrame(
+        [(100, "the spark engine"), (101, "cheap pills")],
+        "doc_id long, text string",
+    )
+
+    fresh = NBClassifierCorpus(spark, buckets=64)
+    fresh.ingest(empty, "doc_id", "text", "label")
+    got0 = {r["doc_id"]: (r["logit_q"], r["pred"])
+            for r in fresh.score(pool, "doc_id", "text").collect()}
+    fresh.close()
+    assert got0 == {100: (0, False), 101: (0, False)}, got0
+
+    corpus = NBClassifierCorpus(spark, buckets=64)
+    corpus.ingest(train, "doc_id", "text", "label")
+    before = {r["doc_id"]: (r["logit_q"], r["pred"])
+              for r in corpus.score(pool, "doc_id", "text").collect()}
+    corpus.ingest(empty, "doc_id", "text", "label")
+    after = {r["doc_id"]: (r["logit_q"], r["pred"])
+             for r in corpus.score(pool, "doc_id", "text").collect()}
+    corpus.close()
+    assert None not in {v[0] for v in after.values()}, after
+    assert before == after, f"\nbefore={before}\nafter={after}"
