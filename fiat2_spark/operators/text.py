@@ -929,15 +929,25 @@ def gopher_rules(
     )
 
 
-def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=()):
+def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
+                 checkpoint=True, track=None):
     """One featurize pass: hashed unigram+bigram buckets per doc
     (post-explode codegen'd md5 bucketing, localCheckpointed —
     `dsir_scores`' discipline). Shared by the one-shot classifier and
     the streaming `NBClassifierCorpus` so both realize the identical
-    feature map."""
+    feature map.
+
+    Block-lifetime contract (ADVICE r9): with ``checkpoint=True,
+    track=None`` (the batch default) the checkpoint blocks belong to
+    the returned result and are reclaimed by the session owner's
+    global sweep. A long-lived caller for whom the global sweep is
+    unsafe passes ``track`` (a list) to receive the new block ids for
+    targeted ``release_blocks`` retirement, or ``checkpoint=False``
+    to skip materialization entirely (right when the featurize pass
+    appears exactly once in the consuming plan)."""
     from fiat2_spark.operators.dedup import cpu_partitions
 
-    return (
+    out = (
         df.repartition(cpu_partitions(df))
         .select(
             F.col(id_col).alias("doc"),
@@ -949,11 +959,20 @@ def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=()):
             *extra,
             feature_bucket(F.col("feat"), buckets).alias("bucket"),
         )
-        .localCheckpoint()
     )
+    if not checkpoint:
+        return out
+    if track is None:
+        return out.localCheckpoint()
+    from fiat2_spark.session import local_checkpoint_tracked
+
+    out, blocks = local_checkpoint_tracked(out)
+    track.extend(blocks)
+    return out
 
 
-def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
+def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int,
+              track=None):
     """The naive-Bayes sufficient statistics of a labeled corpus:
     (bucket, n_p, n_n) per observed feature bucket, the 1-row feature
     totals (tot_p, tot_n), and the 1-row doc totals (docs_p, docs_n).
@@ -964,8 +983,13 @@ def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
     only its own aggregate (the weight table reads the feature pass,
     the bias reads one train scan — fusing them into one crossJoined
     row made BOTH broadcast subtrees pay BOTH aggregations, serially,
-    measured ~1.5x on the classifier queries)."""
-    tb = _nb_bucketed(train, id_col, text_col, buckets, extra=(label_col,))
+    measured ~1.5x on the classifier queries).
+
+    ``track``: optional list receiving the featurize pass's checkpoint
+    block ids for targeted retirement (the `NBClassifierCorpus` path —
+    see `_nb_bucketed`'s block-lifetime contract)."""
+    tb = _nb_bucketed(train, id_col, text_col, buckets, extra=(label_col,),
+                      track=track)
     counts = tb.groupBy("bucket").agg(
         F.sum(F.col(label_col).cast("long")).alias("n_p"),
         F.sum((~F.col(label_col)).cast("long")).alias("n_n"),
@@ -989,7 +1013,7 @@ def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int):
 
 def nb_score_from_counts(
     score, counts, ftot, dtot, id_col: str, text_col: str,
-    buckets: int = 256, quant: int = 10_000,
+    buckets: int = 256, quant: int = 10_000, checkpoint: bool = True,
 ):
     """Classify with a model given as sufficient statistics: per-bucket
     weight w[b] = round(ln((n_p+1)·(tot_n+B) / ((n_n+1)·(tot_p+B)))·quant)
@@ -997,7 +1021,13 @@ def nb_score_from_counts(
     per TABLE row immediately quantized to BIGINT, so per-doc scoring
     is pure integer sums and both engines agree bitwise. Buckets never
     observed in training contribute nothing (inner probe — the oracle
-    mirrors). Returns (id, logit_q, pred)."""
+    mirrors). Returns (id, logit_q, pred).
+
+    ``checkpoint=False`` skips the score-side featurize checkpoint —
+    it appears exactly once in the returned plan, so a long-lived
+    caller (`NBClassifierCorpus.score`) avoids leaving an untracked
+    block behind at the cost of the usual lazy-plan recompute if the
+    result is evaluated more than once (ADVICE r9)."""
     w = counts.crossJoin(F.broadcast(ftot)).select(
         "bucket",
         F.round(
@@ -1027,7 +1057,7 @@ def nb_score_from_counts(
         .cast("long")
         .alias("bias")
     )
-    sb = _nb_bucketed(score, id_col, text_col, buckets)
+    sb = _nb_bucketed(score, id_col, text_col, buckets, checkpoint=checkpoint)
     doc_sums = (
         sb.join(F.broadcast(w), "bucket")
         .groupBy("doc")
@@ -1165,7 +1195,8 @@ def doremi_weights(
     argument and is immediately quantized to e_k, so the normalizing
     sum Σ e is exact integer arithmetic — no float summation-order
     hazard between engines. Domains with no scorable transition get
-    λ = 0 (e = escale), never NULL.
+    λ = 0 (so e = round(exp(-λ_max/quant)·escale), the minimum of the
+    softmax; e = escale only when λ_max = 0), never NULL.
 
     Scale: LM tables are MODEL-sized broadcasts (≤V+1 unigrams,
     vocab-closed bigrams); the pool is touched by ONE transition

@@ -918,50 +918,85 @@ class NBClassifierCorpus:
             )
         )
 
-    def ingest(self, batch, id_col: str, text_col: str, label_col: str) -> None:
-        """Fold a labeled batch into the model state."""
+    def _fold(self, batch, id_col: str, text_col: str, label_col: str,
+              sign: int) -> None:
+        """Fold a labeled batch's sufficient statistics into the state,
+        added (``sign=+1``, ingest) or subtracted (``sign=-1``,
+        retract). The batch featurize pass's checkpoint blocks are
+        TRACKED and retired together with the superseded state snapshot
+        once the merged counts/totals have materialized — the global
+        sweep is unsafe while this index is live, so nothing may leak
+        untracked blocks (ADVICE r9). On retract, bucket rows whose
+        counts return to (0, 0) are DROPPED: an unobserved bucket must
+        stay absent from the weight table (the inner score probe), so
+        ingest(A)+ingest(B)+retract(B) leaves state identical to
+        ingest(A)."""
         from fiat2_spark.operators.text import nb_counts
 
-        bc, bf, bd = nb_counts(batch, id_col, text_col, label_col, self.buckets)
+        scratch: list = []
+        bc, bf, bd = nb_counts(
+            batch, id_col, text_col, label_col, self.buckets, track=scratch
+        )
+        s = F.lit(sign)
         merged = (
             self.counts.withColumnRenamed("n_p", "p0").withColumnRenamed("n_n", "n0")
             .join(bc, "bucket", "full_outer")
             .select(
                 "bucket",
-                (F.coalesce("p0", F.lit(0)) + F.coalesce("n_p", F.lit(0)))
+                (F.coalesce("p0", F.lit(0)) + s * F.coalesce("n_p", F.lit(0)))
                 .cast("long").alias("n_p"),
-                (F.coalesce("n0", F.lit(0)) + F.coalesce("n_n", F.lit(0)))
+                (F.coalesce("n0", F.lit(0)) + s * F.coalesce("n_n", F.lit(0)))
                 .cast("long").alias("n_n"),
             )
+            .filter((F.col("n_p") != 0) | (F.col("n_n") != 0))
         )
         tot = self.totals.crossJoin(
             bf.withColumnsRenamed({"tot_p": "tp", "tot_n": "tn"})
         ).crossJoin(
             bd.withColumnsRenamed({"docs_p": "dp", "docs_n": "dn"})
         ).select(
-            (F.col("tot_p") + F.col("tp")).cast("long").alias("tot_p"),
-            (F.col("tot_n") + F.col("tn")).cast("long").alias("tot_n"),
-            (F.col("docs_p") + F.col("dp")).cast("long").alias("docs_p"),
-            (F.col("docs_n") + F.col("dn")).cast("long").alias("docs_n"),
+            (F.col("tot_p") + s * F.col("tp")).cast("long").alias("tot_p"),
+            (F.col("tot_n") + s * F.col("tn")).cast("long").alias("tot_n"),
+            (F.col("docs_p") + s * F.col("dp")).cast("long").alias("docs_p"),
+            (F.col("docs_n") + s * F.col("dn")).cast("long").alias("docs_n"),
         )
-        prev = self._blocks | self._tot_blocks
+        prev = self._blocks | self._tot_blocks | frozenset(scratch)
         self.counts, self._blocks = local_checkpoint_tracked(merged)
         self.totals, self._tot_blocks = local_checkpoint_tracked(tot)
         release_blocks(self.counts.sparkSession, prev)
+
+    def ingest(self, batch, id_col: str, text_col: str, label_col: str) -> None:
+        """Fold a labeled batch into the model state."""
+        self._fold(batch, id_col, text_col, label_col, +1)
+
+    def retract(self, batch, id_col: str, text_col: str, label_col: str) -> None:
+        """Remove a previously-ingested labeled batch from the model —
+        right-to-be-forgotten / corpus-retraction unlearning. Because
+        the state is the model's ADDITIVE sufficient statistics,
+        removal is exact subtraction: after ingest(A), ingest(B),
+        retract(B) the state (and therefore every score) is identical
+        to having ingested A alone (agreement-tested). The caller's
+        contract is that the batch was in fact ingested; retracting
+        unseen data would drive counts negative."""
+        self._fold(batch, id_col, text_col, label_col, -1)
 
     def score(self, batch, id_col: str, text_col: str):
         """(id, logit_q, pred) under the current accumulated model.
         With no training ingested yet, every doc scores the zero bias
         (pred False) — the weight table is empty by construction. The
         checkpointed state splits into trivial ftot/dtot broadcast
-        subtrees (block reads, no recomputation)."""
+        subtrees (block reads, no recomputation). The score-side
+        featurize runs UN-checkpointed (it appears exactly once in the
+        returned plan), so scoring leaves no resident blocks behind —
+        per-call block residency is zero for both ingest and score
+        (ADVICE r9; asserted in test_streaming)."""
         from fiat2_spark.operators.text import nb_score_from_counts
 
         return nb_score_from_counts(
             batch, self.counts,
             self.totals.select("tot_p", "tot_n"),
             self.totals.select("docs_p", "docs_n"),
-            id_col, text_col, self.buckets, self.quant,
+            id_col, text_col, self.buckets, self.quant, checkpoint=False,
         )
 
     def close(self) -> int:

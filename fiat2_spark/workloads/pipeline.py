@@ -3509,7 +3509,11 @@ def _bpe_merges_oracle(n_merges: int) -> str:
     count, a 1-row argmax (freq desc, lhs, rhs), and a non-regex
     replace of \\x01lhs\\x02\\x01rhs\\x02 — left-to-right non-overlapping
     in DuckDB's replace() exactly as in java.lang.String.replace, so
-    the oracle IS the algorithm, not an approximation."""
+    the oracle IS the algorithm, not an approximation. The rewrite is
+    a LEFT JOIN ON TRUE with a COALESCE fallback (ADVICE r9): when a
+    degenerate corpus runs out of pairs before n_merges, b{i} is empty
+    and v{i+1} must carry v{i} forward UNCHANGED — the engine's early
+    `break` — instead of an inner cross join emptying every later CTE."""
     parts = [_bpe_wf_sql()]
     for i in range(n_merges):
         parts.append(f"""
@@ -3517,11 +3521,12 @@ def _bpe_merges_oracle(n_merges: int) -> str:
     b{i} AS (SELECT {i + 1} AS step, lhs, rhs, freq FROM p{i}
              ORDER BY freq DESC, lhs, rhs LIMIT 1),
     v{i + 1} AS (
-      SELECT replace(wrapped,
-                     chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
-                     chr(1) || b.lhs || b.rhs || chr(2)) AS wrapped,
+      SELECT COALESCE(replace(wrapped,
+                              chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                              chr(1) || b.lhs || b.rhs || chr(2)),
+                      wrapped) AS wrapped,
              v{i}.freq AS freq
-      FROM v{i}, b{i} b
+      FROM v{i} LEFT JOIN b{i} b ON TRUE
     )""")
     union = "\n      UNION ALL ".join(f"SELECT * FROM b{i}" for i in range(n_merges))
     parts.append(f"""
@@ -3585,17 +3590,21 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     )
 """]
     for i in range(n_merges):
+        # LEFT JOIN ON TRUE + COALESCE: an empty argmax (pairs ran dry
+        # before n_merges) carries v{i} forward unchanged — the
+        # engine's early break (ADVICE r9), not an emptied cross join
         parts.append(f"""
     , p{i} AS {_bpe_pairs_sql(f"v{i}")},
     b{i} AS (SELECT lhs, rhs FROM p{i}
              ORDER BY freq DESC, lhs, rhs LIMIT 1),
     v{i + 1} AS (
       SELECT word,
-             replace(wrapped,
-                     chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
-                     chr(1) || b.lhs || b.rhs || chr(2)) AS wrapped,
+             COALESCE(replace(wrapped,
+                              chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                              chr(1) || b.lhs || b.rhs || chr(2)),
+                      wrapped) AS wrapped,
              v{i}.freq AS freq
-      FROM v{i}, b{i} b
+      FROM v{i} LEFT JOIN b{i} b ON TRUE
     )""")
     parts.append(f"""
     , enc AS (SELECT word,

@@ -812,3 +812,92 @@ def test_nb_classifier_corpus_empty_batch_is_identity(spark):
     corpus.close()
     assert None not in {v[0] for v in after.values()}, after
     assert before == after, f"\nbefore={before}\nafter={after}"
+
+
+def test_nb_classifier_corpus_retract_agreement(spark):
+    """retract(B) after ingest(A); ingest(B) must leave the model in
+    EXACTLY the ingest(A)-only state — additive sufficient statistics
+    make unlearning exact subtraction. Checked at both granularities:
+    the state relations themselves (counts rows equal, with no
+    lingering (0,0) bucket rows that would re-enter the weight table;
+    totals equal) and the scores (bitwise vs a corpus that only ever
+    saw A)."""
+    from fiat2_spark.streaming.maintenance import NBClassifierCorpus
+
+    rows = [
+        (0, "the spark engine runs the query plan", True),
+        (1, "spark shuffles partitions with hash joins", True),
+        (2, "buy cheap pills now best price deal", False),
+        (3, "click here win money now now now", False),
+        (4, "query plans broadcast small tables", True),
+        (5, "win best cheap price click pills", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    a, b = df.filter(F.col("doc_id") < 3), df.filter(F.col("doc_id") >= 3)
+    pool = spark.createDataFrame(
+        [(100, "the spark optimizer runs hash joins"),
+         (101, "cheap pills click now best deal"), (102, "")],
+        "doc_id long, text string",
+    )
+
+    both = NBClassifierCorpus(spark, buckets=64)
+    both.ingest(a, "doc_id", "text", "label")
+    both.ingest(b, "doc_id", "text", "label")
+    both.retract(b, "doc_id", "text", "label")
+
+    only_a = NBClassifierCorpus(spark, buckets=64)
+    only_a.ingest(a, "doc_id", "text", "label")
+
+    state = lambda c: (
+        sorted(map(tuple, c.counts.collect())),
+        sorted(map(tuple, c.totals.collect())),
+    )
+    assert state(both) == state(only_a)
+    scores = lambda c: {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in c.score(pool, "doc_id", "text").collect()
+    }
+    got, want = scores(both), scores(only_a)
+    # retract everything -> back to the untrained zero-bias state
+    both.retract(a, "doc_id", "text", "label")
+    empty_counts = both.counts.count()
+    zeroed = scores(both)
+    both.close(); only_a.close()
+    assert got == want, f"\ngot={got}\nwant={want}"
+    assert empty_counts == 0
+    assert zeroed == {100: (0, False), 101: (0, False), 102: (0, False)}
+
+
+def test_nb_classifier_corpus_zero_block_residency(spark):
+    """ADVICE r9: ingest() and score() must leave ZERO untracked
+    resident blocks — the featurize pass's checkpoint is tracked and
+    retired with the superseded state, and the score path skips its
+    checkpoint entirely. After any number of ingest/score cycles the
+    session's resident-RDD set is the pre-corpus baseline plus exactly
+    the tracked state blocks; close() restores the baseline."""
+    from fiat2_spark.streaming.maintenance import NBClassifierCorpus
+
+    def live_ids():
+        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+
+    train = spark.createDataFrame(
+        [(0, "the spark engine runs", True), (1, "buy cheap pills now", False),
+         (2, "query plans broadcast tables", True)],
+        "doc_id long, text string, label boolean",
+    )
+    pool = spark.createDataFrame(
+        [(100, "the spark engine"), (101, "cheap pills")],
+        "doc_id long, text string",
+    )
+    baseline = live_ids()
+    corpus = NBClassifierCorpus(spark, buckets=64)
+    for i in range(3):
+        corpus.ingest(train.filter(F.col("doc_id") == i), "doc_id", "text", "label")
+        corpus.score(pool, "doc_id", "text").collect()
+        tracked = corpus._blocks | corpus._tot_blocks
+        extra = live_ids() - baseline
+        assert extra == set(tracked), (
+            f"cycle {i}: untracked resident blocks {extra - set(tracked)}"
+        )
+    corpus.close()
+    assert live_ids() == baseline

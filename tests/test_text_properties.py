@@ -648,8 +648,9 @@ def test_doremi_weights_match_python_model(spark, pool, ref):
     """doremi_weights ≡ the exact Python model: integer columns
     (n_docs, n_trans, excess_q) bit-equal, weights within 1e-6 of the
     unrounded model (the one float the operator rounds), Σ weights ≈ 1
-    — covering empty-transition domains (λ = 0, e = escale) and the
-    OOV/backoff floor."""
+    — covering empty-transition domains (λ = 0, so e =
+    round(exp(-λ_max/quant)·escale), the softmax minimum; e = escale
+    only when λ_max = 0) and the OOV/backoff floor."""
     from fiat2_spark.operators.text import doremi_weights
 
     pool_t = {i: dt for i, dt in enumerate(pool)}
