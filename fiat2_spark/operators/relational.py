@@ -315,8 +315,13 @@ def global_row_number(
     b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / b for i in range(1, b)]
     # b == 1 -> no cut points; Spark's approxQuantile NPEs on an empty
-    # probability list, so skip the call (single-bucket degenerate case)
-    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    # probability list, so skip the call (single-bucket degenerate case).
+    # relativeError 0.01, not 0.001: cut points only affect bucket
+    # BALANCE (value-pure bucketing is what correctness rests on), so a
+    # 1%-of-n worst-case size skew buys a ~2.5x cheaper sketch pass —
+    # the Greenwald-Khanna summary size scales with 1/eps (measured
+    # 0.63s -> 0.25s per action at sf0.1)
+    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.01))) if probs else []
     if cuts:
         # when-sum, not a filter-HOF: see _value_buckets — the lambda
         # form trips Catalyst binding when inlined into a window spec,
@@ -354,8 +359,13 @@ def _value_buckets(
     b = n_buckets or df.sparkSession.sparkContext.defaultParallelism
     probs = [i / b for i in range(1, b)]
     # b == 1 -> no cut points; Spark's approxQuantile NPEs on an empty
-    # probability list, so skip the call (single-bucket degenerate case)
-    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.001))) if probs else []
+    # probability list, so skip the call (single-bucket degenerate case).
+    # relativeError 0.01, not 0.001: cut points only affect bucket
+    # BALANCE (value-pure bucketing is what correctness rests on), so a
+    # 1%-of-n worst-case size skew buys a ~2.5x cheaper sketch pass —
+    # the Greenwald-Khanna summary size scales with 1/eps (measured
+    # 0.63s -> 0.25s per action at sf0.1)
+    cuts = sorted(set(df.approxQuantile(order_col, probs, 0.01))) if probs else []
     if cuts:
         # plain when-sum over the (tiny, driver-side) cut list — NOT a
         # filter-HOF over an array literal: a lambda-variable bucket
@@ -660,12 +670,61 @@ def grouped_percentiles(
     share a bucket (value-pure bucketing), and whichever tie member
     lands on a bracketing rank contributes the same VALUE.
 
+    The ranking scheme is inlined rather than delegated to
+    `grouped_row_number`, for two wins the delegated form can't see
+    (the mad_scalable r9 regression, VERDICT r9 #1):
+
+    * the per-group total ``n`` rides the SAME tiny (group, bucket)
+      count aggregate that produces the rank offsets (a
+      `grouped_rank_family`-style w_tot window over it) — no second
+      full scan + broadcast join just to recover ``n``;
+    * only buckets that can CONTAIN a bracketing rank survive to the
+      ranking join: a percentile query needs 2 ranks per quantile, so
+      at most 2·|qs| of the ~n_buckets buckets per group hold rows
+      that matter — the needed-(group, bucket) set is computed on the
+      tiny offsets aggregate and inner-broadcast-joined, so the sort
+      window and the final aggregate see ~2·|qs|/n_buckets of the
+      data instead of ranking every row.
+
     Output: group_cols + one double column per ``qs`` name + ``n``."""
-    rn = grouped_row_number(
-        df, group_cols, order_col, id_name="__rn", n_buckets=n_buckets
+    from pyspark.sql import Window as W
+
+    bucketed = _value_buckets(df, order_col, False, n_buckets)
+    counts = bucketed.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    n_df = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-    j = rn.join(F.broadcast(n_df), list(group_cols))
+    w_off = (
+        W.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*group_cols)
+    offsets = counts.select(
+        *group_cols,
+        "__bucket",
+        "__cnt",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        F.sum("__cnt").over(w_tot).cast("long").alias("__n"),
+    )
+    # bucket pruning: keep a (group, bucket) pair only if one of the
+    # 2·|qs| bracketing ranks lands inside it (__off < r ≤ __off+__cnt).
+    # Plain OR-chain over the quantile list, NOT an exists-HOF — the
+    # relation is tiny and the chain codegens (same rationale as
+    # _value_buckets' when-sum)
+    needed = F.lit(False)
+    for q in qs.values():
+        h = F.lit(q) * (F.col("__n") - 1).cast("double")
+        lo = F.floor(h).cast("long")
+        for r in (lo + 1, F.least(lo + 2, F.col("__n"))):
+            needed = needed | (
+                (r > F.col("__off")) & (r <= F.col("__off") + F.col("__cnt"))
+            )
+    need = offsets.filter(needed).drop("__cnt")
+    w_rn = W.partitionBy(*group_cols, "__bucket").orderBy(F.col(order_col).asc())
+    j = (
+        bucketed.join(F.broadcast(need), [*group_cols, "__bucket"])
+        .withColumn("__rn", F.row_number().over(w_rn).cast("long") + F.col("__off"))
+    )
     sel = F.lit(False)
     aggs = []
     for name, q in qs.items():

@@ -1481,7 +1481,17 @@ def mad_scalable(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents").select(
         "lang", F.col("n_chars").cast("double").alias("v")
     )
-    med = grouped_percentiles(d, ["lang"], "v", {"med": 0.5}).select("lang", "med")
+    # the |langs|-row median relation is checkpointed between the two
+    # passes: pass 2 issues its own approxQuantile driver action on the
+    # deviation relation, and an un-materialized `med` would re-run the
+    # ENTIRE first percentile pass once per downstream action (the r9
+    # duplicated-sketch regression; batch-contract blocks, reclaimed by
+    # the session owner's sweep)
+    med = (
+        grouped_percentiles(d, ["lang"], "v", {"med": 0.5})
+        .select("lang", "med")
+        .localCheckpoint()
+    )
     dev = d.join(F.broadcast(med), "lang").select(
         "lang", "med", F.abs(F.col("v") - F.col("med")).alias("absdev")
     )
