@@ -152,6 +152,9 @@ HEADLINE = [
     "bpe_pair_counts",              # BPE first-iteration pair counts
     "bpe_merges",                   # BPE 8-merge learner, vocab-sized iterations
     "bpe_encode",                   # apply_bpe: chained-replace vocab, per-doc counts
+    # round-10 additions
+    "bpe_encode_ids",               # order-preserving encode: real token-ID sequences
+    "pipeline_tokenize_pack",       # learn -> encode_ids -> 512-token context packing
 ]
 
 

@@ -1404,7 +1404,7 @@ def bpe_pair_counts(df, text_col: str, top_k: int = 32):
     )
 
 
-def bpe_learn(df, text_col: str, n_merges: int):
+def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8):
     """Learn ``n_merges`` BPE merges over a corpus (Sennrich et al.
     2016 `learn_bpe`): repeatedly take the highest-frequency adjacent
     symbol pair (ties: lexicographic on (lhs, rhs)) and merge it
@@ -1413,14 +1413,21 @@ def bpe_learn(df, text_col: str, n_merges: int):
     Iterative by nature (each argmax depends on the previous rewrite),
     so the loop runs on the driver — but every iteration's job touches
     only the VOCAB-sized (wrapped, freq) relation: a pair count + a
-    1-row TakeOrdered + a string replace, localCheckpoint-truncated so
-    lineage stays flat. The corpus is read exactly once (the
-    `bpe_word_table` aggregation). Returns (words, merges) where
-    merges is [(step, lhs, rhs, freq)] and words is the final
-    symbolized vocab."""
+    1-row TakeOrdered + a string replace. Lineage is truncated with a
+    localCheckpoint every ``checkpoint_every`` merges rather than every
+    merge: each deferred step is ONE codegen'd string replace on a
+    vocab-sized relation (re-running ≤ checkpoint_every−1 of them
+    inside the next argmax job is cheap), while an eager checkpoint is
+    a full materialization JOB per merge — at a real tokenizer's ~30k
+    merges the per-merge checkpoint dominates the loop, and lineage
+    must still be bounded, hence the stride. The corpus is read exactly
+    once (the `bpe_word_table` aggregation). Returns (words, merges)
+    where merges is [(step, lhs, rhs, freq)] and words is the final
+    symbolized vocab (always checkpoint-materialized)."""
     spark = df.sparkSession
     words = bpe_word_table(df, text_col).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
+    pending = 0
     for step in range(1, n_merges + 1):
         top = (
             bpe_pair_stats(words)
@@ -1436,7 +1443,13 @@ def bpe_learn(df, text_col: str, n_merges: int):
         repl = BPE_LB + lhs + rhs + BPE_RB
         words = words.withColumn(
             "wrapped", F.replace(F.col("wrapped"), F.lit(pattern), F.lit(repl))
-        ).localCheckpoint()
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            words = words.localCheckpoint()
+            pending = 0
+    if pending:
+        words = words.localCheckpoint()
     mdf = spark.createDataFrame(
         merges, "step int, lhs string, rhs string, freq bigint"
     )
@@ -1481,5 +1494,86 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_sym").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
+    """ORDER-PRESERVING BPE encode — the real tokenize endpoint
+    (Sennrich et al. 2016 `apply_bpe` emitting input_ids, not counts):
+    every document becomes its token-ID SEQUENCE (id, pos, token_id)
+    with pos the 1-based position in the document's BPE token stream,
+    ready to feed `pack_sequences`-style context packing. Reference
+    analog: the §2.2/§2.7 ordered proj surface (Interpret.v:467-490).
+
+    Construction (everything model-sized except two corpus explodes):
+
+    1. the merge chain — one codegen'd projection of ``len(merges)``
+       non-regex replaces — runs on the DISTINCT word relation, giving
+       each word its encoded symbol ARRAY (`bpe_symbols`); the relation
+       is localCheckpointed because it feeds both the vocab and the
+       probe (batch block contract);
+    2. token ids are dense ranks over the DISTINCT encoded symbols in
+       lexicographic order — a row_number over the MODEL-sized symbol
+       set (single-partition by construction and intent: a tokenizer
+       vocab is ≤ ~1e5 rows at any corpus scale), broadcast to the
+       stream;
+    3. the corpus contributes one posexplode to (doc, word_idx, word),
+       an AQE-sized join against the word→symbols relation (broadcast
+       when the vocab fits, word-co-partitioned hash join when a
+       100 TB heavy-tail vocab doesn't — deliberately un-hinted, same
+       rationale as `bpe_encode`), then a second posexplode to symbol
+       granularity;
+    4. positions are ARITHMETIC, not a symbol-level ranking: a
+       doc-partitioned running sum of per-word symbol counts over the
+       WORD stream gives each word its exclusive in-doc prefix, and
+       pos = prefix + sym_idx + 1 — the only window runs on the
+       ~5×-smaller word relation, and nothing ever ranks the full
+       symbol stream (millions of tiny doc partitions either way; no
+       global window touches the corpus).
+
+    Documents with zero tokens are absent (nothing to encode — the
+    `bpe_encode` contract, mirrored by the oracle)."""
+    from pyspark.sql import Window as W
+
+    wrapped = bpe_symbolize(F.col("word"))
+    for lhs, rhs in merges:
+        wrapped = F.replace(
+            wrapped,
+            F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
+            F.lit(BPE_LB + lhs + rhs + BPE_RB),
+        )
+    enc = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .distinct()
+        .select("word", bpe_symbols(wrapped).alias("syms"))
+        .localCheckpoint()
+    )
+    vocab_ids = (
+        enc.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            F.row_number().over(W.orderBy("sym")).cast("long"),
+        )
+    )
+    dt = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("word_idx", "word")
+    )
+    w = W.partitionBy(id_col).orderBy("word_idx")
+    dw = (
+        dt.join(enc, "word")
+        .withColumn("__nsym", F.size("syms").cast("long"))
+        .withColumn("__wpre", F.sum("__nsym").over(w) - F.col("__nsym"))
+    )
+    ds = dw.select(
+        id_col, "__wpre", F.posexplode("syms").alias("sym_idx", "sym")
+    )
+    return (
+        ds.join(F.broadcast(vocab_ids), "sym")
+        .select(
+            F.col(id_col),
+            (F.col("__wpre") + F.col("sym_idx") + 1).cast("long").alias("pos"),
+            "token_id",
         )
     )

@@ -739,3 +739,51 @@ def test_bpe_encode_matches_python_model(spark, docs):
         if ws:
             want[i] = (len(ws), sum(n_sym[w] for w in ws))
     assert got == want, f"\ndocs={docs}\nmerges={merges}\ngot={got}\nwant={want}"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="ab", min_size=1, max_size=5),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_bpe_encode_ids_matches_python_model(spark, docs):
+    """bpe_encode_ids ≡ the exact Python model at SEQUENCE granularity:
+    every document's full ordered token-ID stream matches — positions
+    are the arithmetic word-prefix + in-word symbol index, ids are
+    dense lexicographic ranks over the encoded vocab's distinct
+    symbols. The 2-letter alphabet forces overlap runs and tie merges,
+    the regimes where ordering actually decides the answer."""
+    from fiat2_spark.operators.text import bpe_encode_ids, bpe_learn
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    _, mdf = bpe_learn(df, "text", n_merges=8)
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
+    got: dict[int, list[int]] = {}
+    for r in bpe_encode_ids(df, "doc_id", "text", merges).collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["token_id"]))
+    got = {d: [tid for _, tid in sorted(v)] for d, v in got.items()}
+    # positions must be exactly 1..n per doc (the sorted() above hides
+    # gaps/dups unless asserted)
+    for r in bpe_encode_ids(df, "doc_id", "text", merges) \
+            .groupBy("doc_id") \
+            .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"),
+                 F.max("pos").alias("hi"),
+                 F.countDistinct("pos").alias("d")).collect():
+        assert (r["lo"], r["hi"], r["d"]) == (1, r["n"], r["n"]), r
+
+    _, want_vocab = _py_bpe([w for t in docs for w in t.split()], 8)
+    syms_of = {w: syms for w, (syms, _) in want_vocab.items()}
+    all_syms = sorted({s for syms in syms_of.values() for s in syms})
+    sym_id = {s: i + 1 for i, s in enumerate(all_syms)}
+    want = {}
+    for i, t in enumerate(docs):
+        ws = t.split()
+        if ws:
+            want[i] = [sym_id[s] for w in ws for s in syms_of[w]]
+    assert got == want, f"\ndocs={docs}\nmerges={merges}\ngot={got}\nwant={want}"
