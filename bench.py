@@ -155,6 +155,7 @@ HEADLINE = [
     # round-10 additions
     "bpe_encode_ids",               # order-preserving encode: real token-ID sequences
     "pipeline_tokenize_pack",       # learn -> encode_ids -> 512-token context packing
+    "doremi_trajectory",            # Algorithm 1: T rounds, trajectory-averaged mixture
 ]
 
 

@@ -1204,6 +1204,60 @@ def doremi_weights(
     K = #domains); everything after is K-row arithmetic. No corpus
     shuffle, no window. Returns
     (domain, n_docs, n_trans, excess_q, weight)."""
+    per = _doremi_domain_stats(
+        pool, ref, id_col, text_col, domain_col,
+        vocab_size, quant, alpha_num, alpha_den,
+    )
+    # λ quantized to integer quant-units per transition, then softmax-
+    # stabilized by the max BEFORE the exp: e_k = round(exp(η·(λ_k −
+    # λ_max))·escale) ≤ escale, so e never overflows BIGINT no matter
+    # how large the excess loss grows (un-shifted, λ > ~22.9 nats
+    # would); the shift cancels in the normalization, and both the
+    # oracle and the Python model mirror the identical quantize+shift.
+    lam_max = per.agg(F.max("lamq").alias("lam_max"))
+    per = per.crossJoin(F.broadcast(lam_max)).withColumn(
+        "e",
+        F.round(
+            F.exp(
+                ((F.col("lamq") - F.col("lam_max")) * eta_num).cast("double")
+                / F.lit(float(quant * eta_den))
+            )
+            * escale
+        ).cast("long"),
+    )
+    norm = per.agg(
+        F.sum("e").alias("e_sum"), F.count(F.lit(1)).alias("k_dom")
+    )
+    return (
+        per.crossJoin(F.broadcast(norm))
+        .select(
+            "domain", "n_docs", "n_trans", "excess_q",
+            F.round(
+                (F.col("e") * (smooth_den - smooth_num)).cast("double")
+                / (F.col("e_sum") * smooth_den).cast("double")
+                + F.lit(smooth_num).cast("double")
+                / (F.col("k_dom") * smooth_den).cast("double"),
+                6,
+            ).alias("weight"),
+        )
+    )
+
+
+def _doremi_domain_stats(
+    pool, ref, id_col: str, text_col: str, domain_col: str,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5,
+):
+    """The shared DoReMi corpus pass: per-domain excess-loss statistics
+    (domain, n_docs, n_trans, excess_q, lamq) with lamq the quantized
+    integer mean excess per transition (0 for domains with no scorable
+    transition, never NULL). The LM pair is `lm_perplexity`'s exact
+    construction (add-1 unigram baseline vs vocab-closed bigram with
+    stupid backoff, both fit on ``ref``); the pool contributes ONE
+    transition explode with the domain riding the explode itself —
+    no corpus-keyed join back. `doremi_weights` (one step) and
+    `doremi_weights_trajectory` (Algorithm 1's T rounds) both start
+    here, so the expensive pass is defined once."""
     spark = pool.sparkSession
 
     # fit on ref — lm_perplexity's construction (one unigram pass
@@ -1286,43 +1340,103 @@ def doremi_weights(
         F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
         F.coalesce("excess_q", F.lit(0)).cast("long").alias("excess_q"),
     )
-    # λ quantized to integer quant-units per transition, then softmax-
-    # stabilized by the max BEFORE the exp: e_k = round(exp(η·(λ_k −
-    # λ_max))·escale) ≤ escale, so e never overflows BIGINT no matter
-    # how large the excess loss grows (un-shifted, λ > ~22.9 nats
-    # would); the shift cancels in the normalization, and both the
-    # oracle and the Python model mirror the identical quantize+shift.
+    # λ quantized to integer quant-units per transition — 0, never
+    # NULL, for domains with no scorable transition
     lamq = F.when(
         F.col("n_trans") > 0,
         F.round(F.col("excess_q") / F.col("n_trans").cast("double")).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    per = per.withColumn("lamq", lamq)
+    return per.withColumn("lamq", lamq)
+
+
+def doremi_weights_trajectory(
+    pool, ref, id_col: str, text_col: str, domain_col: str,
+    rounds: int = 5,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5,
+    eta_num: int = 1, eta_den: int = 1,
+    smooth_num: int = 1, smooth_den: int = 100,
+    escale: int = 10**6, ascale: int = 10**9,
+):
+    """Multi-round DoReMi (Xie et al. 2023 Algorithm 1): iterate the
+    Group-DRO multiplicative-weights update T times and return the
+    TRAJECTORY-AVERAGED mixture ᾱ = (1/T)·Σ_t α_t — the paper's actual
+    output (a single step is `doremi_weights`; averaging over the
+    trajectory is what damps the oscillation of exponentiated-gradient
+    updates). With this instantiation's STATIC per-domain excess loss
+    (the proxy/reference LM pair is fixed, not retrained per round),
+    round t's pre-smoothing mass compounds as α_{t-1}·exp(η·λ) — but
+    the per-round smoothing re-mixes toward uniform, so the trajectory
+    is a genuine iteration, not a closed form.
+
+    Integer discipline (the engine/oracle parity contract): α is
+    fixed-point in units of 1/ascale (a_k ≤ ascale always, since the
+    update is a convex combination scaled by ascale), the
+    multiplicative factor e_k = round(exp(η·(λ_k−λ_max)/quant)·escale)
+    ≤ escale = 10⁶ is quantized ONCE (λ static → e static), so the
+    per-round mass m_k = a_k·e_k ≤ 10¹⁵ and Σm ≤ K·10¹⁵ stay exact
+    BIGINTs; the only floats are one division pair per round with a
+    pinned evaluation order ((m·w1)/Σm + w2/(K·sd)) that Spark and
+    DuckDB both execute as written, immediately re-quantized to a_k.
+    smooth_den must divide ascale·(smooth_den−smooth_num) and
+    ascale·smooth_num so w1/w2 are exact integer literals (asserted;
+    the defaults give w1 = 99·10⁷, w2 = 10⁹).
+
+    Scale: the corpus pass (`_doremi_domain_stats`) is shared and runs
+    ONCE; each round is a K-row job (sum + crossJoin + arithmetic),
+    localCheckpoint-truncated so the T-round lineage stays flat.
+    Returns (domain, n_docs, n_trans, excess_q, weight), Σ weight ≈ 1."""
+    w1, r1 = divmod(ascale * (smooth_den - smooth_num), smooth_den)
+    w2 = ascale * smooth_num
+    assert r1 == 0, "smooth_den must divide ascale*(smooth_den-smooth_num)"
+    per = _doremi_domain_stats(
+        pool, ref, id_col, text_col, domain_col,
+        vocab_size, quant, alpha_num, alpha_den,
+    )
     lam_max = per.agg(F.max("lamq").alias("lam_max"))
-    per = per.crossJoin(F.broadcast(lam_max)).withColumn(
-        "e",
-        F.round(
-            F.exp(
-                ((F.col("lamq") - F.col("lam_max")) * eta_num).cast("double")
-                / F.lit(float(quant * eta_den))
-            )
-            * escale
-        ).cast("long"),
-    )
-    norm = per.agg(
-        F.sum("e").alias("e_sum"), F.count(F.lit(1)).alias("k_dom")
-    )
-    return (
-        per.crossJoin(F.broadcast(norm))
-        .select(
-            "domain", "n_docs", "n_trans", "excess_q",
+    k_df = per.agg(F.count(F.lit(1)).alias("k_dom"))
+    cur = (
+        per.crossJoin(F.broadcast(lam_max))
+        .crossJoin(F.broadcast(k_df))
+        .withColumn(
+            "e",
             F.round(
-                (F.col("e") * (smooth_den - smooth_num)).cast("double")
-                / (F.col("e_sum") * smooth_den).cast("double")
-                + F.lit(smooth_num).cast("double")
-                / (F.col("k_dom") * smooth_den).cast("double"),
-                6,
-            ).alias("weight"),
+                F.exp(
+                    ((F.col("lamq") - F.col("lam_max")) * eta_num).cast("double")
+                    / F.lit(float(quant * eta_den))
+                )
+                * escale
+            ).cast("long"),
         )
+        .withColumn(
+            "a",
+            F.round(F.lit(float(ascale)) / F.col("k_dom")).cast("long"),
+        )
+        .withColumn("asum", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    for _t in range(rounds):
+        cur = cur.withColumn("m", F.col("a") * F.col("e"))
+        msum = cur.agg(F.sum("m").alias("m_sum"))
+        a_new = F.round(
+            F.col("m").cast("double")
+            * F.lit(float(w1))
+            / F.col("m_sum").cast("double")
+            + F.lit(float(w2))
+            / (F.col("k_dom") * F.lit(smooth_den)).cast("double")
+        ).cast("long")
+        cur = (
+            cur.crossJoin(F.broadcast(msum))
+            .withColumn("a", a_new)
+            .withColumn("asum", F.col("asum") + F.col("a"))
+            .drop("m", "m_sum")
+            .localCheckpoint()
+        )
+    return cur.select(
+        "domain", "n_docs", "n_trans", "excess_q",
+        F.round(
+            F.col("asum").cast("double") / F.lit(float(rounds * ascale)), 6
+        ).alias("weight"),
     )
 
 

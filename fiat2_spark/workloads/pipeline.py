@@ -3410,7 +3410,10 @@ def budget_select(spark, sf_dir):
     ).select("doc_id", "logit_q", F.col("ntok").cast("long").alias("ntok"), "cum_tokens")
 
 
-_DOREMI_ORACLE = _LM_CTES + """
+# per-domain excess-loss stats through `pl` (lamq) and the softmax
+# shift `mx` — the CTE mirror of operators/text.py:_doremi_domain_stats,
+# shared by the one-step and trajectory oracles
+_DOREMI_STATS_CTES = """
     , qU AS (SELECT d.w,
                     CAST(round(-ln(CAST(COALESCE(c1.n1, 0) + 1 AS DOUBLE)
                                    / (tot.n_tot + 1025)) * 10000) AS BIGINT) AS q_uni
@@ -3442,8 +3445,11 @@ _DOREMI_ORACLE = _LM_CTES + """
                   ELSE CAST(0 AS BIGINT) END AS lamq
       FROM per
     ),
-    mx AS (SELECT MAX(lamq) AS lam_max FROM pl),
-    pe AS (
+    mx AS (SELECT MAX(lamq) AS lam_max FROM pl)
+"""
+
+_DOREMI_ORACLE = _LM_CTES + _DOREMI_STATS_CTES + """
+    , pe AS (
       SELECT pl.*,
              CAST(round(exp(CAST((lamq - mx.lam_max) * 1 AS DOUBLE)
                             / (10000.0 * 1)) * 1000000000) AS BIGINT) AS e
@@ -3455,6 +3461,56 @@ _DOREMI_ORACLE = _LM_CTES + """
                  + CAST(1 AS DOUBLE) / (nrm.k_dom * 100), 6) AS weight
     FROM pe, nrm
 """
+
+
+def _doremi_trajectory_oracle(
+    rounds: int, escale: int = 10**6, ascale: int = 10**9,
+    smooth_num: int = 1, smooth_den: int = 100,
+) -> str:
+    """Xie et al. 2023 Algorithm 1 unrolled to SQL: the shared
+    excess-loss stats, ONE quantized exp per domain (λ static, so the
+    multiplicative factor e is fixed across rounds), then per round a
+    mass CTE, a 1-row Σm, and the convex-combination update — every
+    intermediate a BIGINT, the only doubles the same pinned-order
+    division pair the Spark side evaluates (see
+    operators/text.py:doremi_weights_trajectory)."""
+    w1 = ascale * (smooth_den - smooth_num) // smooth_den
+    w2 = ascale * smooth_num
+    # round CTEs are t-prefixed (tm/ts/tn/ta): _LM_CTES already owns
+    # the bare m1/c1/... namespace
+    parts = [_LM_CTES + _DOREMI_STATS_CTES + f"""
+    , tr AS (
+      SELECT pl.*,
+             CAST(round(exp(CAST((lamq - mx.lam_max) * 1 AS DOUBLE)
+                            / (10000.0 * 1)) * {escale}) AS BIGINT) AS e
+      FROM pl, mx
+    ),
+    kk AS (SELECT COUNT(*) AS k_dom FROM tr),
+    ta0 AS (SELECT tr.*, kk.k_dom,
+            CAST(round(CAST({ascale} AS DOUBLE) / kk.k_dom) AS BIGINT) AS a,
+            CAST(0 AS BIGINT) AS asum
+            FROM tr, kk)
+"""]
+    for i in range(rounds):
+        parts.append(f"""
+    , tm{i} AS (SELECT domain, n_docs, n_trans, excess_q, lamq, e, k_dom, asum,
+                       CAST(a * e AS BIGINT) AS m
+                FROM ta{i}),
+    ts{i} AS (SELECT CAST(SUM(m) AS BIGINT) AS m_sum FROM tm{i}),
+    tn{i} AS (SELECT tm{i}.*,
+                     CAST(round(CAST(m AS DOUBLE) * {w1} / CAST(s.m_sum AS DOUBLE)
+                                + CAST({w2} AS DOUBLE)
+                                  / CAST(k_dom * {smooth_den} AS DOUBLE)) AS BIGINT) AS a
+              FROM tm{i}, ts{i} s),
+    ta{i + 1} AS (SELECT domain, n_docs, n_trans, excess_q, lamq, e, k_dom, a,
+                         CAST(asum + a AS BIGINT) AS asum
+                  FROM tn{i})""")
+    parts.append(f"""
+    SELECT domain, n_docs, n_trans, excess_q,
+           round(CAST(asum AS DOUBLE) / {float(rounds * ascale)}, 6) AS weight
+    FROM ta{rounds}
+""")
+    return "".join(parts)
 
 
 @q("doremi_reweight", _DOREMI_ORACLE)
@@ -3475,6 +3531,25 @@ def doremi_reweight(spark, sf_dir):
         d.filter(F.col("source") == "src0"),
         "doc_id", "text", "source",
         vocab_size=1024, quant=10_000,
+    )
+
+
+@q("doremi_trajectory", _doremi_trajectory_oracle(5))
+def doremi_trajectory(spark, sf_dir):
+    """Multi-round DoReMi (Xie et al. 2023 Algorithm 1): five
+    multiplicative-weights rounds over the pool's 19 source domains
+    with the TRAJECTORY-AVERAGED mixture as output — the paper's
+    actual endpoint, where `doremi_reweight` is the single step. The
+    excess-loss corpus pass is shared and runs once; every round is a
+    K-row job with exact-BIGINT masses and one pinned-order division
+    pair (see operators/text.py:doremi_weights_trajectory); the oracle
+    unrolls the same five rounds as CTEs."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.doremi_weights_trajectory(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", "source",
+        rounds=5, vocab_size=1024, quant=10_000,
     )
 
 

@@ -627,6 +627,49 @@ def _py_doremi(pool: dict[int, tuple[str, str]], ref: dict[int, str],
     }
 
 
+def _py_doremi_trajectory(pool, ref, rounds: int = 3,
+                          vocab_size: int = 4, quant: int = 10_000,
+                          smooth_num: int = 1, smooth_den: int = 100,
+                          escale: int = 10**6, ascale: int = 10**9):
+    """Exact Python mirror of `doremi_weights_trajectory`: the shared
+    `_py_doremi` stats + fixed quantized e, then T integer-fixed-point
+    multiplicative-weights rounds with the SAME pinned-order float
+    division pair the engines evaluate, trajectory-averaged."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def q_round(x: float, scale: int = 1) -> int:
+        return int(Decimal(x * scale).quantize(Decimal(1), ROUND_HALF_UP))
+
+    stats = _py_doremi(pool, ref, vocab_size=vocab_size, quant=quant,
+                       smooth_num=smooth_num, smooth_den=smooth_den)
+    # recompute lamq/e at the trajectory's escale from the returned
+    # integer stats (bit-equal to the engine's by the _py_doremi test)
+    lamq = {d: (q_round(x[2] / x[1]) if x[1] > 0 else 0)
+            for d, x in stats.items()}
+    lam_max = max(lamq.values())
+    e = {d: q_round(math.exp((lamq[d] - lam_max) / quant), escale)
+         for d in stats}
+    k = len(stats)
+    w1 = ascale * (smooth_den - smooth_num) // smooth_den
+    w2 = ascale * smooth_num
+    a = {d: q_round(float(ascale) / k) for d in stats}
+    asum = {d: 0 for d in stats}
+    for _t in range(rounds):
+        m = {d: a[d] * e[d] for d in stats}
+        m_sum = sum(m.values())
+        a = {d: q_round(float(m[d]) * float(w1) / float(m_sum)
+                        + float(w2) / float(k * smooth_den))
+             for d in stats}
+        for d in stats:
+            asum[d] += a[d]
+    return {
+        d: (x[0], x[1], x[2],
+            q_round(float(asum[d]) / float(rounds * ascale), 10**6) / 10**6)
+        for d, x in stats.items()
+    }
+
+
 @settings(max_examples=5, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
 @given(
@@ -787,3 +830,82 @@ def test_bpe_encode_ids_matches_python_model(spark, docs):
         if ws:
             want[i] = [sym_id[s] for w in ws for s in syms_of[w]]
     assert got == want, f"\ndocs={docs}\nmerges={merges}\ngot={got}\nwant={want}"
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    pool=st.lists(
+        st.tuples(
+            st.sampled_from(["news", "web", "code"]),
+            st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                     min_size=0, max_size=6).map(" ".join),
+        ),
+        min_size=1, max_size=8,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=1, max_size=8).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_doremi_trajectory_matches_python_model(spark, pool, ref):
+    """doremi_weights_trajectory ≡ the exact Python model over 3
+    rounds: integer stats bit-equal, trajectory-averaged weights within
+    1e-6 (one quantized exp per domain is the only libm site; every
+    round's fixed-point update mirrors bit-for-bit), Σ weights ≈ 1."""
+    from fiat2_spark.operators.text import doremi_weights_trajectory
+
+    pool_t = {i: dt for i, dt in enumerate(pool)}
+    ref_t = {100 + i: t for i, t in enumerate(ref)}
+    pdf = spark.createDataFrame(
+        [(i, d, t) for i, (d, t) in pool_t.items()],
+        "doc_id long, source string, text string",
+    )
+    rdf = spark.createDataFrame(
+        [(i, "ref", t) for i, t in ref_t.items()],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["n_trans"], r["excess_q"], r["weight"])
+        for r in doremi_weights_trajectory(
+            pdf, rdf, "doc_id", "text", "source", rounds=3, vocab_size=4
+        ).collect()
+    }
+    want = _py_doremi_trajectory(pool_t, ref_t, rounds=3, vocab_size=4)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][:3] == want[d][:3], f"\n{d}\ngot={got[d]}\nwant={want[d]}"
+        assert abs(got[d][3] - want[d][3]) <= 1e-6, f"\n{d}\ngot={got[d]}\nwant={want[d]}"
+    assert abs(sum(v[3] for v in got.values()) - 1.0) <= 1e-5 * max(len(got), 1)
+
+
+def test_doremi_trajectory_single_round_reduces_to_one_step(spark):
+    """With T=1 the trajectory average IS the single update from
+    uniform — directionally identical to `doremi_weights` (the learnable
+    domain outweighs the salad domain), and repeated rounds sharpen
+    monotonically: weight_seen(T=4) ≥ weight_seen(T=1)."""
+    from fiat2_spark.operators.text import doremi_weights_trajectory
+
+    ref = spark.createDataFrame(
+        [(100 + i, "ref", "the spark engine runs the query plan") for i in range(4)],
+        "doc_id long, dom string, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "seen", "the spark engine runs the query plan"),
+            (2, "salad", "plan runs the spark query engine plan the runs"),
+        ],
+        "doc_id long, dom string, text string",
+    )
+    w = {}
+    for t in (1, 4):
+        rows = {
+            r["domain"]: r["weight"]
+            for r in doremi_weights_trajectory(
+                pool, ref, "doc_id", "text", "dom", rounds=t, vocab_size=16
+            ).collect()
+        }
+        assert rows["seen"] > rows["salad"], (t, rows)
+        w[t] = rows["seen"]
+    assert w[4] >= w[1], w
