@@ -156,6 +156,7 @@ HEADLINE = [
     "bpe_encode_ids",               # order-preserving encode: real token-ID sequences
     "pipeline_tokenize_pack",       # learn -> encode_ids -> 512-token context packing
     "doremi_trajectory",            # Algorithm 1: T rounds, trajectory-averaged mixture
+    "text_unicode_pipeline",        # \p{L}\p{N} tokenizer contract: langid + BPE composed
 ]
 
 

@@ -111,8 +111,37 @@ TRIGRAM_PROFILES = {lang: _trigram_profile(lang) for lang in LANGS}
 
 def tokens(text: Column) -> Column:
     """Whitespace/punctuation tokenizer: lowercase, split on non-alnum,
-    drop empties. The shared primitive for every operator below."""
+    drop empties. The shared primitive for every operator below.
+
+    TOKENIZER CONTRACT (which operators accept which tokenizer):
+    this ASCII ``[a-z0-9]+`` contract is the corpus-wide default —
+    every operator that tokenizes INTERNALLY (DSIR, the NB classifier,
+    `lm_perplexity`/`doremi_*`, `ngram_strings`, the quality/repetition
+    scorers) is fit AND scored through it, so their engine/oracle/
+    Python-model triples stay aligned. Multilingual corpora use
+    `tokens_unicode` instead: operators that take a TOKEN COLUMN
+    (`lang_scores`, `stopword_ratio`, `token_count`, `repetition_stats`)
+    compose with either tokenizer unchanged, and the BPE family
+    (`bpe_word_table` / `bpe_pair_counts` / `bpe_learn` / `bpe_encode`
+    / `bpe_encode_ids`) accepts ``tokenizer=`` explicitly. Mixing
+    tokenizers across a fit/score pair is a contract violation —
+    pick one per pipeline."""
     raw = F.split(F.lower(text), "[^a-z0-9]+")
+    return F.filter(raw, lambda t: t != "")
+
+
+def tokens_unicode(text: Column) -> Column:
+    """Unicode tokenizer: lowercase, split on any run of characters
+    outside the Unicode letter/number classes (``[^\\p{L}\\p{N}]+``),
+    drop empties — the multilingual twin of `tokens`, keeping accented
+    and non-Latin words (für, été, привет) the ASCII contract would
+    shred into fragments. Java regex and DuckDB's RE2 both implement
+    the \\p{L}/\\p{N} general categories, and both engines' lower() is
+    Unicode-aware, so the DuckDB oracle splits identically
+    (differential-tested on crafted non-ASCII rows). BMP scope: BPE's
+    per-character symbolize matches one UTF-16 code unit in Java, so
+    supplementary-plane text (emoji) is outside the BPE contract."""
+    raw = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
 
 
@@ -1447,7 +1476,8 @@ def doremi_weights_trajectory(
 # \x01l\x02\x01r\x02 with \x01lr\x02 — left-to-right non-overlapping in
 # Spark (java.lang.String.replace), DuckDB (replace), and Python
 # (str.replace) alike, which is exactly BPE's within-word merge rule.
-# Tokens are [a-z0-9]+ by the shared tokenizer contract, so the
+# Tokens are [a-z0-9]+ (or \p{L}\p{N}+ under `tokens_unicode`) by the
+# tokenizer contract — never control chars or '<'/'/'/'>' — so the
 # wrappers and the '</w>' end marker can never collide with symbol text.
 BPE_LB = "\x01"
 BPE_RB = "\x02"
@@ -1472,15 +1502,16 @@ def bpe_symbols(wrapped: Column) -> Column:
     )
 
 
-def bpe_word_table(df, text_col: str):
+def bpe_word_table(df, text_col: str, tokenizer=tokens):
     """(wrapped, freq): the word-frequency relation BPE learning runs
     on. One tokenize+explode pass over the corpus, then a vocab-sized
     groupBy — every subsequent merge iteration touches ONLY this
     model-sized relation, never the corpus again (the property that
     makes distributed BPE tractable at 100 TB: the corpus contributes
-    one aggregation pass, the merge loop is vocabulary-work)."""
+    one aggregation pass, the merge loop is vocabulary-work).
+    ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode`."""
     return (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(bpe_symbolize(F.col("word")).alias("wrapped"), "freq")
@@ -1506,19 +1537,20 @@ def bpe_pair_stats(words):
     )
 
 
-def bpe_pair_counts(df, text_col: str, top_k: int = 32):
+def bpe_pair_counts(df, text_col: str, top_k: int = 32, tokenizer=tokens):
     """Top-k first-iteration BPE pair counts over a corpus (count
     desc, then lexicographic — the deterministic tie-break
     `bpe_learn` merges by). TakeOrderedAndProject over the vocab-sized
     pair relation."""
     return (
-        bpe_pair_stats(bpe_word_table(df, text_col))
+        bpe_pair_stats(bpe_word_table(df, text_col, tokenizer))
         .orderBy(F.desc("freq"), "lhs", "rhs")
         .limit(top_k)
     )
 
 
-def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8):
+def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8,
+              tokenizer=tokens):
     """Learn ``n_merges`` BPE merges over a corpus (Sennrich et al.
     2016 `learn_bpe`): repeatedly take the highest-frequency adjacent
     symbol pair (ties: lexicographic on (lhs, rhs)) and merge it
@@ -1539,7 +1571,7 @@ def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8):
     where merges is [(step, lhs, rhs, freq)] and words is the final
     symbolized vocab (always checkpoint-materialized)."""
     spark = df.sparkSession
-    words = bpe_word_table(df, text_col).localCheckpoint()
+    words = bpe_word_table(df, text_col, tokenizer).localCheckpoint()
     merges: list[tuple[int, str, str, int]] = []
     pending = 0
     for step in range(1, n_merges + 1):
@@ -1570,7 +1602,8 @@ def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8):
     return words, mdf
 
 
-def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
+def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
+               tokenizer=tokens):
     """Apply learned BPE merges to a corpus (Sennrich et al. 2016
     `apply_bpe`): each word's symbol string gets every merge's replace
     IN LEARNED ORDER — one chained codegen'd projection of
@@ -1597,12 +1630,12 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
             F.lit(BPE_LB + lhs + rhs + BPE_RB),
         )
     toks_per_word = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
         .distinct()
         .select("word", F.size(bpe_symbols(wrapped)).alias("n_sym"))
     )
     return (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.col(id_col), F.explode(tokenizer(F.col(text_col))).alias("word"))
         .join(toks_per_word, "word")
         .groupBy(id_col)
         .agg(
@@ -1612,7 +1645,8 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
     )
 
 
-def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]]):
+def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
+                   tokenizer=tokens):
     """ORDER-PRESERVING BPE encode — the real tokenize endpoint
     (Sennrich et al. 2016 `apply_bpe` emitting input_ids, not counts):
     every document becomes its token-ID SEQUENCE (id, pos, token_id)
@@ -1658,7 +1692,7 @@ def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]]
             F.lit(BPE_LB + lhs + rhs + BPE_RB),
         )
     enc = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
         .distinct()
         .select("word", bpe_symbols(wrapped).alias("syms"))
         .localCheckpoint()
@@ -1672,7 +1706,8 @@ def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]]
         )
     )
     dt = df.select(
-        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("word_idx", "word")
+        F.col(id_col),
+        F.posexplode(tokenizer(F.col(text_col))).alias("word_idx", "word"),
     )
     w = W.partitionBy(id_col).orderBy("word_idx")
     dw = (

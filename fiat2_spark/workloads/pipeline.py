@@ -3874,3 +3874,118 @@ def pipeline_tokenize_pack(spark, sf_dir):
             F.sum(F.col("slot") * F.col("token_id")).alias("ord_checksum"),
         )
     )
+
+
+# crafted multilingual rows for the unicode-tokenizer contract query —
+# BMP-only (the BPE symbolize contract), apostrophes/dashes/guillemets
+# exercising the splitter, two non-Latin scripts, one all-punctuation
+# row, deliberate UPPERCASE exercising both engines' Unicode lower()
+_UNICODE_ROWS = [
+    (1, "L'été de la CITÉ — les Élèves étaient à l'école"),
+    (2, "Die SCHÜLER waren früh auf der Straße und müde"),
+    (3, "El Niño comió mañana y el señor está aquí"),
+    (4, "Привет МИР это тест Русского текста"),
+    (5, "Καλημέρα Κόσμε αυτό είναι Ελληνικό κείμενο"),
+    (6, "data2024 und die Zahl π ist ungefähr 3·14159"),
+    (7, "the quick brown fox jumps over the lazy dog"),
+    (8, "¡¿—…«»"),
+]
+
+
+def _unicode_pipeline_oracle(n_merges: int = 4) -> str:
+    """The unicode-tokenizer contract oracle: the crafted rows as a
+    VALUES table, \\p{L}\\p{N} splitting (RE2's and Java's general
+    categories agree; both engines' lower() is Unicode-aware), the
+    stopword-argmax langid over the unicode tokens, and the unrolled
+    n_merges-round BPE learn+encode over the unicode word table."""
+    vals = ", ".join(
+        "(" + str(i) + ", '" + t.replace("'", "''") + "')"
+        for i, t in _UNICODE_ROWS
+    )
+    parts = [rf"""
+    WITH vals(doc_id, text) AS (VALUES {vals}),
+    tk AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+                         t -> t <> '') AS toks
+      FROM vals
+    ),
+    v0 AS (
+      SELECT w AS word,
+             regexp_replace(w, '(.)', chr(1) || '\1' || chr(2), 'g')
+             || chr(1) || '</w>' || chr(2) AS wrapped,
+             COUNT(*) AS freq
+      FROM (SELECT unnest(toks) AS w FROM tk)
+      GROUP BY 1
+    )
+"""]
+    for i in range(n_merges):
+        parts.append(f"""
+    , p{i} AS {_bpe_pairs_sql(f"v{i}")},
+    b{i} AS (SELECT lhs, rhs FROM p{i}
+             ORDER BY freq DESC, lhs, rhs LIMIT 1),
+    v{i + 1} AS (
+      SELECT word,
+             COALESCE(replace(wrapped,
+                              chr(1) || b.lhs || chr(2) || chr(1) || b.rhs || chr(2),
+                              chr(1) || b.lhs || b.rhs || chr(2)),
+                      wrapped) AS wrapped,
+             v{i}.freq AS freq
+      FROM v{i} LEFT JOIN b{i} b ON TRUE
+    )""")
+    score_cols = ", ".join(
+        f"len(list_filter(toks, t -> list_contains([{_SW[l]}], t))) AS s_{l}"
+        for l in TX.LANGS
+    )
+    parts.append(f"""
+    , enc AS (SELECT word,
+                     len(list_filter(string_split(wrapped, chr(2)), x -> x <> '')) AS n_sym
+              FROM v{n_merges}),
+    dt AS (SELECT doc_id, unnest(toks) AS word FROM tk),
+    bc AS (SELECT doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_bpe
+           FROM dt JOIN enc e USING (word) GROUP BY 1),
+    sc AS (SELECT doc_id, {score_cols} FROM tk)
+    SELECT tk.doc_id,
+           COALESCE(array_to_string(toks, ' '), '') AS toks_u,
+           CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                t -> t <> '')) AS BIGINT) AS n_tok_ascii,
+           CAST(len(toks) AS BIGINT) AS n_tok_uni,
+           {_langid_argmax_sql()} AS lang,
+           CAST(COALESCE(bc.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+    FROM tk JOIN sc USING (doc_id) LEFT JOIN bc USING (doc_id)
+""")
+    return "".join(parts)
+
+
+@q("text_unicode_pipeline", _unicode_pipeline_oracle(4))
+def text_unicode_pipeline(spark, sf_dir):
+    """The `tokens_unicode` contract query (crafted multilingual rows —
+    accents, Cyrillic, Greek, mixed digits, all-punctuation): per doc,
+    the exact unicode token stream (joined, pinning split+lower parity
+    between Java regex and RE2), the ASCII-vs-unicode token counts (the
+    contract difference made visible: the ASCII tokenizer shreds 'été'
+    into fragments and drops non-Latin scripts entirely), stopword-
+    argmax langid COMPOSED over the unicode tokens (token-column
+    operators accept either tokenizer), and per-doc BPE token counts
+    from a 4-merge learn+encode run entirely under
+    ``tokenizer=tokens_unicode`` (the BPE family's explicit tokenizer
+    parameter). Zero-token docs keep a row (left join, COALESCE 0).
+    See operators/text.py:tokens for the full tokenizer contract."""
+    df = spark.createDataFrame(_UNICODE_ROWS, "doc_id long, text string")
+    tu = TX.tokens_unicode(F.col("text"))
+    _, mdf = TX.bpe_learn(df, "text", n_merges=4, tokenizer=TX.tokens_unicode)
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
+    enc = TX.bpe_encode(
+        df, "doc_id", "text", merges, tokenizer=TX.tokens_unicode
+    ).select("doc_id", "n_bpe_tokens")
+    return (
+        df.select(
+            "doc_id",
+            F.array_join(tu, " ").alias("toks_u"),
+            TX.token_count(TX.tokens(F.col("text"))).cast("long").alias("n_tok_ascii"),
+            TX.token_count(tu).cast("long").alias("n_tok_uni"),
+            TX.lang_id(tu).alias("lang"),
+        )
+        .join(enc, "doc_id", "left")
+        .withColumn("n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0)).cast("long"))
+    )

@@ -909,3 +909,38 @@ def test_doremi_trajectory_single_round_reduces_to_one_step(spark):
         assert rows["seen"] > rows["salad"], (t, rows)
         w[t] = rows["seen"]
     assert w[4] >= w[1], w
+
+
+def test_tokens_unicode_contract(spark):
+    """The tokenizer-contract pins: \p{L}\p{N} keeps accented and
+    non-Latin words whole where the ASCII contract shreds or drops
+    them; Unicode lower() applies; digits stay; BMP punctuation of any
+    script separates; and the BPE family composes through
+    tokenizer=tokens_unicode (merges over non-ASCII symbols)."""
+    from fiat2_spark.operators.text import bpe_learn, tokens, tokens_unicode
+
+    df = spark.createDataFrame(
+        [(1, "Früh—ÉTÉ 42 привет…мир"), (2, "ééé ééé")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["u"], r["a"])
+        for r in df.select(
+            "doc_id",
+            tokens_unicode(F.col("text")).alias("u"),
+            tokens(F.col("text")).alias("a"),
+        ).collect()
+    }
+    assert got[1] == (
+        ["früh", "été", "42", "привет", "мир"],
+        ["fr", "h", "t", "42"],
+    ), got[1]
+    # 8 merges on 'ééé</w>' x2: (é,é) f=4 → [éé, é, </w>]; then the
+    # f=2 tie (éé,é) vs (é,</w>) resolves lexicographically to
+    # (é,</w>) → [éé, é</w>]; then (éé,é</w>); pairs run dry at 3
+    _, mdf = bpe_learn(
+        df.filter(F.col("doc_id") == 2), "text", n_merges=8,
+        tokenizer=tokens_unicode,
+    )
+    merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
+    assert merges == [("é", "é"), ("é", "</w>"), ("éé", "é</w>")], merges
