@@ -160,11 +160,39 @@ HEADLINE = [
 ]
 
 
+def control_query_sec(spark, reps: int = 5) -> float:
+    """Host-regime calibration (VERDICT r9 #2: identical code measured
+    per-query swings up to 5× between driver runs — ±25% on control
+    geomeans — purely from host oscillation): a FIXED, registry- and
+    data-independent job — range → codegen'd projection → hash-shuffle
+    aggregate → 1-row total — timed ``reps`` times, median reported.
+    Embedded in the bench artifact as ``control_sec`` (pre/post the
+    suite), so a reader comparing two rounds can divide out the host
+    regime instead of mistaking it for an engine change
+    (tools/compare_bench.py prints the normalized ratio when both
+    artifacts carry it)."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .select((F.col("id") % 9973).alias("k"), (F.col("id") % 7).alias("v"))
+            .groupBy("k").agg(F.sum("v").alias("s"))
+            .agg(F.sum("s").alias("t"))
+            .collect()
+        )
+        times.append(time.perf_counter() - t0)
+    return round(sorted(times)[len(times) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="fiat2-spark-bench")
     # warm the JVM + parquet footers once
     QUERIES["join_fk"](spark, sf_dir).count()
+    control_pre = control_query_sec(spark)
 
     # Each query is timed SPARK_GRAFT_BENCH_REPS times (default 2) and the
     # min is reported: the first execution carries one-off Janino/codegen
@@ -208,6 +236,7 @@ def main() -> None:
                 break
         timings[name] = round(best, 3)
 
+    control_post = control_query_sec(spark)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
         "metric": "headline_suite_total",
@@ -215,6 +244,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-regime calibration: the same fixed control job before and
+        # after the suite; control_sec is their mean. Compare rounds as
+        # (value/control_sec) to divide out host oscillation.
+        "control_sec": round((control_pre + control_post) / 2, 3),
+        "control_pre": control_pre,
+        "control_post": control_post,
     }
     # Full detail first (one JSON line + a committed file), then a compact
     # summary as the FINAL stdout line: the driver records only a bounded

@@ -17,23 +17,32 @@ import re
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], float | None]:
+    """Returns (per-query timings, control_sec or None). control_sec is
+    the embedded host-regime calibration (bench.py:control_query_sec);
+    artifacts from rounds before it was added carry None."""
     with open(path) as fh:
         obj = json.load(fh)
     if "queries" in obj and isinstance(obj["queries"], dict):
-        return {k: float(v) for k, v in obj["queries"].items()}
+        q = {k: float(v) for k, v in obj["queries"].items()}
+        ctl = obj.get("control_sec")
+        return q, (float(ctl) if ctl is not None else None)
     if "tail" in obj:
-        return {
+        q = {
             k: float(v)
             for k, v in re.findall(r'"([a-z0-9_]+)"\s*:\s*([0-9.]+)', obj["tail"])
         }
+        ctl = q.pop("control_sec", None)
+        q.pop("control_pre", None)
+        q.pop("control_post", None)
+        return q, ctl
     raise SystemExit(f"{path}: neither a queries dict nor a driver tail capture")
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_ctl), (new, new_ctl) = load(sys.argv[1]), load(sys.argv[2])
     ratio_flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     abs_flag = float(sys.argv[4]) if len(sys.argv) > 4 else 0.15
     common = sorted(set(old) & set(new))
@@ -47,20 +56,25 @@ def main() -> None:
         if new[k] > old[k] * ratio_flag and new[k] - old[k] > abs_flag
     ]
     regs.sort(key=lambda t: -t[3])
-    print(
-        json.dumps(
-            {
-                "common": len(common),
-                "old_total": round(o_tot, 2),
-                "new_total": round(n_tot, 2),
-                "ratio": round(n_tot / o_tot, 3),
-                "regressions": [
-                    {"q": k, "old": o, "new": n, "x": x} for k, o, n, x in regs
-                ],
-            },
-            indent=1,
-        )
-    )
+    out = {
+        "common": len(common),
+        "old_total": round(o_tot, 2),
+        "new_total": round(n_tot, 2),
+        "ratio": round(n_tot / o_tot, 3),
+        "regressions": [
+            {"q": k, "old": o, "new": n, "x": x} for k, o, n, x in regs
+        ],
+    }
+    # host-regime normalization: when both artifacts embed the fixed
+    # control query, report the ratio with the regime divided out —
+    # ratio_normalized ≈ 1.0 means "same engine speed, different host
+    # weather" even when the raw ratio swings
+    if old_ctl and new_ctl:
+        out["control_old"] = old_ctl
+        out["control_new"] = new_ctl
+        out["control_ratio"] = round(new_ctl / old_ctl, 3)
+        out["ratio_normalized"] = round((n_tot / o_tot) / (new_ctl / old_ctl), 3)
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
