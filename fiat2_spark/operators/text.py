@@ -111,21 +111,7 @@ TRIGRAM_PROFILES = {lang: _trigram_profile(lang) for lang in LANGS}
 
 def tokens(text: Column) -> Column:
     """Whitespace/punctuation tokenizer: lowercase, split on non-alnum,
-    drop empties. The shared primitive for every operator below.
-
-    TOKENIZER CONTRACT (which operators accept which tokenizer):
-    this ASCII ``[a-z0-9]+`` contract is the corpus-wide default —
-    every operator that tokenizes INTERNALLY (DSIR, the NB classifier,
-    `lm_perplexity`/`doremi_*`, `ngram_strings`, the quality/repetition
-    scorers) is fit AND scored through it, so their engine/oracle/
-    Python-model triples stay aligned. Multilingual corpora use
-    `tokens_unicode` instead: operators that take a TOKEN COLUMN
-    (`lang_scores`, `stopword_ratio`, `token_count`, `repetition_stats`)
-    compose with either tokenizer unchanged, and the BPE family
-    (`bpe_word_table` / `bpe_pair_counts` / `bpe_learn` / `bpe_encode`
-    / `bpe_encode_ids`) accepts ``tokenizer=`` explicitly. Mixing
-    tokenizers across a fit/score pair is a contract violation —
-    pick one per pipeline."""
+    drop empties. The shared primitive for every operator below."""
     raw = F.split(F.lower(text), "[^a-z0-9]+")
     return F.filter(raw, lambda t: t != "")
 
@@ -140,7 +126,21 @@ def tokens_unicode(text: Column) -> Column:
     Unicode-aware, so the DuckDB oracle splits identically
     (differential-tested on crafted non-ASCII rows). BMP scope: BPE's
     per-character symbolize matches one UTF-16 code unit in Java, so
-    supplementary-plane text (emoji) is outside the BPE contract."""
+    supplementary-plane text (emoji) is outside the BPE contract.
+
+    TOKENIZER CONTRACT (which operators accept which tokenizer):
+    the ASCII ``[a-z0-9]+`` `tokens` contract is the corpus-wide
+    default — every operator that tokenizes INTERNALLY (DSIR, the NB
+    classifier, `lm_perplexity`/`doremi_*`, `ngram_strings`, the
+    quality/repetition scorers) is fit AND scored through it, so their
+    engine/oracle/Python-model triples stay aligned. Multilingual
+    corpora use this tokenizer instead: operators that take a TOKEN
+    COLUMN (`lang_scores`, `stopword_ratio`, `token_count`,
+    `repetition_stats`) compose with either tokenizer unchanged, and
+    the BPE family (`bpe_word_table` / `bpe_pair_counts` / `bpe_learn`
+    / `bpe_encode` / `bpe_encode_ids`) accepts ``tokenizer=``
+    explicitly. Mixing tokenizers across a fit/score pair is a
+    contract violation — pick one per pipeline."""
     raw = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
 

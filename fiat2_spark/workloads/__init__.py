@@ -335,7 +335,7 @@ PRIORITY_R8 = (  # kept for the r8 row-premise audit trail
 #     _value_buckets rewrite, and the NB counts/score split). Every
 #     query whose reachable hash is IDENTICAL to its row-earning
 #     round's may rotate out; all 147 out-of-window queries hold.
-PRIORITY = (
+PRIORITY_R9 = (
     # (A) tool-mandated reachable-delta rotate-ins: the Lloyd-seeding
     # fix (rank-based k-smallest init) touches kmeans_lloyd +
     # dedup_semantic, the pmod pair-salt fix touches dedup_semantic,
@@ -390,18 +390,53 @@ PRIORITY = (
     "tpch_q7_shape", "tpch_q8_shape", "tpch_q9_shape", "tpch_q10_shape",
     "tpch_q13_shape", "tpch_q14_shape", "tpch_q16_shape",
 )
-# Round-10 rotation candidates (the r5-row tail deferred above):
-# tpch_q17_shape, tpch_q19_shape, tpch_q21_shape, tpch_q22_shape,
-# anti_join, asof_tolerance_join, bag_ops_all, bfs_recursive_cte,
-# quality_filter_apply, length_histogram, hybrid_rrf_retrieval,
-# gapfill_daily, funnel_conversion, retention_cohorts, anomaly_zscore,
-# bloom_pruned_join, corr_moments, dpp_partitioned_join,
-# ewma_user_value, filter_scan, flatmap2_zip, flatmap_explode, join_fk,
-# mad_scalable, proj_compute, rolling_7day_revenue, semi_join,
-# sort_canonical, theta_join_nonequi, top_k, udaf_mad, window_nav,
-# zonemap_range_scan — plus anything tools/fingerprints.py --compare
-# flags against FINGERPRINTS_r09.json.
+# Round-10 window. The fingerprint tool is UNCHANGED this round, so the
+# rotation baseline is FINGERPRINTS_r09.json at r9 HEAD directly. The
+# must-rotate-in set is the tool's output:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r09.json
+#   → changed = 18, new = 4, held_count = 183 — every changed/new name
+#     is seated in (A)/(B) below. (Mid-round the tokenizer-contract
+#     note briefly sat in tokens()' docstring and flagged 51 queries;
+#     it was moved to tokens_unicode — the new function — precisely so
+#     the 33 queries whose reachable CODE is byte-identical to their
+#     row-earning round's keep their rotation-out premise.) Every
+#     out-of-window query's reachable hash is IDENTICAL to its
+#     row-earning round's; all 151 hold.
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins: the BPE family
+    # (bpe_learn's checkpoint stride + the tokenizer= parameter + the
+    # guarded oracles), the DoReMi pair (_doremi_domain_stats factor +
+    # shared stats CTEs), the NB classifier (tracked-block featurize,
+    # ADVICE r9), and the whole quantile-bucket family under the
+    # grouped_percentiles inline/prune rewrite + the 0.01 sketch
+    # relaxation (mad_scalable, percentile_cont_scalable, the
+    # grouped rank/rownum pair, window_rownum via global_row_number,
+    # and the grouped_running_sum consumers pack_sequences /
+    # budget_select / pipeline_training_set / group_concat_scalable)
+    "bpe_pair_counts", "bpe_merges", "bpe_encode", "doremi_reweight",
+    "quality_classifier", "budget_select", "mad_scalable",
+    "percentile_cont_scalable", "grouped_rownum_scalable",
+    "grouped_rank_family_scalable", "window_rownum", "pack_sequences",
+    "pipeline_training_set", "group_concat_scalable",
+    # (B) round-10 additions — driver evidence in the round they land
+    "bpe_encode_ids", "pipeline_tokenize_pack", "doremi_trajectory",
+    "text_unicode_pipeline",
+    # (C) oldest-evidence refresh: the ENTIRE deferred r5-row tail (32
+    # queries — the r9 comment's candidate list) fits the remaining
+    # slots exactly; after r10 no driver row is older than r6
+    "tpch_q17_shape", "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "anti_join", "asof_tolerance_join", "bag_ops_all", "bfs_recursive_cte",
+    "quality_filter_apply", "length_histogram", "hybrid_rrf_retrieval",
+    "gapfill_daily", "funnel_conversion", "retention_cohorts",
+    "anomaly_zscore", "bloom_pruned_join", "corr_moments",
+    "dpp_partitioned_join", "ewma_user_value", "filter_scan",
+    "flatmap2_zip", "flatmap_explode", "join_fk", "proj_compute",
+    "rolling_7day_revenue", "semi_join", "sort_canonical",
+    "theta_join_nonequi", "top_k", "udaf_mad", "window_nav",
+    "zonemap_range_scan",
+)
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
 assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
 assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
 assert len(PRIORITY_R6) == 50 and len(set(PRIORITY_R6)) == 50
@@ -426,6 +461,8 @@ _missing_r7 = [n for n in PRIORITY_R7 if n not in _queries]
 assert not _missing_r7, f"PRIORITY_R7 names no longer registered: {_missing_r7}"
 _missing_r8 = [n for n in PRIORITY_R8 if n not in _queries]
 assert not _missing_r8, f"PRIORITY_R8 names no longer registered: {_missing_r8}"
+_missing_r9 = [n for n in PRIORITY_R9 if n not in _queries]
+assert not _missing_r9, f"PRIORITY_R9 names no longer registered: {_missing_r9}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
