@@ -1549,29 +1549,46 @@ def bpe_pair_counts(df, text_col: str, top_k: int = 32, tokenizer=tokens):
     )
 
 
-def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8,
-              tokenizer=tokens):
-    """Learn ``n_merges`` BPE merges over a corpus (Sennrich et al.
-    2016 `learn_bpe`): repeatedly take the highest-frequency adjacent
-    symbol pair (ties: lexicographic on (lhs, rhs)) and merge it
-    everywhere, left-to-right non-overlapping within each word.
+def bpe_learn_from_words(words, n_merges: int, checkpoint_every: int = 8,
+                         track=None):
+    """The BPE merge loop over an EXISTING (wrapped, freq) word table
+    (Sennrich et al. 2016 `learn_bpe`): repeatedly take the highest-
+    frequency adjacent symbol pair (ties: lexicographic on (lhs, rhs))
+    and merge it everywhere, left-to-right non-overlapping within each
+    word. Shared by `bpe_learn` (one corpus aggregation feeds it) and
+    the streaming `BpeVocabCorpus.learn` (the maintained word-count
+    state feeds it), so batch/stream merge lists agree structurally.
 
     Iterative by nature (each argmax depends on the previous rewrite),
     so the loop runs on the driver — but every iteration's job touches
-    only the VOCAB-sized (wrapped, freq) relation: a pair count + a
-    1-row TakeOrdered + a string replace. Lineage is truncated with a
-    localCheckpoint every ``checkpoint_every`` merges rather than every
-    merge: each deferred step is ONE codegen'd string replace on a
-    vocab-sized relation (re-running ≤ checkpoint_every−1 of them
-    inside the next argmax job is cheap), while an eager checkpoint is
-    a full materialization JOB per merge — at a real tokenizer's ~30k
-    merges the per-merge checkpoint dominates the loop, and lineage
-    must still be bounded, hence the stride. The corpus is read exactly
-    once (the `bpe_word_table` aggregation). Returns (words, merges)
-    where merges is [(step, lhs, rhs, freq)] and words is the final
-    symbolized vocab (always checkpoint-materialized)."""
-    spark = df.sparkSession
-    words = bpe_word_table(df, text_col, tokenizer).localCheckpoint()
+    only the VOCAB-sized relation: a pair count + a 1-row TakeOrdered
+    + a string replace. Lineage is truncated with a localCheckpoint
+    every ``checkpoint_every`` merges rather than every merge: each
+    deferred step is ONE codegen'd string replace on a vocab-sized
+    relation (re-running ≤ checkpoint_every−1 of them inside the next
+    argmax job is cheap), while an eager checkpoint is a full
+    materialization JOB per merge — at a real tokenizer's ~30k merges
+    the per-merge checkpoint dominates the loop, and lineage must
+    still be bounded, hence the stride.
+
+    ``track``: optional list receiving every loop checkpoint's block
+    ids — a live-index caller (`BpeVocabCorpus`), for whom the global
+    sweep is unsafe, releases them once the merge list is extracted;
+    None is the batch contract (session owner's sweep). Returns
+    (words, merges) where merges is [(step, lhs, rhs, freq)] and words
+    is the final symbolized vocab (always checkpoint-materialized)."""
+    spark = words.sparkSession
+
+    def ckpt(df):
+        if track is None:
+            return df.localCheckpoint()
+        from fiat2_spark.session import local_checkpoint_tracked
+
+        out, blocks = local_checkpoint_tracked(df)
+        track.extend(blocks)
+        return out
+
+    words = ckpt(words)
     merges: list[tuple[int, str, str, int]] = []
     pending = 0
     for step in range(1, n_merges + 1):
@@ -1592,14 +1609,25 @@ def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8,
         )
         pending += 1
         if pending >= checkpoint_every:
-            words = words.localCheckpoint()
+            words = ckpt(words)
             pending = 0
     if pending:
-        words = words.localCheckpoint()
+        words = ckpt(words)
     mdf = spark.createDataFrame(
         merges, "step int, lhs string, rhs string, freq bigint"
     )
     return words, mdf
+
+
+def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8,
+              tokenizer=tokens):
+    """Learn ``n_merges`` BPE merges over a corpus: ONE corpus
+    aggregation (`bpe_word_table`) feeding the vocab-sized merge loop
+    (`bpe_learn_from_words` — see it for the iteration/checkpoint
+    discipline). Returns (words, merges)."""
+    return bpe_learn_from_words(
+        bpe_word_table(df, text_col, tokenizer), n_merges, checkpoint_every
+    )
 
 
 def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],

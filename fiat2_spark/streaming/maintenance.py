@@ -1006,3 +1006,103 @@ class NBClassifierCorpus:
         )
         self._blocks = self._tot_blocks = frozenset()
         return n
+
+
+class BpeVocabCorpus:
+    """Incrementally maintained BPE tokenizer-training state — the
+    streaming twin of `operators.text.bpe_learn` for a corpus arriving
+    in batches: BPE's ONLY corpus-derived input is the word-frequency
+    table, and word counts are ADDITIVE, so the state is a vocab-sized
+    (word, freq) relation folded per batch with one tokenize+explode
+    pass + a model-sized merge. ``learn(n)`` runs the standard merge
+    loop on the CURRENT accumulated vocabulary — refreshing a tokenizer
+    as the corpus grows without ever re-reading it — and after
+    ingesting the same rows in ANY batch split the merge list equals
+    the one-shot `bpe_learn`'s bitwise (agreement-tested): counts of a
+    union are the sums of the parts' counts, and the merge argmax is a
+    pure function of the counts. ``retract(batch)`` is exact unlearning
+    by subtraction (words whose count returns to 0 are dropped, so they
+    can never re-enter a pair table), same contract as
+    `NBClassifierCorpus.retract`.
+
+    Block discipline: state snapshots are tracked and retired per fold;
+    ``learn``'s loop checkpoints are tracked via
+    `bpe_learn_from_words(track=...)` and released once the merge list
+    (driver-local) is extracted — zero residual blocks per call, the
+    live-index contract under which the global sweep is unsafe.
+
+    At 100 TB the state is the corpus vocabulary (~1e8 rows under
+    Heaps' law — still model-sized, shuffled only vocab-wide); only
+    ingest's tokenize pass scales with the batch."""
+
+    def __init__(self, spark, tokenizer=None):
+        from fiat2_spark.operators.text import tokens
+
+        self.tokenizer = tokenizer or tokens
+        self.words, self._blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "word string, freq long")
+        )
+
+    def _fold(self, batch, text_col: str, sign: int) -> None:
+        bc = (
+            batch.select(F.explode(self.tokenizer(F.col(text_col))).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("bf"))
+        )
+        merged = (
+            self.words.withColumnRenamed("freq", "f0")
+            .join(bc, "word", "full_outer")
+            .select(
+                "word",
+                (
+                    F.coalesce("f0", F.lit(0))
+                    + F.lit(sign) * F.coalesce("bf", F.lit(0))
+                )
+                .cast("long")
+                .alias("freq"),
+            )
+            .filter(F.col("freq") != 0)
+        )
+        prev = self._blocks
+        self.words, self._blocks = local_checkpoint_tracked(merged)
+        release_blocks(self.words.sparkSession, prev)
+
+    def ingest(self, batch, text_col: str) -> None:
+        """Fold a batch's word counts into the vocabulary state."""
+        self._fold(batch, text_col, +1)
+
+    def retract(self, batch, text_col: str) -> None:
+        """Remove a previously-ingested batch from the vocabulary —
+        exact subtraction; the caller's contract is that the batch was
+        in fact ingested."""
+        self._fold(batch, text_col, -1)
+
+    def learn(self, n_merges: int, checkpoint_every: int = 8):
+        """Learn ``n_merges`` merges from the CURRENT accumulated
+        vocabulary (no corpus read). Returns the merge DataFrame
+        (step, lhs, rhs, freq) — driver-local rows, independent of any
+        checkpoint block; the loop's tracked blocks are released
+        before returning."""
+        from fiat2_spark.operators.text import (
+            bpe_learn_from_words,
+            bpe_symbolize,
+        )
+
+        scratch: list = []
+        wt = self.words.select(
+            bpe_symbolize(F.col("word")).alias("wrapped"), "freq"
+        )
+        _, mdf = bpe_learn_from_words(
+            wt, n_merges, checkpoint_every, track=scratch
+        )
+        rows = mdf.collect()
+        release_blocks(self.words.sparkSession, frozenset(scratch))
+        return mdf.sparkSession.createDataFrame(
+            rows, "step int, lhs string, rhs string, freq bigint"
+        )
+
+    def close(self) -> int:
+        """Free the vocabulary-state blocks."""
+        n = release_blocks(self.words.sparkSession, self._blocks)
+        self._blocks = frozenset()
+        return n

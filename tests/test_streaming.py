@@ -908,3 +908,97 @@ def test_nb_classifier_corpus_zero_block_residency(spark):
     tracked = corpus._blocks | corpus._tot_blocks
     corpus.close()
     assert not (set(tracked) & ckpt_ids()), "close() must free the state blocks"
+
+
+def test_bpe_vocab_corpus_split_agreement(spark):
+    """BpeVocabCorpus trained in 3 uneven batches must learn EXACTLY
+    the one-shot bpe_learn merge list over the concatenated corpus —
+    word counts are additive and the merge argmax is a pure function
+    of the counts. Also pins interleaving: learn() between ingests is
+    read-only (the state keeps accumulating correctly after it)."""
+    from fiat2_spark.operators.text import bpe_learn
+    from fiat2_spark.streaming.maintenance import BpeVocabCorpus
+
+    rows = [
+        (0, "low lower lowest"),
+        (1, "new newer newest"),
+        (2, "low low new wider"),
+        (3, "lowest newest wide wide"),
+        (4, "er er est est low"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = BpeVocabCorpus(spark)
+    corpus.ingest(df.filter(F.col("doc_id") < 1), "text")
+    corpus.learn(2)  # read-only mid-stream refresh
+    corpus.ingest(df.filter((F.col("doc_id") >= 1) & (F.col("doc_id") < 4)), "text")
+    corpus.ingest(df.filter(F.col("doc_id") >= 4), "text")
+    got = [tuple(r) for r in corpus.learn(6).orderBy("step").collect()]
+    corpus.close()
+    _, mdf = bpe_learn(df, "text", n_merges=6)
+    want = [tuple(r) for r in mdf.orderBy("step").collect()]
+    assert got == want, f"\ngot={got}\nwant={want}"
+
+
+def test_bpe_vocab_corpus_retract_agreement(spark):
+    """retract(B) after ingest(A); ingest(B) leaves the vocabulary in
+    EXACTLY the ingest(A)-only state (zero-count words dropped so they
+    can never re-enter a pair table), and the refreshed merge list
+    equals a corpus that only ever saw A. Retracting everything learns
+    the empty merge list."""
+    from fiat2_spark.streaming.maintenance import BpeVocabCorpus
+
+    df = spark.createDataFrame(
+        [(0, "low lower low"), (1, "newest newer"), (2, "wide wider widest")],
+        "doc_id long, text string",
+    )
+    a, b = df.filter(F.col("doc_id") < 2), df.filter(F.col("doc_id") >= 2)
+    both = BpeVocabCorpus(spark)
+    both.ingest(a, "text")
+    both.ingest(b, "text")
+    both.retract(b, "text")
+    only_a = BpeVocabCorpus(spark)
+    only_a.ingest(a, "text")
+    state = lambda c: sorted(map(tuple, c.words.collect()))
+    got_state, want_state = state(both), state(only_a)
+    got = [tuple(r) for r in both.learn(4).collect()]
+    want = [tuple(r) for r in only_a.learn(4).collect()]
+    both.retract(a, "text")
+    empty_words = both.words.count()
+    empty_merges = both.learn(4).count()
+    both.close(); only_a.close()
+    assert got_state == want_state
+    assert got == want, f"\ngot={got}\nwant={want}"
+    assert empty_words == 0 and empty_merges == 0
+
+
+def test_bpe_vocab_corpus_zero_block_residency(spark):
+    """Live-index block contract: each fold retires the superseded
+    vocabulary snapshot, learn() releases every loop checkpoint before
+    returning (its result is driver-local rows), and close() frees the
+    state — zero untracked checkpoint blocks at every step."""
+    from fiat2_spark.session import _is_checkpoint_block
+    from fiat2_spark.streaming.maintenance import BpeVocabCorpus
+
+    def ckpt_ids():
+        return {
+            rid
+            for rid, rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items()
+            if _is_checkpoint_block(rdd)
+        }
+
+    df = spark.createDataFrame(
+        [(0, "low lower lowest"), (1, "new newer newest"), (2, "wide wider")],
+        "doc_id long, text string",
+    )
+    corpus = BpeVocabCorpus(spark)
+    for i in range(3):
+        pre = ckpt_ids()
+        corpus.ingest(df.filter(F.col("doc_id") == i), "text")
+        corpus.learn(3)
+        leaked = ckpt_ids() - pre - set(corpus._blocks)
+        assert not leaked, f"cycle {i}: untracked checkpoint blocks {leaked}"
+    tracked = set(corpus._blocks)
+    corpus.close()
+    assert not (tracked & ckpt_ids()), "close() must free the state blocks"
