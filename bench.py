@@ -157,6 +157,7 @@ HEADLINE = [
     "pipeline_tokenize_pack",       # learn -> encode_ids -> 512-token context packing
     "doremi_trajectory",            # Algorithm 1: T rounds, trajectory-averaged mixture
     "text_unicode_pipeline",        # \p{L}\p{N} tokenizer contract: langid + BPE composed
+    "length_bucket_batches",        # padded-batch construction by length band
 ]
 
 

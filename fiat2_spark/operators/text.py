@@ -1177,6 +1177,53 @@ def token_budget_select(
     return cum.filter(F.col("cum_tokens") <= budget).drop("__g")
 
 
+def length_bucket_batches(
+    df, id_col: str, ntok_col: str,
+    band_width: int = 64, batch_size: int = 16,
+):
+    """Length-bucketed batch construction — the padding-efficiency step
+    of a padded-batch training pipeline (the bucket-by-length batching
+    fairseq/T5-style loaders use; `pack_sequences` is the
+    concat-and-cut alternative for decoder-only training): documents
+    land in fixed-width length BANDS (band = ⌊(n_tok−1)/band_width⌋ —
+    pure integer arithmetic, no float-log band edges to disagree on),
+    are ordered within a band by (n_tok desc, id), and cut into
+    ``batch_size``-document batches — so each batch pads to its own
+    max length, which band-local ordering keeps close to every
+    member's length. Documents with zero tokens are excluded (nothing
+    to batch; mirrored by the oracle).
+
+    Plan: the per-band numbering runs through `grouped_row_number`'s
+    quantile-bucket scheme — bands are LOW-cardinality (corpus length
+    range / band_width), exactly the regime where a plain
+    band-partitioned window would plan |bands| tasks on a
+    1000-executor cluster; value-pure bucketing + the id tiebreak keep
+    ranks deterministic. Everything else is codegen'd arithmetic.
+    Returns (id, n_tok, band, batch_id) per kept document."""
+    from fiat2_spark.operators.relational import grouped_row_number
+
+    d = (
+        df.filter(F.col(ntok_col) > 0)
+        .select(F.col(id_col), F.col(ntok_col).cast("long").alias("__nt"))
+        .withColumn(
+            "band",
+            F.floor((F.col("__nt") - 1) / F.lit(float(band_width))).cast("long"),
+        )
+    )
+    rn = grouped_row_number(
+        d, ["band"], "__nt", id_name="__rn",
+        descending=True, tiebreak=[F.col(id_col)],
+    )
+    return rn.select(
+        F.col(id_col),
+        F.col("__nt").alias(ntok_col),
+        "band",
+        F.floor((F.col("__rn") - 1) / F.lit(float(batch_size)))
+        .cast("long")
+        .alias("batch_id"),
+    )
+
+
 # --- DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429) ---
 
 

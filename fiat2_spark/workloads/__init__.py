@@ -419,11 +419,15 @@ PRIORITY = (
     "grouped_rank_family_scalable", "window_rownum", "pack_sequences",
     "pipeline_training_set", "group_concat_scalable",
     # (B) round-10 additions — driver evidence in the round they land
+    # (the late-round length_bucket_batches takes top_k's (C) slot under
+    # the standing (B)-over-(C/D) rule — top_k's r5 row sits on a
+    # tool-verified identical premise, is gate-refreshed at both SFs
+    # this round, and joins the r11 tail)
     "bpe_encode_ids", "pipeline_tokenize_pack", "doremi_trajectory",
-    "text_unicode_pipeline",
-    # (C) oldest-evidence refresh: the ENTIRE deferred r5-row tail (32
-    # queries — the r9 comment's candidate list) fits the remaining
-    # slots exactly; after r10 no driver row is older than r6
+    "text_unicode_pipeline", "length_bucket_batches",
+    # (C) oldest-evidence refresh: the deferred r5-row tail (31 of the
+    # 32 candidates — top_k ceded its slot above); after r10 top_k is
+    # the only driver row older than r6
     "tpch_q17_shape", "tpch_q19_shape", "tpch_q21_shape", "tpch_q22_shape",
     "anti_join", "asof_tolerance_join", "bag_ops_all", "bfs_recursive_cte",
     "quality_filter_apply", "length_histogram", "hybrid_rrf_retrieval",
@@ -432,7 +436,7 @@ PRIORITY = (
     "dpp_partitioned_join", "ewma_user_value", "filter_scan",
     "flatmap2_zip", "flatmap_explode", "join_fk", "proj_compute",
     "rolling_7day_revenue", "semi_join", "sort_canonical",
-    "theta_join_nonequi", "top_k", "udaf_mad", "window_nav",
+    "theta_join_nonequi", "udaf_mad", "window_nav",
     "zonemap_range_scan",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50

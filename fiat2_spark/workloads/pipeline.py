@@ -3989,3 +3989,53 @@ def text_unicode_pipeline(spark, sf_dir):
         .join(enc, "doc_id", "left")
         .withColumn("n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0)).cast("long"))
     )
+
+
+@q(
+    "length_bucket_batches",
+    f"""
+    WITH toks AS ({_TOKS}),
+    t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok
+          FROM toks WHERE len(toks) > 0),
+    b AS (SELECT doc_id, n_tok,
+                 CAST(floor((n_tok - 1) / 64.0) AS BIGINT) AS band
+          FROM t),
+    r AS (SELECT *, row_number() OVER (PARTITION BY band
+                                       ORDER BY n_tok DESC, doc_id) AS rn
+          FROM b)
+    SELECT band,
+           CAST(floor((rn - 1) / 16.0) AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+           CAST(COUNT(*) * MAX(n_tok) - SUM(n_tok) AS BIGINT) AS pad_q
+    FROM r GROUP BY 1, 2
+    """,
+)
+def length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch construction (the padding-efficiency
+    loader step next to `pack_sequences`' concat-and-cut): 64-token
+    length bands, (n_tok desc, doc_id) order within band, 16-doc
+    batches — each batch pads to its own max, kept tight by the
+    band-local ordering. Gated at batch granularity with the exact
+    integer padding bill pad_q = n_docs·max_len − sum_tok, so a wrong
+    band edge, ordering, or batch cut anywhere moves some batch's row.
+    The per-band numbering runs through `grouped_row_number`'s
+    quantile-bucket scheme (bands are low-cardinality — the plain
+    window would plan |bands| tasks at any cluster size); the oracle
+    is the plain band-partitioned window (see
+    operators/text.py:length_bucket_batches)."""
+    d = tbl(spark, sf_dir, "documents").select(
+        "doc_id",
+        TX.token_count(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=200))
+    assigned = TX.length_bucket_batches(
+        d, "doc_id", "n_tok", band_width=64, batch_size=16
+    )
+    return assigned.groupBy("band", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_tok").alias("max_len"),
+        F.sum("n_tok").alias("sum_tok"),
+        (F.count(F.lit(1)) * F.max("n_tok") - F.sum("n_tok")).alias("pad_q"),
+    )

@@ -944,3 +944,52 @@ def test_tokens_unicode_contract(spark):
     )
     merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
     assert merges == [("é", "é"), ("é", "</w>"), ("éé", "é</w>")], merges
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(
+            # curated BMP alphabet: Latin w/ diacritics, German sharp s,
+            # Cyrillic, Greek (incl. final sigma), CJK (caseless), digits,
+            # ASCII + non-ASCII punctuation/space separators. Deliberately
+            # excludes known case-mapping divergence candidates (dotted
+            # capital I, ligatures) — those are outside the documented
+            # tokenizer contract, not silently asserted equal.
+            alphabet="aZéÉüÜßñçøÅ приветМИР αβΣς 汉字 019 .,;!?—…«»'\"()-_/\t",
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=8,
+    ),
+)
+def test_tokens_unicode_differential_fuzz(spark, texts):
+    """Differential fuzz of the unicode tokenizer contract: on random
+    mixed-script BMP text, Spark's lower+\\p{L}\\p{N} split must equal
+    DuckDB's exactly, token for token — the parity the registered
+    oracle relies on, exercised far beyond the crafted rows."""
+    import duckdb
+
+    from fiat2_spark.operators.text import tokens_unicode
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokens_unicode(F.col("text")).alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        want = {}
+        for i, t in enumerate(texts):
+            (row,) = con.execute(
+                r"""SELECT list_filter(
+                       string_split_regex(lower(?), '[^\p{L}\p{N}]+'),
+                       x -> x <> '')""",
+                [t],
+            ).fetchall()
+            want[i] = row[0]
+    finally:
+        con.close()
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
