@@ -1106,3 +1106,175 @@ class BpeVocabCorpus:
         n = release_blocks(self.words.sparkSession, self._blocks)
         self._blocks = frozenset()
         return n
+
+
+class DsirCorpus:
+    """Incrementally maintained DSIR importance model — the streaming
+    twin of `operators.text.dsir_scores` (Xie et al. 2023,
+    arXiv:2302.03169) for target and raw corpora arriving in batches:
+    the model is per-bucket hashed n-gram COUNTS for each side plus the
+    1-row feature totals — all ADDITIVE sufficient statistics, so
+    ingesting the same rows in any batch split yields bitwise-identical
+    importance scores to the one-shot (agreement-tested), and
+    ``retract_*`` is exact unlearning by subtraction (zero-count
+    buckets dropped — an unobserved bucket reads as count 0 through the
+    add-1 smoothing either way, but the state must stay model-sized).
+
+    ``score(batch)`` evaluates the CURRENT log-ratio table
+    lr[b] = round(ln((n_t+1)(tot_r+B) / ((n_r+1)(tot_t+B)))·quant)
+    against a batch — e.g. maintain target+pool statistics as crawls
+    arrive, then score candidate batches on demand without re-reading
+    either corpus.
+
+    The featurize pass (tokenize → unigram∪bigram explode →
+    post-explode md5 bucket) deliberately DUPLICATES `dsir_scores`'
+    inline expression instead of factoring it out: the one-shot's
+    reachable hash must stay byte-identical so the registered
+    `dsir_select`/`dsir_resample` rows keep their rotation-out premise;
+    the bitwise batch/stream agreement test is the drift tripwire.
+
+    Block discipline (the live-index contract): each fold's featurize
+    checkpoint is tracked and retired with the superseded state
+    snapshots; ``score`` runs un-checkpointed (its featurize appears
+    exactly once in the returned plan) — zero residual blocks per call.
+    State is ≤2B+1 rows at any corpus size; only ingest's featurize
+    pass scales with the batch."""
+
+    def __init__(self, spark, buckets: int = 256, quant: int = 10_000):
+        self.buckets, self.quant = buckets, quant
+        self.tcounts, self._t_blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "bucket long, n_t long")
+        )
+        self.rcounts, self._r_blocks = local_checkpoint_tracked(
+            spark.createDataFrame([], "bucket long, n_r long")
+        )
+        self.totals, self._tot_blocks = local_checkpoint_tracked(
+            spark.createDataFrame([(0, 0)], "tot_t long, tot_r long")
+        )
+
+    def _featurize(self, batch, id_col: str, text_col: str):
+        from fiat2_spark.operators.dedup import cpu_partitions
+        from fiat2_spark.operators.text import (
+            feature_bucket, ngram_strings, tokens,
+        )
+
+        return (
+            batch.repartition(cpu_partitions(batch))
+            .select(
+                F.col(id_col).alias("doc"),
+                F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+            )
+            .select(
+                "doc", feature_bucket(F.col("feat"), self.buckets).alias("bucket")
+            )
+        )
+
+    def _fold(self, batch, id_col: str, text_col: str, side: str,
+              sign: int) -> None:
+        fb, scratch = local_checkpoint_tracked(
+            self._featurize(batch, id_col, text_col)
+        )
+        bc = fb.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+        btot = fb.agg(F.count(F.lit(1)).alias("bt"))
+        cur, col = (
+            (self.tcounts, "n_t") if side == "t" else (self.rcounts, "n_r")
+        )
+        merged = (
+            cur.withColumnRenamed(col, "c0")
+            .join(bc, "bucket", "full_outer")
+            .select(
+                "bucket",
+                (
+                    F.coalesce("c0", F.lit(0))
+                    + F.lit(sign) * F.coalesce("bn", F.lit(0))
+                )
+                .cast("long")
+                .alias(col),
+            )
+            .filter(F.col(col) != 0)
+        )
+        tot = self.totals.crossJoin(btot).select(
+            (F.col("tot_t") + (F.lit(sign) * F.col("bt") if side == "t" else F.lit(0)))
+            .cast("long").alias("tot_t"),
+            (F.col("tot_r") + (F.lit(sign) * F.col("bt") if side == "r" else F.lit(0)))
+            .cast("long").alias("tot_r"),
+        )
+        prev = (
+            (self._t_blocks if side == "t" else self._r_blocks)
+            | self._tot_blocks
+            | scratch
+        )
+        state, blocks = local_checkpoint_tracked(merged)
+        if side == "t":
+            self.tcounts, self._t_blocks = state, blocks
+        else:
+            self.rcounts, self._r_blocks = state, blocks
+        self.totals, self._tot_blocks = local_checkpoint_tracked(tot)
+        release_blocks(state.sparkSession, prev)
+
+    def ingest_target(self, batch, id_col: str, text_col: str) -> None:
+        """Fold a target-corpus batch into the model."""
+        self._fold(batch, id_col, text_col, "t", +1)
+
+    def ingest_raw(self, batch, id_col: str, text_col: str) -> None:
+        """Fold a raw-pool batch into the model."""
+        self._fold(batch, id_col, text_col, "r", +1)
+
+    def retract_target(self, batch, id_col: str, text_col: str) -> None:
+        """Exactly remove a previously-ingested target batch."""
+        self._fold(batch, id_col, text_col, "t", -1)
+
+    def retract_raw(self, batch, id_col: str, text_col: str) -> None:
+        """Exactly remove a previously-ingested raw batch."""
+        self._fold(batch, id_col, text_col, "r", -1)
+
+    def score(self, batch, id_col: str, text_col: str):
+        """(id, score) under the current accumulated model — the exact
+        `dsir_scores` arithmetic (one quantized ln per bucket, integer
+        per-doc sums). Docs with zero features are absent (the
+        one-shot's contract). Bucket coverage contract: features land
+        only on buckets present in the lr table (observed on at least
+        one side) — the one-shot always satisfies this because its raw
+        counts ARE the scored pool's; the streaming usage that matches
+        it bitwise is ingest_raw(pool) before score(pool). Scoring a
+        never-ingested batch silently skips its both-sides-unseen
+        buckets rather than inventing a smoothed ratio for them."""
+        b = self.buckets
+        lr = (
+            self.tcounts.join(self.rcounts, "bucket", "full_outer")
+            .crossJoin(F.broadcast(self.totals))
+            .select(
+                "bucket",
+                F.round(
+                    F.log(
+                        (
+                            (F.coalesce("n_t", F.lit(0)) + 1)
+                            * (F.col("tot_r") + b)
+                        ).cast("double")
+                        / (
+                            (F.coalesce("n_r", F.lit(0)) + 1)
+                            * (F.col("tot_t") + b)
+                        ).cast("double")
+                    )
+                    * self.quant
+                )
+                .cast("long")
+                .alias("lr"),
+            )
+        )
+        return (
+            self._featurize(batch, id_col, text_col)
+            .join(F.broadcast(lr), "bucket")
+            .groupBy("doc")
+            .agg(F.sum("lr").alias("score"))
+            .select(F.col("doc").alias(id_col), "score")
+        )
+
+    def close(self) -> int:
+        """Free the model-state blocks."""
+        n = release_blocks(
+            self.tcounts.sparkSession,
+            self._t_blocks | self._r_blocks | self._tot_blocks,
+        )
+        self._t_blocks = self._r_blocks = self._tot_blocks = frozenset()
+        return n

@@ -1002,3 +1002,128 @@ def test_bpe_vocab_corpus_zero_block_residency(spark):
     tracked = set(corpus._blocks)
     corpus.close()
     assert not (tracked & ckpt_ids()), "close() must free the state blocks"
+
+
+def test_dsir_corpus_split_agreement(spark):
+    """DsirCorpus fed target and raw in interleaved uneven batches must
+    score the pool bitwise-equal to the one-shot dsir_scores over the
+    concatenated corpora — per-bucket n-gram counts and totals are
+    additive, and the lr table is a pure function of the counts. This
+    is also the drift tripwire for the class's deliberately-duplicated
+    featurize expression (see the class docstring)."""
+    from fiat2_spark.operators.text import dsir_scores
+    from fiat2_spark.streaming.maintenance import DsirCorpus
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark scala catalyst tungsten shuffle partition")
+         for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "spark scala catalyst tungsten"),
+            (2, "llama alpaca vicuna gnu"),
+            (3, "spark scala catalyst tungsten shuffle partition"),
+            (4, "spark llama"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = DsirCorpus(spark, buckets=64)
+    corpus.ingest_target(target.filter(F.col("doc_id") < 102), "doc_id", "text")
+    corpus.ingest_raw(raw.filter(F.col("doc_id") <= 2), "doc_id", "text")
+    corpus.ingest_target(target.filter(F.col("doc_id") >= 102), "doc_id", "text")
+    corpus.ingest_raw(raw.filter(F.col("doc_id") > 2), "doc_id", "text")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in corpus.score(raw, "doc_id", "text").collect()
+    }
+    corpus.close()
+    want = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(raw, target, "doc_id", "text", buckets=64).collect()
+    }
+    assert got == want and set(got) == {1, 2, 3, 4}, f"\ngot={got}\nwant={want}"
+
+
+def test_dsir_corpus_retract_agreement(spark):
+    """retract on either side after extra ingests leaves the model in
+    EXACTLY the never-ingested state — counts relations equal (zero
+    rows dropped), totals equal, scores bitwise equal."""
+    from fiat2_spark.streaming.maintenance import DsirCorpus
+
+    target = spark.createDataFrame(
+        [(100, "spark scala catalyst"), (101, "shuffle partition plan")],
+        "doc_id long, text string",
+    )
+    extra_t = spark.createDataFrame(
+        [(102, "llama alpaca vicuna")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "spark scala"), (2, "llama gnu")], "doc_id long, text string"
+    )
+    extra_r = spark.createDataFrame(
+        [(3, "catalyst shuffle plan spark")], "doc_id long, text string"
+    )
+
+    both = DsirCorpus(spark, buckets=64)
+    both.ingest_target(target, "doc_id", "text")
+    both.ingest_target(extra_t, "doc_id", "text")
+    both.ingest_raw(raw, "doc_id", "text")
+    both.ingest_raw(extra_r, "doc_id", "text")
+    both.retract_target(extra_t, "doc_id", "text")
+    both.retract_raw(extra_r, "doc_id", "text")
+
+    clean = DsirCorpus(spark, buckets=64)
+    clean.ingest_target(target, "doc_id", "text")
+    clean.ingest_raw(raw, "doc_id", "text")
+
+    state = lambda c: (
+        sorted(map(tuple, c.tcounts.collect())),
+        sorted(map(tuple, c.rcounts.collect())),
+        sorted(map(tuple, c.totals.collect())),
+    )
+    assert state(both) == state(clean)
+    scores = lambda c: {
+        r["doc_id"]: r["score"] for r in c.score(raw, "doc_id", "text").collect()
+    }
+    got, want = scores(both), scores(clean)
+    both.close(); clean.close()
+    assert got == want, f"\ngot={got}\nwant={want}"
+
+
+def test_dsir_corpus_zero_block_residency(spark):
+    """Live-index block contract: each fold (either side) retires the
+    superseded snapshots plus its featurize checkpoint, score() runs
+    un-checkpointed, close() frees the state — zero untracked
+    checkpoint blocks at every step."""
+    from fiat2_spark.session import _is_checkpoint_block
+    from fiat2_spark.streaming.maintenance import DsirCorpus
+
+    def ckpt_ids():
+        return {
+            rid
+            for rid, rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items()
+            if _is_checkpoint_block(rdd)
+        }
+
+    target = spark.createDataFrame(
+        [(100, "spark scala catalyst")], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, "spark scala"), (2, "llama gnu")], "doc_id long, text string"
+    )
+    corpus = DsirCorpus(spark, buckets=64)
+    for i in range(3):
+        pre = ckpt_ids()
+        corpus.ingest_target(target, "doc_id", "text")
+        corpus.ingest_raw(raw, "doc_id", "text")
+        corpus.score(raw, "doc_id", "text").collect()
+        tracked = corpus._t_blocks | corpus._r_blocks | corpus._tot_blocks
+        leaked = ckpt_ids() - pre - set(tracked)
+        assert not leaked, f"cycle {i}: untracked checkpoint blocks {leaked}"
+    tracked = corpus._t_blocks | corpus._r_blocks | corpus._tot_blocks
+    corpus.close()
+    assert not (set(tracked) & ckpt_ids()), "close() must free the state blocks"
