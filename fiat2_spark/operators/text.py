@@ -124,9 +124,19 @@ def tokens_unicode(text: Column) -> Column:
     shred into fragments. Java regex and DuckDB's RE2 both implement
     the \\p{L}/\\p{N} general categories, and both engines' lower() is
     Unicode-aware, so the DuckDB oracle splits identically
-    (differential-tested on crafted non-ASCII rows). BMP scope: BPE's
-    per-character symbolize matches one UTF-16 code unit in Java, so
+    (differential-tested on crafted non-ASCII rows AND hypothesis-
+    fuzzed over mixed-script text). BMP scope: BPE's per-character
+    symbolize matches one UTF-16 code unit in Java, so
     supplementary-plane text (emoji) is outside the BPE contract.
+
+    Sigma case-FOLDING: Java's toLowerCase applies the contextual
+    final-sigma rule (word-final 'Σ' → 'ς') where DuckDB's utf8proc
+    applies the simple mapping ('σ') — the one divergence the
+    differential fuzz actually found. The tokenizer therefore folds
+    'ς' → 'σ' after lowercasing (Unicode CASE FOLDING maps both sigma
+    lowercase forms to 'σ'), which both removes the engine divergence
+    and makes 'κόσμος'/'ΚΟΣΜΟΣ' tokenize identically — the behavior a
+    retrieval/dedup tokenizer wants anyway.
 
     TOKENIZER CONTRACT (which operators accept which tokenizer):
     the ASCII ``[a-z0-9]+`` `tokens` contract is the corpus-wide
@@ -141,7 +151,8 @@ def tokens_unicode(text: Column) -> Column:
     / `bpe_encode` / `bpe_encode_ids`) accepts ``tokenizer=``
     explicitly. Mixing tokenizers across a fit/score pair is a
     contract violation — pick one per pipeline."""
-    raw = F.split(F.lower(text), r"[^\p{L}\p{N}]+")
+    folded = F.replace(F.lower(text), F.lit("ς"), F.lit("σ"))
+    raw = F.split(folded, r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
 
 

@@ -3889,6 +3889,11 @@ _UNICODE_ROWS = [
     (6, "data2024 und die Zahl π ist ungefähr 3·14159"),
     (7, "the quick brown fox jumps over the lazy dog"),
     (8, "¡¿—…«»"),
+    # word-final capital Σ: Java's contextual final-sigma lowercase
+    # ('ς') vs utf8proc's simple mapping ('σ') is THE divergence the
+    # differential fuzz found; the tokenizer folds ς → σ so both
+    # engines — and both casings of the same word — agree
+    (9, "Ο ΚΟΣΜΟΣ και ο κόσμος"),
 ]
 
 
@@ -3906,7 +3911,8 @@ def _unicode_pipeline_oracle(n_merges: int = 4) -> str:
     WITH vals(doc_id, text) AS (VALUES {vals}),
     tk AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(lower(text), '[^\p{{L}}\p{{N}}]+'),
+             list_filter(string_split_regex(replace(lower(text), 'ς', 'σ'),
+                                            '[^\p{{L}}\p{{N}}]+'),
                          t -> t <> '') AS toks
       FROM vals
     ),

@@ -952,11 +952,14 @@ def test_tokens_unicode_contract(spark):
     texts=st.lists(
         st.text(
             # curated BMP alphabet: Latin w/ diacritics, German sharp s,
-            # Cyrillic, Greek (incl. final sigma), CJK (caseless), digits,
-            # ASCII + non-ASCII punctuation/space separators. Deliberately
-            # excludes known case-mapping divergence candidates (dotted
-            # capital I, ligatures) — those are outside the documented
-            # tokenizer contract, not silently asserted equal.
+            # Cyrillic, Greek INCLUDING capital and final sigma (this
+            # fuzz found Java's contextual final-sigma lowercase vs
+            # utf8proc's simple mapping — fixed by the tokenizer's
+            # ς → σ case-folding, so Σ/ς stay in the alphabet as the
+            # regression driver), CJK (caseless), digits, ASCII +
+            # non-ASCII punctuation/space separators. Deliberately
+            # excludes dotted capital I and ligatures — outside the
+            # documented tokenizer contract, not silently asserted equal.
             alphabet="aZéÉüÜßñçøÅ приветМИР αβΣς 汉字 019 .,;!?—…«»'\"()-_/\t",
             min_size=0, max_size=40,
         ),
@@ -985,7 +988,8 @@ def test_tokens_unicode_differential_fuzz(spark, texts):
         for i, t in enumerate(texts):
             (row,) = con.execute(
                 r"""SELECT list_filter(
-                       string_split_regex(lower(?), '[^\p{L}\p{N}]+'),
+                       string_split_regex(replace(lower(?), 'ς', 'σ'),
+                                          '[^\p{L}\p{N}]+'),
                        x -> x <> '')""",
                 [t],
             ).fetchall()
