@@ -140,17 +140,23 @@ def tokens_unicode(text: Column) -> Column:
 
     TOKENIZER CONTRACT (which operators accept which tokenizer):
     the ASCII ``[a-z0-9]+`` `tokens` contract is the corpus-wide
-    default — every operator that tokenizes INTERNALLY (DSIR, the NB
-    classifier, `lm_perplexity`/`doremi_*`, `ngram_strings`, the
-    quality/repetition scorers) is fit AND scored through it, so their
-    engine/oracle/Python-model triples stay aligned. Multilingual
-    corpora use this tokenizer instead: operators that take a TOKEN
-    COLUMN (`lang_scores`, `stopword_ratio`, `token_count`,
-    `repetition_stats`) compose with either tokenizer unchanged, and
-    the BPE family (`bpe_word_table` / `bpe_pair_counts` / `bpe_learn`
-    / `bpe_encode` / `bpe_encode_ids`) accepts ``tokenizer=``
-    explicitly. Mixing tokenizers across a fit/score pair is a
-    contract violation — pick one per pipeline."""
+    DEFAULT; every operator that tokenizes internally accepts
+    ``tokenizer=`` explicitly (threaded r11) — the BPE family
+    (`bpe_word_table` / `bpe_pair_counts` / `bpe_learn` / `bpe_encode`
+    / `bpe_encode_ids`), the model-based selection stack (`dsir_*`,
+    `nb_*`, `lm_perplexity`/`perplexity_filter`, `doremi_*`,
+    `token_transitions`) and the heuristic scorers (`quality_score`,
+    `gopher_rules`). Operators that take a TOKEN COLUMN
+    (`lang_scores`, `stopword_ratio`, `token_count`,
+    `repetition_stats`) compose with either tokenizer unchanged.
+    Two residual English/Latin specifics survive a `tokens_unicode`
+    corpus: the STOPWORDS lists are ASCII function words (langid and
+    the stopword quality term score 0 on non-Latin scripts), and
+    `gopher_rules`' alpha rule defaults to ``[a-z]`` (pass
+    ``alpha_pattern=r"\\p{L}"`` alongside the tokenizer). Mixing
+    tokenizers across a fit/score pair is a contract violation — pick
+    one per pipeline (fit/score pairing asserted by the unicode
+    curation queries' oracles)."""
     folded = F.replace(F.lower(text), F.lit("ς"), F.lit("σ"))
     raw = F.split(folded, r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
@@ -441,11 +447,14 @@ def mean_token_len(toks: Column) -> Column:
     return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, tokenizer=None) -> Column:
     """Composite quality heuristic in [0,1]: length band + stopword
     presence + low punctuation + sane word lengths. Weights fixed;
-    deterministic arithmetic only."""
-    t = tokens(text)
+    deterministic arithmetic only. ``tokenizer`` defaults to the ASCII
+    `tokens`; under `tokens_unicode` the length/band terms see whole
+    multilingual words while the stopword term remains English by
+    construction (see the `tokens_unicode` contract)."""
+    t = (tokenizer or tokens)(text)
     len_term = F.least(F.size(t).cast("double") / 50.0, F.lit(1.0))
     sw_term = F.least(stopword_ratio(t, "en") * 5.0, F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 4.0, F.lit(1.0))
@@ -592,7 +601,7 @@ def feature_bucket(feat: Column, buckets: int) -> Column:
 
 def dsir_scores(
     raw, target, id_col: str, text_col: str,
-    buckets: int = 256, quant: int = 10_000,
+    buckets: int = 256, quant: int = 10_000, tokenizer=tokens,
 ):
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023): score each raw-pool document by how much its hashed n-gram
@@ -619,7 +628,11 @@ def dsir_scores(
     factor). The lr table is ≤B rows (broadcast); the totals are 1-row
     aggregates (broadcast); scoring is a broadcast join + per-doc sum;
     top-k is TakeOrderedAndProject — no global sort, no all-pairs
-    anything."""
+    anything.
+
+    ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode` — the
+    fit/score pairing contract (see `tokens_unicode`): BOTH corpora
+    featurize through the one tokenizer passed here."""
     def bucketed(df):
         # the featurize pass is CPU-bound: spread the (often
         # single-row-group) scan across right-sized partitions first —
@@ -628,7 +641,7 @@ def dsir_scores(
 
         return df.repartition(cpu_partitions(df)).select(
             F.col(id_col).alias("doc"),
-            F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+            F.explode(ngram_strings(tokenizer(F.col(text_col)))).alias("feat"),
         ).select(
             "doc", feature_bucket(F.col("feat"), buckets).alias("bucket")
         ).localCheckpoint()
@@ -671,12 +684,12 @@ def dsir_scores(
 
 def dsir_importance(
     raw, target, id_col: str, text_col: str,
-    buckets: int = 256, quant: int = 10_000, k: int = 100,
+    buckets: int = 256, quant: int = 10_000, k: int = 100, tokenizer=tokens,
 ):
     """Top-k selection by raw DSIR importance score (`dsir_scores`) —
     ties on doc id; TakeOrderedAndProject, no global sort."""
     return (
-        dsir_scores(raw, target, id_col, text_col, buckets, quant)
+        dsir_scores(raw, target, id_col, text_col, buckets, quant, tokenizer)
         .orderBy(F.desc("score"), id_col)
         .limit(k)
     )
@@ -685,6 +698,7 @@ def dsir_importance(
 def dsir_resample(
     raw, target, id_col: str, text_col: str,
     buckets: int = 256, quant: int = 10_000, k: int = 64, temp: float = 1.0,
+    tokenizer=tokens,
 ):
     """DSIR's actual RESAMPLING step (Xie et al. 2023 §3): draw k
     documents with probability ∝ exp(score/T) WITHOUT replacement via
@@ -698,7 +712,7 @@ def dsir_resample(
     Keys round to 6 decimals so a last-ulp libm-ln difference cannot
     reorder near-equal keys; doc id breaks ties. Top-k is
     TakeOrderedAndProject — the exchange never carries the pool."""
-    scores = dsir_scores(raw, target, id_col, text_col, buckets, quant)
+    scores = dsir_scores(raw, target, id_col, text_col, buckets, quant, tokenizer)
     u = (
         F.conv(
             F.substring(
@@ -737,6 +751,7 @@ def lm_perplexity(
     raw, ref, id_col: str, text_col: str,
     vocab_size: int = 1024, quant: int = 10_000,
     alpha_num: int = 2, alpha_den: int = 5, unk: str = "<unk>",
+    tokenizer=tokens,
 ):
     """CCNet-style n-gram LM scoring (Wenzek et al. 2019,
     arXiv:1911.00359 §4.3 "LM filtering"): score every RAW document by
@@ -769,7 +784,12 @@ def lm_perplexity(
     bigrams — all broadcast; fitting is one explode+count pass over the
     ref corpus and scoring is one explode + two broadcast probes + a
     per-doc partial-aggregated sum over the raw corpus. No window, no
-    global sort, no corpus-keyed shuffle except the final per-doc agg."""
+    global sort, no corpus-keyed shuffle except the final per-doc agg.
+
+    ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode` — the
+    fit/score pairing contract (see `tokens_unicode`): the ref LM is
+    FIT and the raw corpus SCORED through the one tokenizer passed
+    here (OOV→unk keeps the vocab closed under either)."""
     spark = raw.sparkSession
 
     def transitions(df):
@@ -779,7 +799,7 @@ def lm_perplexity(
         # embedded tokens() regex split per element_at (no
         # common-subexpression elimination inside HOF lambdas):
         # measured 7.3 s → 0.68 s at sf0.1 on the raw corpus, same rows.
-        t = tokens(F.col(text_col))
+        t = tokenizer(F.col(text_col))
         n = F.size(t)
         pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
         return df.select(
@@ -793,7 +813,7 @@ def lm_perplexity(
     # fit: one unigram pass over ref feeds vocab, c1, and N (blocks,
     # not a CacheManager pin — the minhash-shingle discipline)
     ref_uni = ref.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
+        F.col(id_col).alias("doc"), F.explode(tokenizer(F.col(text_col))).alias("w")
     ).localCheckpoint()
     vocab = (
         ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -859,7 +879,7 @@ def lm_perplexity(
 def perplexity_filter(
     raw, ref, id_col: str, text_col: str, threshold_q: int,
     vocab_size: int = 1024, quant: int = 10_000,
-    alpha_num: int = 2, alpha_den: int = 5,
+    alpha_num: int = 2, alpha_den: int = 5, tokenizer=tokens,
 ):
     """CCNet's LM quality gate: keep a document iff its MEAN per-token
     NLL under the ref-fit bigram LM is at most threshold_q/quant nats —
@@ -870,7 +890,8 @@ def perplexity_filter(
     fragments to its "middle" bucket, a threshold policy knob).
     Returns (id, n_trans, nll_q, keep)."""
     s = lm_perplexity(
-        raw, ref, id_col, text_col, vocab_size, quant, alpha_num, alpha_den
+        raw, ref, id_col, text_col, vocab_size, quant, alpha_num, alpha_den,
+        tokenizer=tokenizer,
     )
     return s.withColumn(
         "keep", F.col("nll_q") <= F.lit(threshold_q) * F.col("n_trans")
@@ -888,6 +909,8 @@ def gopher_rules(
     text_col: str,
     min_words: int = 50,
     max_words: int = 100_000,
+    tokenizer=tokens,
+    alpha_pattern: str = "[a-z]",
 ):
     """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 Table
     A1) — the literature's named heuristic rule set (reused verbatim by
@@ -909,8 +932,13 @@ def gopher_rules(
     expressions are top-level or linear per-token/per-line lambdas over
     PRE-PROJECTED arrays (the r9 HOF rule: never re-evaluate the
     tokenizer inside a lambda). One scan, no shuffle, no UDF.
-    Returns (id, n_words, the 7 rule booleans, keep)."""
-    toks = tokens(F.col(text_col))
+    Returns (id, n_words, the 7 rule booleans, keep).
+
+    ``tokenizer``/``alpha_pattern``: the multilingual pairing is
+    ``tokenizer=tokens_unicode, alpha_pattern=r"\\p{L}"`` (the alpha
+    rule must recognize letters in the tokenizer's alphabet); the
+    stopword rule stays Gopher's English list by construction."""
+    toks = tokenizer(F.col(text_col))
     lines = F.split(F.col(text_col), "\n", -1)
     d = df.select(
         F.col(id_col),
@@ -930,7 +958,7 @@ def gopher_rules(
     )
     n = F.size(F.col("__toks"))
     total_chars = F.length(F.array_join(F.col("__toks"), ""))
-    alpha_words = F.size(F.filter(F.col("__toks"), lambda t: t.rlike("[a-z]")))
+    alpha_words = F.size(F.filter(F.col("__toks"), lambda t: t.rlike(alpha_pattern)))
     n_lines = F.size(F.col("__lines"))
     bullet_lines = F.size(
         F.filter(
@@ -970,7 +998,7 @@ def gopher_rules(
 
 
 def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
-                 checkpoint=True, track=None):
+                 checkpoint=True, track=None, tokenizer=tokens):
     """One featurize pass: hashed unigram+bigram buckets per doc
     (post-explode codegen'd md5 bucketing, localCheckpointed —
     `dsir_scores`' discipline). Shared by the one-shot classifier and
@@ -992,7 +1020,7 @@ def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
         .select(
             F.col(id_col).alias("doc"),
             *[F.col(c) for c in extra],
-            F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+            F.explode(ngram_strings(tokenizer(F.col(text_col)))).alias("feat"),
         )
         .select(
             "doc",
@@ -1012,7 +1040,7 @@ def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
 
 
 def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int,
-              track=None):
+              track=None, tokenizer=tokens):
     """The naive-Bayes sufficient statistics of a labeled corpus:
     (bucket, n_p, n_n) per observed feature bucket, the 1-row feature
     totals (tot_p, tot_n), and the 1-row doc totals (docs_p, docs_n).
@@ -1029,7 +1057,7 @@ def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int,
     block ids for targeted retirement (the `NBClassifierCorpus` path —
     see `_nb_bucketed`'s block-lifetime contract)."""
     tb = _nb_bucketed(train, id_col, text_col, buckets, extra=(label_col,),
-                      track=track)
+                      track=track, tokenizer=tokenizer)
     counts = tb.groupBy("bucket").agg(
         F.sum(F.col(label_col).cast("long")).alias("n_p"),
         F.sum((~F.col(label_col)).cast("long")).alias("n_n"),
@@ -1054,6 +1082,7 @@ def nb_counts(train, id_col: str, text_col: str, label_col: str, buckets: int,
 def nb_score_from_counts(
     score, counts, ftot, dtot, id_col: str, text_col: str,
     buckets: int = 256, quant: int = 10_000, checkpoint: bool = True,
+    tokenizer=tokens,
 ):
     """Classify with a model given as sufficient statistics: per-bucket
     weight w[b] = round(ln((n_p+1)·(tot_n+B) / ((n_n+1)·(tot_p+B)))·quant)
@@ -1097,7 +1126,8 @@ def nb_score_from_counts(
         .cast("long")
         .alias("bias")
     )
-    sb = _nb_bucketed(score, id_col, text_col, buckets, checkpoint=checkpoint)
+    sb = _nb_bucketed(score, id_col, text_col, buckets, checkpoint=checkpoint,
+                      tokenizer=tokenizer)
     doc_sums = (
         sb.join(F.broadcast(w), "bucket")
         .groupBy("doc")
@@ -1125,6 +1155,7 @@ def nb_classifier_scores(
     label_col: str = "label",
     buckets: int = 256,
     quant: int = 10_000,
+    tokenizer=tokens,
 ):
     """fastText-style linear text classifier (Joulin et al. 2016,
     arXiv:1607.01759) over hashed unigram+bigram features, with
@@ -1140,10 +1171,16 @@ def nb_classifier_scores(
     Plan: one featurize pass per corpus; the model is a ≤B-row
     broadcast + a 1-row bias; scoring is a broadcast join + per-doc
     partial-agg sum; docs with zero features score the bare bias via
-    the final left join. Returns (id, logit_q, pred)."""
-    counts, ftot, dtot = nb_counts(train, id_col, text_col, label_col, buckets)
+    the final left join. Returns (id, logit_q, pred).
+
+    ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode` — the
+    fit/score pairing contract (see `tokens_unicode`): train and score
+    corpora featurize through the one tokenizer passed here."""
+    counts, ftot, dtot = nb_counts(train, id_col, text_col, label_col, buckets,
+                                   tokenizer=tokenizer)
     return nb_score_from_counts(
-        score, counts, ftot, dtot, id_col, text_col, buckets, quant
+        score, counts, ftot, dtot, id_col, text_col, buckets, quant,
+        tokenizer=tokenizer,
     )
 
 
@@ -1238,11 +1275,11 @@ def length_bucket_batches(
 # --- DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429) ---
 
 
-def token_transitions(df, id_col: str, text_col: str):
+def token_transitions(df, id_col: str, text_col: str, tokenizer=tokens):
     """(doc, prev, w) adjacent-token pairs via arrays_zip over two
     shifted slices — the all-native form `lm_perplexity` uses (HOF
     lambdas would run interpreted per element)."""
-    t = tokens(F.col(text_col))
+    t = tokenizer(F.col(text_col))
     n = F.size(t)
     pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
     return df.select(
@@ -1256,7 +1293,7 @@ def doremi_weights(
     alpha_num: int = 2, alpha_den: int = 5,
     eta_num: int = 1, eta_den: int = 1,
     smooth_num: int = 1, smooth_den: int = 100,
-    escale: int = 10**9,
+    escale: int = 10**9, tokenizer=tokens,
 ):
     """DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429):
     one Group-DRO multiplicative-weights step over the pool's domains.
@@ -1293,7 +1330,7 @@ def doremi_weights(
     (domain, n_docs, n_trans, excess_q, weight)."""
     per = _doremi_domain_stats(
         pool, ref, id_col, text_col, domain_col,
-        vocab_size, quant, alpha_num, alpha_den,
+        vocab_size, quant, alpha_num, alpha_den, tokenizer=tokenizer,
     )
     # λ quantized to integer quant-units per transition, then softmax-
     # stabilized by the max BEFORE the exp: e_k = round(exp(η·(λ_k −
@@ -1333,7 +1370,7 @@ def doremi_weights(
 def _doremi_domain_stats(
     pool, ref, id_col: str, text_col: str, domain_col: str,
     vocab_size: int = 1024, quant: int = 10_000,
-    alpha_num: int = 2, alpha_den: int = 5,
+    alpha_num: int = 2, alpha_den: int = 5, tokenizer=tokens,
 ):
     """The shared DoReMi corpus pass: per-domain excess-loss statistics
     (domain, n_docs, n_trans, excess_q, lamq) with lamq the quantized
@@ -1350,7 +1387,7 @@ def _doremi_domain_stats(
     # fit on ref — lm_perplexity's construction (one unigram pass
     # feeds vocab/c1/N; bigrams vocab-closed)
     ref_uni = ref.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("w")
+        F.col(id_col).alias("doc"), F.explode(tokenizer(F.col(text_col))).alias("w")
     ).localCheckpoint()
     vocab = (
         ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
@@ -1365,7 +1402,10 @@ def _doremi_domain_stats(
     )
     c2 = (
         _vocab_mapped(
-            _vocab_mapped(token_transitions(ref, id_col, text_col), "prev", vocab, unk),
+            _vocab_mapped(
+                token_transitions(ref, id_col, text_col, tokenizer),
+                "prev", vocab, unk,
+            ),
             "w", vocab, unk,
         )
         .groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n2"))
@@ -1393,7 +1433,7 @@ def _doremi_domain_stats(
     # score pool transitions: excess = max(0, baseline − reference).
     # The domain rides the explode itself — no corpus-keyed join back
     # to the pool (the one shuffle a doc-keyed formulation would add).
-    t = tokens(F.col(text_col))
+    t = tokenizer(F.col(text_col))
     n = F.size(t)
     pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
     pt = _vocab_mapped(
@@ -1444,6 +1484,7 @@ def doremi_weights_trajectory(
     eta_num: int = 1, eta_den: int = 1,
     smooth_num: int = 1, smooth_den: int = 100,
     escale: int = 10**6, ascale: int = 10**9,
+    tokenizer=tokens, track=None,
 ):
     """Multi-round DoReMi (Xie et al. 2023 Algorithm 1): iterate the
     Group-DRO multiplicative-weights update T times and return the
@@ -1472,13 +1513,29 @@ def doremi_weights_trajectory(
     Scale: the corpus pass (`_doremi_domain_stats`) is shared and runs
     ONCE; each round is a K-row job (sum + crossJoin + arithmetic),
     localCheckpoint-truncated so the T-round lineage stays flat.
-    Returns (domain, n_docs, n_trans, excess_q, weight), Σ weight ≈ 1."""
+    Returns (domain, n_docs, n_trans, excess_q, weight), Σ weight ≈ 1.
+
+    ``track``: optional list receiving the rounds+1 loop checkpoints'
+    block ids for targeted release — the live-index contract
+    `bpe_learn_from_words`/`_nb_bucketed` follow (ADVICE r10); None is
+    the batch contract (blocks belong to the returned result, session
+    owner's sweep reclaims them)."""
     w1, r1 = divmod(ascale * (smooth_den - smooth_num), smooth_den)
     w2 = ascale * smooth_num
     assert r1 == 0, "smooth_den must divide ascale*(smooth_den-smooth_num)"
+
+    def ckpt(df):
+        if track is None:
+            return df.localCheckpoint()
+        from fiat2_spark.session import local_checkpoint_tracked
+
+        out, blocks = local_checkpoint_tracked(df)
+        track.extend(blocks)
+        return out
+
     per = _doremi_domain_stats(
         pool, ref, id_col, text_col, domain_col,
-        vocab_size, quant, alpha_num, alpha_den,
+        vocab_size, quant, alpha_num, alpha_den, tokenizer=tokenizer,
     )
     lam_max = per.agg(F.max("lamq").alias("lam_max"))
     k_df = per.agg(F.count(F.lit(1)).alias("k_dom"))
@@ -1500,8 +1557,8 @@ def doremi_weights_trajectory(
             F.round(F.lit(float(ascale)) / F.col("k_dom")).cast("long"),
         )
         .withColumn("asum", F.lit(0).cast("long"))
-        .localCheckpoint()
     )
+    cur = ckpt(cur)
     for _t in range(rounds):
         cur = cur.withColumn("m", F.col("a") * F.col("e"))
         msum = cur.agg(F.sum("m").alias("m_sum"))
@@ -1512,12 +1569,11 @@ def doremi_weights_trajectory(
             + F.lit(float(w2))
             / (F.col("k_dom") * F.lit(smooth_den)).cast("double")
         ).cast("long")
-        cur = (
+        cur = ckpt(
             cur.crossJoin(F.broadcast(msum))
             .withColumn("a", a_new)
             .withColumn("asum", F.col("asum") + F.col("a"))
             .drop("m", "m_sum")
-            .localCheckpoint()
         )
     return cur.select(
         "domain", "n_docs", "n_trans", "excess_q",

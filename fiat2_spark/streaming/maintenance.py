@@ -907,8 +907,14 @@ class NBClassifierCorpus:
     training data the state is still ≤B+1 rows; only ingest's
     featurize pass scales with the batch."""
 
-    def __init__(self, spark, buckets: int = 256, quant: int = 10_000):
+    def __init__(self, spark, buckets: int = 256, quant: int = 10_000,
+                 tokenizer=None):
+        from fiat2_spark.operators.text import tokens
+
         self.buckets, self.quant = buckets, quant
+        # the fit/score pairing contract (tokens_unicode docstring):
+        # one tokenizer per model's life, used by every fold AND score
+        self.tokenizer = tokenizer or tokens
         self.counts, self._blocks = local_checkpoint_tracked(
             spark.createDataFrame([], "bucket long, n_p long, n_n long")
         )
@@ -935,7 +941,8 @@ class NBClassifierCorpus:
 
         scratch: list = []
         bc, bf, bd = nb_counts(
-            batch, id_col, text_col, label_col, self.buckets, track=scratch
+            batch, id_col, text_col, label_col, self.buckets, track=scratch,
+            tokenizer=self.tokenizer,
         )
         s = F.lit(sign)
         merged = (
@@ -997,6 +1004,7 @@ class NBClassifierCorpus:
             self.totals.select("tot_p", "tot_n"),
             self.totals.select("docs_p", "docs_n"),
             id_col, text_col, self.buckets, self.quant, checkpoint=False,
+            tokenizer=self.tokenizer,
         )
 
     def close(self) -> int:
@@ -1095,11 +1103,12 @@ class BpeVocabCorpus:
         _, mdf = bpe_learn_from_words(
             wt, n_merges, checkpoint_every, track=scratch
         )
-        rows = mdf.collect()
+        # mdf is already driver-local (bpe_learn_from_words builds it
+        # via createDataFrame from the collected merge list), so it has
+        # no dependency on the loop's checkpoint blocks — release them
+        # and return it directly (ADVICE r10)
         release_blocks(self.words.sparkSession, frozenset(scratch))
-        return mdf.sparkSession.createDataFrame(
-            rows, "step int, lhs string, rhs string, freq bigint"
-        )
+        return mdf
 
     def close(self) -> int:
         """Free the vocabulary-state blocks."""
@@ -1140,8 +1149,14 @@ class DsirCorpus:
     State is ≤2B+1 rows at any corpus size; only ingest's featurize
     pass scales with the batch."""
 
-    def __init__(self, spark, buckets: int = 256, quant: int = 10_000):
+    def __init__(self, spark, buckets: int = 256, quant: int = 10_000,
+                 tokenizer=None):
+        from fiat2_spark.operators.text import tokens
+
         self.buckets, self.quant = buckets, quant
+        # one tokenizer per model's life (the fit/score pairing
+        # contract) — every ingest/retract/score featurizes through it
+        self.tokenizer = tokenizer or tokens
         self.tcounts, self._t_blocks = local_checkpoint_tracked(
             spark.createDataFrame([], "bucket long, n_t long")
         )
@@ -1154,15 +1169,15 @@ class DsirCorpus:
 
     def _featurize(self, batch, id_col: str, text_col: str):
         from fiat2_spark.operators.dedup import cpu_partitions
-        from fiat2_spark.operators.text import (
-            feature_bucket, ngram_strings, tokens,
-        )
+        from fiat2_spark.operators.text import feature_bucket, ngram_strings
 
         return (
             batch.repartition(cpu_partitions(batch))
             .select(
                 F.col(id_col).alias("doc"),
-                F.explode(ngram_strings(tokens(F.col(text_col)))).alias("feat"),
+                F.explode(
+                    ngram_strings(self.tokenizer(F.col(text_col)))
+                ).alias("feat"),
             )
             .select(
                 "doc", feature_bucket(F.col("feat"), self.buckets).alias("bucket")
@@ -1238,7 +1253,10 @@ class DsirCorpus:
         counts ARE the scored pool's; the streaming usage that matches
         it bitwise is ingest_raw(pool) before score(pool). Scoring a
         never-ingested batch silently skips its both-sides-unseen
-        buckets rather than inventing a smoothed ratio for them."""
+        buckets rather than inventing a smoothed ratio for them —
+        `coverage(batch, ...)` measures exactly that skip fraction
+        (1.0 = full one-shot parity); run it when ingest provenance
+        is uncertain."""
         b = self.buckets
         lr = (
             self.tcounts.join(self.rcounts, "bucket", "full_outer")
@@ -1268,6 +1286,45 @@ class DsirCorpus:
             .groupBy("doc")
             .agg(F.sum("lr").alias("score"))
             .select(F.col("doc").alias(id_col), "score")
+        )
+
+    def coverage(self, batch, id_col: str, text_col: str):
+        """The bucket-coverage tripwire for `score`'s contract
+        (VERDICT r10 task 7): the fraction of the batch's feature
+        OCCURRENCES landing on buckets present in the current lr table
+        (observed on at least one ingested side). Returns a 1-row
+        DataFrame (n_feat, n_covered, coverage) — coverage 1.0 means
+        one-shot parity holds exactly (`score` drops nothing);
+        anything below means the batch was not (fully) ingested and
+        `score` is silently skipping its both-sides-unseen buckets.
+        Cheap: the batch featurize pass + a broadcast semi-probe of
+        the ≤2B-row state — run it before scoring a pool whose ingest
+        provenance is uncertain."""
+        seen = (
+            self.tcounts.select("bucket")
+            .unionByName(self.rcounts.select("bucket"))
+            .distinct()
+            .withColumn("__seen", F.lit(1))
+        )
+        return (
+            self._featurize(batch, id_col, text_col)
+            .join(F.broadcast(seen), "bucket", "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_feat"),
+                F.coalesce(F.sum("__seen"), F.lit(0))
+                .cast("long")
+                .alias("n_covered"),
+            )
+            .select(
+                "n_feat",
+                "n_covered",
+                F.when(F.col("n_feat") == 0, F.lit(1.0))
+                .otherwise(
+                    F.col("n_covered").cast("double")
+                    / F.col("n_feat").cast("double")
+                )
+                .alias("coverage"),
+            )
         )
 
     def close(self) -> int:

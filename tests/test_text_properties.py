@@ -912,7 +912,7 @@ def test_doremi_trajectory_single_round_reduces_to_one_step(spark):
 
 
 def test_tokens_unicode_contract(spark):
-    """The tokenizer-contract pins: \p{L}\p{N} keeps accented and
+    r"""The tokenizer-contract pins: \p{L}\p{N} keeps accented and
     non-Latin words whole where the ASCII contract shreds or drops
     them; Unicode lower() applies; digits stay; BMP punctuation of any
     script separates; and the BPE family composes through

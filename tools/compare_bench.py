@@ -69,7 +69,11 @@ def main() -> None:
     # control query, report the ratio with the regime divided out —
     # ratio_normalized ≈ 1.0 means "same engine speed, different host
     # weather" even when the raw ratio swings
-    if old_ctl and new_ctl:
+    # presence and positivity checked separately: a control_sec of 0.0
+    # is "measured zero" (impossible for a real job, but it must not be
+    # conflated with "artifact predates the control"), and the division
+    # needs an explicit > 0 guard either way
+    if old_ctl is not None and new_ctl is not None and old_ctl > 0:
         out["control_old"] = old_ctl
         out["control_new"] = new_ctl
         out["control_ratio"] = round(new_ctl / old_ctl, 3)
