@@ -158,6 +158,9 @@ HEADLINE = [
     "doremi_trajectory",            # Algorithm 1: T rounds, trajectory-averaged mixture
     "text_unicode_pipeline",        # \p{L}\p{N} tokenizer contract: langid + BPE composed
     "length_bucket_batches",        # padded-batch construction by length band
+    # round-11 additions
+    "unicode_corpus_tokens",        # corpus-scale unicode tokenize, map-only
+    "perplexity_filter_unicode",    # LM gate under tokens_unicode, multilingual fixture
 ]
 
 

@@ -1127,3 +1127,129 @@ def test_dsir_corpus_zero_block_residency(spark):
     tracked = corpus._t_blocks | corpus._r_blocks | corpus._tot_blocks
     corpus.close()
     assert not (set(tracked) & ckpt_ids()), "close() must free the state blocks"
+
+
+def test_dsir_corpus_coverage_tripwire(spark):
+    """The score() bucket-coverage contract made measurable (VERDICT
+    r10 task 7): coverage() on a batch with never-ingested n-grams
+    reads < 1.0 (score would silently skip those buckets), rises to
+    exactly 1.0 once the batch itself is ingested (the one-shot-parity
+    precondition), and an empty batch is vacuously covered."""
+    from fiat2_spark.streaming.maintenance import DsirCorpus
+
+    target = spark.createDataFrame(
+        [(100 + i, "spark scala catalyst tungsten") for i in range(3)],
+        "doc_id long, text string",
+    )
+    # novel vocabulary: with 4096 buckets its n-grams can't all collide
+    # into target-observed buckets
+    pool = spark.createDataFrame(
+        [(1, "llama alpaca vicuna guanaco"), (2, "spark scala")],
+        "doc_id long, text string",
+    )
+    corpus = DsirCorpus(spark, buckets=4096)
+    corpus.ingest_target(target, "doc_id", "text")
+    before = corpus.coverage(pool, "doc_id", "text").collect()[0]
+    assert before["n_feat"] > before["n_covered"] > 0, dict(before.asDict())
+    assert 0 < before["coverage"] < 1.0
+    corpus.ingest_raw(pool, "doc_id", "text")
+    after = corpus.coverage(pool, "doc_id", "text").collect()[0]
+    assert after["coverage"] == 1.0 and after["n_feat"] == after["n_covered"]
+    empty = corpus.coverage(
+        pool.filter(F.col("doc_id") < 0), "doc_id", "text"
+    ).collect()[0]
+    corpus.close()
+    assert empty["n_feat"] == 0 and empty["coverage"] == 1.0
+
+
+def _bpe_apply_py(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Python reference BPE apply: per-char symbols + '</w>', each merge
+    applied left-to-right non-overlapping in learned order — the exact
+    semantics of the engine's wrapped-string replace."""
+    syms = list(word) + ["</w>"]
+    for lhs, rhs in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_vocab_corpus_reencode_across_vocab_growth(spark):
+    """The incremental tokenizer composed end-to-end (VERDICT r10
+    missing #3): learn merges at t0, ingest more corpus, learn at t1,
+    and RE-ENCODE the same documents with each vocabulary.  Both
+    encodes must match the Python model exactly (symbol streams +
+    dense-rank ids over each encode's own symbol vocabulary), and the
+    t0→t1 diff must be exactly the documents containing a word whose
+    symbolization changed — vocab growth may not perturb unrelated
+    documents' token streams."""
+    from fiat2_spark.operators.text import bpe_encode_ids, tokens
+    from fiat2_spark.streaming.maintenance import BpeVocabCorpus
+
+    batch_a = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "low wide wider")],
+        "doc_id long, text string",
+    )
+    batch_b = spark.createDataFrame(
+        [(2, "newest newest newest newer new")],
+        "doc_id long, text string",
+    )
+    docs = batch_a.unionByName(batch_b)
+    corpus = BpeVocabCorpus(spark)
+    corpus.ingest(batch_a, "text")
+    merges_t0 = [
+        (r["lhs"], r["rhs"]) for r in corpus.learn(4).orderBy("step").collect()
+    ]
+    corpus.ingest(batch_b, "text")
+    merges_t1 = [
+        (r["lhs"], r["rhs"]) for r in corpus.learn(4).orderBy("step").collect()
+    ]
+    corpus.close()
+    assert merges_t0 != merges_t1  # batch B shifts the pair argmax
+
+    doc_words = {
+        r["doc_id"]: r["text"].split() for r in docs.collect()
+    }
+
+    def model(merges):
+        streams = {}
+        for doc, words in doc_words.items():
+            syms = [s for w in words for s in _bpe_apply_py(w, merges)]
+            streams[doc] = syms
+        vocab = sorted({s for syms in streams.values() for s in syms})
+        ids = {s: i + 1 for i, s in enumerate(vocab)}
+        return {
+            doc: [(p + 1, ids[s]) for p, s in enumerate(syms)]
+            for doc, syms in streams.items()
+        }, streams
+
+    for merges in (merges_t0, merges_t1):
+        want, _ = model(merges)
+        got: dict[int, list[tuple[int, int]]] = {}
+        for r in bpe_encode_ids(docs, "doc_id", "text", merges, tokens).collect():
+            got.setdefault(r["doc_id"], []).append((r["pos"], r["token_id"]))
+        got = {d: sorted(v) for d, v in got.items()}
+        assert got == want, f"\nmerges={merges}\ngot={got}\nwant={want}"
+
+    # the t0→t1 symbol-stream diff is exactly the docs whose words
+    # re-symbolize differently — nothing else moved
+    _, s0 = model(merges_t0)
+    _, s1 = model(merges_t1)
+    changed_words = {
+        w
+        for words in doc_words.values()
+        for w in words
+        if _bpe_apply_py(w, merges_t0) != _bpe_apply_py(w, merges_t1)
+    }
+    for doc, words in doc_words.items():
+        if changed_words & set(words):
+            assert s0[doc] != s1[doc], doc
+        else:
+            assert s0[doc] == s1[doc], doc
+    assert changed_words, "fixture must actually exercise a vocab change"

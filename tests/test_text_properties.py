@@ -997,3 +997,58 @@ def test_tokens_unicode_differential_fuzz(spark, texts):
     finally:
         con.close()
     assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+def test_nb_classifier_unicode_fit_score_pairing(spark):
+    r"""The tokenizer= threading through the NB classifier (VERDICT r10
+    task 2): trained AND scored under tokens_unicode, a Cyrillic
+    positive/negative split separates (the features exist); under the
+    ASCII tokenizer the same corpus is featureless — every doc scores
+    the bare bias — which is exactly the silent degradation the
+    threading removes."""
+    from fiat2_spark.operators.text import (
+        nb_classifier_scores, tokens, tokens_unicode,
+    )
+
+    rows = [
+        (1, "хорошие данные чистый текст", True),
+        (2, "хорошие данные полный текст", True),
+        (3, "спам мусор реклама спам", False),
+        (4, "мусор реклама спам мусор", False),
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    uni = {
+        r["doc_id"]: (r["logit_q"], r["pred"])
+        for r in nb_classifier_scores(
+            train, train, "doc_id", "text", tokenizer=tokens_unicode
+        ).collect()
+    }
+    assert uni[1][1] and uni[2][1] and not uni[3][1] and not uni[4][1], uni
+    ascii_scores = {
+        r["doc_id"]: r["logit_q"]
+        for r in nb_classifier_scores(
+            train, train, "doc_id", "text", tokenizer=tokens
+        ).collect()
+    }
+    # ASCII tokenizer: zero features per doc → everyone gets the bias
+    assert len(set(ascii_scores.values())) == 1, ascii_scores
+
+
+def test_gopher_rules_unicode_alpha_pairing(spark):
+    r"""gopher_rules' multilingual pairing (tokenizer=tokens_unicode,
+    alpha_pattern=\p{L}): a Cyrillic document's words count as
+    alphabetic under the paired pattern and fail under the default
+    [a-z] — the alpha rule must recognize the tokenizer's alphabet."""
+    from fiat2_spark.operators.text import gopher_rules, tokens_unicode
+
+    text = " ".join(["слово текст данные пример" ] * 15)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    paired = gopher_rules(
+        df, "doc_id", "text", min_words=10,
+        tokenizer=tokens_unicode, alpha_pattern=r"\p{L}",
+    ).collect()[0]
+    assert paired["r_alpha"] and paired["r_word_count"], paired.asDict()
+    mismatched = gopher_rules(
+        df, "doc_id", "text", min_words=10, tokenizer=tokens_unicode
+    ).collect()[0]
+    assert not mismatched["r_alpha"], mismatched.asDict()
