@@ -161,6 +161,7 @@ HEADLINE = [
     # round-11 additions
     "unicode_corpus_tokens",        # corpus-scale unicode tokenize, map-only
     "perplexity_filter_unicode",    # LM gate under tokens_unicode, multilingual fixture
+    "ccnet_bucket_assign",          # per-language perplexity terciles (head/middle/tail)
 ]
 
 

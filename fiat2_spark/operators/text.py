@@ -898,6 +898,68 @@ def perplexity_filter(
     )
 
 
+def ccnet_buckets(
+    raw, ref, id_col: str, text_col: str, lang_col: str,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5, tokenizer=tokens,
+    mq_scale: int = 1_000_000,
+):
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2019, arXiv:1911.00359 §4.3): rank every document by its mean
+    per-transition NLL under the ref-fit LM (`lm_perplexity`) WITHIN
+    its language, and cut each language's ranking into thirds — head =
+    the most-fluent third (CCNet keeps it outright), middle, tail.
+    This is what the paper actually ships: per-language terciles, not
+    a global threshold, so low-resource languages aren't judged by the
+    high-resource languages' perplexity range.
+
+    Exactness discipline: the ranking key is the integer
+    mq = (nll_q · mq_scale) div n_trans (BIGINT division — never a
+    float mean whose last ulp could reorder near-ties), ties break on
+    doc id, and the tercile cuts are integer cross-multiplications
+    (3·rn ≤ n, 3·rn ≤ 2n) — rank-based, so both engines agree bitwise
+    even when a language's scores bunch. Documents with no scorable
+    transition (< 2 tokens) are excluded — nothing to judge them on
+    (the `perplexity_filter` policy knob, mirrored by the oracle).
+
+    Scale: `lm_perplexity`'s plan (model-sized broadcasts, one corpus
+    explode, per-doc partial agg) + a per-language ranking through
+    `grouped_row_number`'s quantile-bucket scheme — languages are
+    LOW-cardinality, exactly the regime where the plain
+    lang-partitioned window would plan |langs| tasks on a
+    1000-executor cluster. Returns (id, lang, mq, bucket)."""
+    from fiat2_spark.operators.relational import grouped_row_number
+
+    s = lm_perplexity(
+        raw, ref, id_col, text_col, vocab_size, quant,
+        alpha_num, alpha_den, tokenizer=tokenizer,
+    ).filter(F.col("n_trans") > 0)
+    scored = (
+        s.join(raw.select(id_col, lang_col), id_col)
+        .withColumn(
+            "mq",
+            F.expr(f"(nll_q * CAST({mq_scale} AS BIGINT)) div n_trans"),
+        )
+    )
+    rn = grouped_row_number(
+        scored, [lang_col], "mq", id_name="__rn",
+        tiebreak=[F.col(id_col)],
+    )
+    n_lang = rn.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        rn.join(F.broadcast(n_lang), lang_col)
+        .select(
+            F.col(id_col),
+            F.col(lang_col),
+            "mq",
+            F.when(3 * F.col("__rn") <= F.col("__n"), F.lit("head"))
+            .when(3 * F.col("__rn") <= 2 * F.col("__n"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 # The 8 "must contain 2 of" stop words from Gopher's quality table
 # (Rae et al. 2021, arXiv:2112.11446 Table A1).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -4179,6 +4179,47 @@ _PPL_U_ORACLE = _LM_CTES_U + """
 """
 
 
+_CCNET_ORACLE = _LM_CTES + """
+    , sc AS (SELECT r.doc_id, count(*) AS n_trans, SUM(COALESCE(q2.q, q1.q)) AS nll_q
+           FROM rmb r LEFT JOIN q2 ON q2.prev = r.prev AND q2.w = r.w
+                      LEFT JOIN q1 ON q1.w = r.w
+           GROUP BY r.doc_id),
+    m AS (SELECT sc.doc_id, d.lang,
+                 CAST((sc.nll_q * 1000000) // sc.n_trans AS BIGINT) AS mq
+          FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+    r AS (SELECT *,
+                 row_number() OVER (PARTITION BY lang ORDER BY mq, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM m)
+    SELECT doc_id, lang, mq,
+           CASE WHEN 3 * rn <= n THEN 'head'
+                WHEN 3 * rn <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+"""
+
+
+@q("ccnet_bucket_assign", _CCNET_ORACLE)
+def ccnet_bucket_assign(spark, sf_dir):
+    """CCNet's head/middle/tail assignment (Wenzek et al. 2019 §4.3) —
+    the step the paper actually ships downstream of LM scoring:
+    per-LANGUAGE perplexity terciles (head = most fluent third), so a
+    language's documents are judged against their own distribution,
+    never a global threshold. Ranking key is the exact integer
+    mq = (nll_q·10⁶) div n_trans with doc-id ties; cuts are integer
+    cross-multiplications; the per-language numbering runs through
+    `grouped_row_number`'s quantile-bucket scheme (languages are
+    low-cardinality — the plain window would plan |langs| tasks at any
+    cluster size). The oracle is the plain lang-partitioned window over
+    the shared LM CTEs (see operators/text.py:ccnet_buckets)."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.ccnet_buckets(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", "lang", vocab_size=1024, quant=10_000,
+    )
+
+
 @q("perplexity_filter_unicode", _PPL_U_ORACLE)
 def perplexity_filter_unicode(spark, sf_dir):
     """The multilingual curation proof (VERDICT r10 missing #1): CCNet's

@@ -1052,3 +1052,41 @@ def test_gopher_rules_unicode_alpha_pairing(spark):
         df, "doc_id", "text", min_words=10, tokenizer=tokens_unicode
     ).collect()[0]
     assert not mismatched["r_alpha"], mismatched.asDict()
+
+
+def test_ccnet_buckets_tercile_sizes_and_order(spark):
+    """CCNet head/middle/tail invariants on a crafted 2-language corpus:
+    per language the bucket sizes are exactly the rank-tercile cuts
+    (|head| = ⌊n/3⌋, |middle| = ⌊2n/3⌋−⌊n/3⌋, rest tail), every head
+    doc's mq is ≤ every tail doc's mq within its language, and sub-2-
+    token documents are excluded."""
+    from fiat2_spark.operators.text import ccnet_buckets
+
+    ref = spark.createDataFrame(
+        [(100 + i, "the cat sat on the mat and the dog ran", "en")
+         for i in range(3)],
+        "doc_id long, text string, lang string",
+    )
+    rows = []
+    for i in range(7):  # en: 7 docs, increasingly OOV
+        rows.append((i, "the cat sat on the mat " + "zq " * i, "en"))
+    for i in range(10, 15):  # xx: 5 docs
+        rows.append((i, "blork flem grup snee " + "wub " * (i - 10), "xx"))
+    rows.append((99, "one", "en"))  # single token: no transition
+    pool = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = ccnet_buckets(pool, ref, "doc_id", "text", "lang").collect()
+    assert all(r["doc_id"] != 99 for r in got)
+    by_lang: dict[str, list] = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert {(l, len(v)) for l, v in by_lang.items()} == {("en", 7), ("xx", 5)}
+    for lang, docs in by_lang.items():
+        n = len(docs)
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in docs:
+            sizes[r["bucket"]] += 1
+        assert sizes["head"] == n // 3, (lang, sizes)
+        assert sizes["middle"] == (2 * n) // 3 - n // 3, (lang, sizes)
+        heads = [r["mq"] for r in docs if r["bucket"] == "head"]
+        tails = [r["mq"] for r in docs if r["bucket"] == "tail"]
+        assert max(heads) <= min(tails), (lang, heads, tails)
