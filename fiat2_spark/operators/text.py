@@ -934,18 +934,26 @@ def ccnet_buckets(
         raw, ref, id_col, text_col, vocab_size, quant,
         alpha_num, alpha_den, tokenizer=tokenizer,
     ).filter(F.col("n_trans") > 0)
+    # checkpoint the scored relation (batch block contract): three
+    # consumers read it — the ranking's quantile sketch (an ACTION),
+    # the ranking itself, and the per-language totals — and each would
+    # otherwise re-run the whole corpus scoring pass (measured 4.5 s →
+    # 3.0 s at sf0.1)
     scored = (
         s.join(raw.select(id_col, lang_col), id_col)
         .withColumn(
             "mq",
             F.expr(f"(nll_q * CAST({mq_scale} AS BIGINT)) div n_trans"),
         )
+        .localCheckpoint()
     )
     rn = grouped_row_number(
         scored, [lang_col], "mq", id_name="__rn",
         tiebreak=[F.col(id_col)],
     )
-    n_lang = rn.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    # language totals come from the PRE-ranking relation — identical
+    # counts, and the ranking window is never evaluated twice for them
+    n_lang = scored.groupBy(lang_col).agg(F.count(F.lit(1)).alias("__n"))
     return (
         rn.join(F.broadcast(n_lang), lang_col)
         .select(
