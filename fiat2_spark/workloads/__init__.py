@@ -402,7 +402,7 @@ PRIORITY_R9 = (
 #     row-earning round's keep their rotation-out premise.) Every
 #     out-of-window query's reachable hash is IDENTICAL to its
 #     row-earning round's; all 151 hold.
-PRIORITY = (
+PRIORITY_R10 = (
     # (A) tool-mandated reachable-delta rotate-ins: the BPE family
     # (bpe_learn's checkpoint stride + the tokenizer= parameter + the
     # guarded oracles), the DoReMi pair (_doremi_domain_stats factor +
@@ -439,7 +439,50 @@ PRIORITY = (
     "theta_join_nonequi", "udaf_mad", "window_nav",
     "zonemap_range_scan",
 )
+# Round-11 window. Rotation baseline: FINGERPRINTS_r10.json at r10 HEAD
+# (the tool is unchanged this round). Must-rotate-in set is the tool's
+# output at the final engine commit:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r10.json
+#   → changed = 14 (incl. the 3 new), new = 3 — every name seated in
+#     (A)/(B) below; every out-of-window query's reachable hash is
+#     IDENTICAL to its row-earning round's.
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins — the tokenizer=
+    # threading through the model-based curation stack (dsir_*, the NB
+    # classifier, lm_perplexity/perplexity_filter, the DoReMi family,
+    # gopher_rules, quality_score) flags every query reaching those
+    # functions; text_unicode_pipeline rides the same delta (its
+    # reachable contract docstring moved), pipeline_e2e/text_quality
+    # reach quality_score, budget_select/quality_classifier the NB path
+    "budget_select", "doremi_reweight", "doremi_trajectory",
+    "dsir_resample", "dsir_select", "gopher_quality",
+    "perplexity_filter", "pipeline_e2e", "quality_classifier",
+    "text_quality", "text_unicode_pipeline",
+    # (B) round-11 additions — driver evidence in the round they land:
+    # the multilingual-fixture pair (corpus-scale unicode evidence) and
+    # CCNet's per-language perplexity terciles
+    "unicode_corpus_tokens", "perplexity_filter_unicode",
+    "ccnet_bucket_assign",
+    # (C) the oldest rows, exhaustively: top_k (r5 — the last row older
+    # than r6, deferred from its r10 slot) and ALL 34 r6-row queries,
+    # so after r11 no driver row is older than r7
+    "top_k",
+    "agg_min_max_option", "agg_reuse", "bag_canonical", "bag_set_insert",
+    "bfs", "cons_insert", "dedup_embedding", "dedup_incremental_batch",
+    "dedup_ngram_jaccard", "dedup_simhash", "dict_ops_lookup",
+    "eq_nullsafe", "flatmap_cross", "fold_right_concat", "grandchildren",
+    "if_then_else", "int_range", "join_three_way", "keyed_agg_maintenance",
+    "knn_label_vote", "multimodal_ppm_real", "multimodal_wav_real",
+    "opt_match_coalesce", "pivot_wide", "proj_feed_pipeline",
+    "set_of_distinct", "sql_entrypoint", "string_ops", "survey_join",
+    "tfidf_retrieval", "triangle", "union_all_concat", "word_arith",
+    "word_range",
+    # (D) one r7 refresh: groupby_agg — the What's-wrong-#2 watch-list
+    # query gets fresh driver timing under the control calibration
+    "groupby_agg",
+)
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
 assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
 assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
 assert len(PRIORITY_R7) == 50 and len(set(PRIORITY_R7)) == 50
@@ -467,6 +510,8 @@ _missing_r8 = [n for n in PRIORITY_R8 if n not in _queries]
 assert not _missing_r8, f"PRIORITY_R8 names no longer registered: {_missing_r8}"
 _missing_r9 = [n for n in PRIORITY_R9 if n not in _queries]
 assert not _missing_r9, f"PRIORITY_R9 names no longer registered: {_missing_r9}"
+_missing_r10 = [n for n in PRIORITY_R10 if n not in _queries]
+assert not _missing_r10, f"PRIORITY_R10 names no longer registered: {_missing_r10}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
