@@ -1090,3 +1090,153 @@ def test_ccnet_buckets_tercile_sizes_and_order(spark):
         heads = [r["mq"] for r in docs if r["bucket"] == "head"]
         tails = [r["mq"] for r in docs if r["bucket"] == "tail"]
         assert max(heads) <= min(tails), (lang, heads, tails)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                max_codepoint=0xFFFF,
+            ),
+            max_size=40,
+        ),
+        min_size=1, max_size=8,
+    ),
+    pick=st.integers(min_value=0, max_value=3),
+)
+def test_translate_fixture_differential_fuzz(spark, texts, pick):
+    """Differential fuzz of the multilingual-fixture derivation: the
+    per-char transliteration (lower + translate against each of the
+    three 26-letter target alphabets) must produce byte-identical
+    strings in Spark and DuckDB on arbitrary BMP text — the parity
+    every query built on `multilingual_documents` relies on. `pick`
+    rotates which alphabet the example exercises."""
+    import duckdb
+
+    from fiat2_spark.workloads.pipeline import (
+        _XLIT_ACC, _XLIT_CYR, _XLIT_GRK, _XLIT_SRC,
+    )
+
+    tgt = [_XLIT_SRC, _XLIT_CYR, _XLIT_GRK, _XLIT_ACC][pick]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["x"]
+        for r in df.select(
+            "i", F.translate(F.lower(F.col("text")), _XLIT_SRC, tgt).alias("x")
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        want = {
+            i: con.execute(
+                "SELECT translate(lower(?), ?, ?)", [t, _XLIT_SRC, tgt]
+            ).fetchone()[0]
+            for i, t in enumerate(texts)
+        }
+    finally:
+        con.close()
+    assert got == want, f"\ntexts={texts!r}\ngot={got}\nwant={want}"
+
+
+def test_doremi_trajectory_track_hook_zero_residency(spark):
+    """The track= block hook on doremi_weights_trajectory (ADVICE r10):
+    with a track list, every loop checkpoint's block ids are captured
+    and targeted release leaves zero of them resident; the result is
+    unaffected by tracking."""
+    from fiat2_spark.operators.text import doremi_weights_trajectory
+    from fiat2_spark.session import _is_checkpoint_block, release_blocks
+
+    def ckpt_ids():
+        return {
+            rid
+            for rid, rdd in dict(
+                spark.sparkContext._jsc.getPersistentRDDs()
+            ).items()
+            if _is_checkpoint_block(rdd)
+        }
+
+    ref = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat ran")],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [(1, "the cat sat on the mat", "seen"),
+         (2, "blork flem grup snee wub", "salad")],
+        "doc_id long, text string, dom string",
+    )
+    blocks: list = []
+    rows_tracked = {
+        r["domain"]: r["weight"]
+        for r in doremi_weights_trajectory(
+            pool, ref, "doc_id", "text", "dom", rounds=3, vocab_size=16,
+            track=blocks,
+        ).collect()
+    }
+    assert len(blocks) == 4  # rounds + 1 loop checkpoints
+    release_blocks(spark, frozenset(blocks))
+    assert not (set(blocks) & ckpt_ids()), "tracked blocks must release"
+    rows_plain = {
+        r["domain"]: r["weight"]
+        for r in doremi_weights_trajectory(
+            pool, ref, "doc_id", "text", "dom", rounds=3, vocab_size=16,
+        ).collect()
+    }
+    assert rows_tracked == rows_plain
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=5,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=2, max_size=6).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_lm_perplexity_transliteration_invariance(spark, raw, ref):
+    """lm_perplexity under tokens_unicode on a per-char transliterated
+    corpus must score bitwise-equal to the ASCII run on the original:
+    a character bijection preserves every unigram/bigram count, and all
+    NLLs are quantized functions of exact count ratios. (vocab_size is
+    set above the distinct-word count so the top-V cutoff's
+    lexicographic tiebreak — which a transliteration does NOT preserve
+    — never engages.) This pins that the tokenizer= threading changes
+    WHICH tokens are seen and nothing else about the model."""
+    from fiat2_spark.operators.text import lm_perplexity, tokens_unicode
+    from fiat2_spark.workloads.pipeline import _XLIT_CYR, _XLIT_SRC
+
+    def mk(rows, base):
+        return spark.createDataFrame(
+            [(base + i, t) for i, t in enumerate(rows)],
+            "doc_id long, text string",
+        )
+
+    rdf, tdf = mk(raw, 0), mk(ref, 100)
+    ascii_scores = {
+        (r["doc_id"]): (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity(rdf, tdf, "doc_id", "text",
+                               vocab_size=64).collect()
+    }
+    xl = lambda df: df.withColumn(
+        "text", F.translate(F.col("text"), _XLIT_SRC, _XLIT_CYR)
+    )
+    uni_scores = {
+        (r["doc_id"]): (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity(xl(rdf), xl(tdf), "doc_id", "text",
+                               vocab_size=64,
+                               tokenizer=tokens_unicode).collect()
+    }
+    assert ascii_scores == uni_scores, f"\nascii={ascii_scores}\nuni={uni_scores}"
