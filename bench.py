@@ -162,6 +162,7 @@ HEADLINE = [
     "unicode_corpus_tokens",        # corpus-scale unicode tokenize, map-only
     "perplexity_filter_unicode",    # LM gate under tokens_unicode, multilingual fixture
     "ccnet_bucket_assign",          # per-language perplexity terciles (head/middle/tail)
+    "dedup_minhash_unicode",        # multilingual MinHash+LSH over the fixture
 ]
 
 

@@ -211,6 +211,104 @@ def minhash_candidates(
     return cand, sh
 
 
+def minhash_candidates_tok(
+    df: DataFrame,
+    id_col: str,
+    toks: Column,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The tokenizer-parametric twin of `minhash_candidates`: identical
+    banded-LSH plan, but over an explicit TOKEN expression (e.g.
+    ``tokens_unicode(F.col("text"))``) instead of the ASCII-tokenized
+    text column — multilingual fuzzy dedup, where the ASCII contract
+    would shred non-Latin scripts into unshinglable fragments.
+
+    Deliberately DUPLICATES the parent's lane-min fold instead of
+    factoring it out of `minhash_candidates`: the ASCII path's
+    reachable hash must stay byte-identical so the registered dedup
+    family keeps its rotation-out premise (the `DsirCorpus` featurize
+    discipline); the real machinery (`shingles`, `seeded_digests`,
+    `minhash_bands`, `MINHASH_LANES`) is already module-level and
+    shared — an agreement test pins the twins bitwise-equal under the
+    ASCII tokenizer."""
+    rows = n_hashes // n_bands
+    sh = df.repartition(cpu_partitions(df)).select(
+        F.col(id_col).alias("doc"),
+        shingles(toks, shingle_n).alias("sh"),
+    ).filter(F.size(F.col("sh")) > 0)
+    sh = sh.localCheckpoint()
+
+    n_seeds = -(-n_hashes // MINHASH_LANES)
+
+    def lane_mins(digests: Column) -> Column:
+        init = F.struct(
+            *[F.lit("zzzzzzzz").alias(f"m{j}") for j in range(MINHASH_LANES)]
+        )
+        return F.aggregate(
+            digests,
+            init,
+            lambda acc, h: F.struct(
+                *[
+                    F.least(acc[f"m{j}"], F.substring(h, 8 * j + 1, 8)).alias(f"m{j}")
+                    for j in range(MINHASH_LANES)
+                ]
+            ),
+        )
+
+    hashed = sh.select(
+        "doc",
+        *[lane_mins(seeded_digests(F.col("sh"), d)).alias(f"s{d}") for d in range(n_seeds)],
+    )
+    sigs = [
+        F.col(f"s{k // MINHASH_LANES}")[f"m{k % MINHASH_LANES}"] for k in range(n_hashes)
+    ]
+    banded = hashed.select(
+        "doc",
+        F.explode(minhash_bands(F.array(*sigs), n_bands, rows)).alias("b"),
+    ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    banded = banded.localCheckpoint()
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
+        .distinct()
+    )
+    return cand, sh
+
+
+def minhash_dedup_pairs_tok(
+    df: DataFrame,
+    id_col: str,
+    toks: Column,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    shingle_n: int = 1,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """`minhash_dedup_pairs` over an explicit token expression (see
+    `minhash_candidates_tok`): banded candidates + exact Jaccard
+    verification, (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold,
+    6dp."""
+    cand, sh = minhash_candidates_tok(df, id_col, toks, n_hashes, n_bands, shingle_n)
+    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,

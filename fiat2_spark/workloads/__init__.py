@@ -443,9 +443,12 @@ PRIORITY_R10 = (
 # (the tool is unchanged this round). Must-rotate-in set is the tool's
 # output at the final engine commit:
 #   python tools/fingerprints.py --compare FINGERPRINTS_r10.json
-#   → changed = 14 (incl. the 3 new), new = 3 — every name seated in
+#   → changed = 15 (incl. the 4 new), new = 4 — every name seated in
 #     (A)/(B) below; every out-of-window query's reachable hash is
-#     IDENTICAL to its row-earning round's.
+#     IDENTICAL to its row-earning round's (the late-round
+#     dedup_minhash_unicode adds ONLY new functions to dedup.py, so no
+#     existing dedup query's reachable hash moves — twin-agreement-
+#     tested in test_pipeline_late_ops).
 PRIORITY = (
     # (A) tool-mandated reachable-delta rotate-ins — the tokenizer=
     # threading through the model-based curation stack (dsir_*, the NB
@@ -459,10 +462,15 @@ PRIORITY = (
     "perplexity_filter", "pipeline_e2e", "quality_classifier",
     "text_quality", "text_unicode_pipeline",
     # (B) round-11 additions — driver evidence in the round they land:
-    # the multilingual-fixture pair (corpus-scale unicode evidence) and
-    # CCNet's per-language perplexity terciles
+    # the multilingual-fixture pair (corpus-scale unicode evidence),
+    # CCNet's per-language perplexity terciles, and multilingual fuzzy
+    # dedup (the late-round dedup_minhash_unicode takes the groupby_agg
+    # (D) slot under the standing (B)-over-(D) rule — groupby_agg's r7
+    # row sits on a tool-verified identical premise, its r10 timing
+    # drift is settled by the isolated probe + bench_detail_r11 commit,
+    # and it joins the r12 tail)
     "unicode_corpus_tokens", "perplexity_filter_unicode",
-    "ccnet_bucket_assign",
+    "ccnet_bucket_assign", "dedup_minhash_unicode",
     # (C) the oldest rows, exhaustively: top_k (r5 — the last row older
     # than r6, deferred from its r10 slot) and ALL 34 r6-row queries,
     # so after r11 no driver row is older than r7
@@ -477,9 +485,6 @@ PRIORITY = (
     "set_of_distinct", "sql_entrypoint", "string_ops", "survey_join",
     "tfidf_retrieval", "triangle", "union_all_concat", "word_arith",
     "word_range",
-    # (D) one r7 refresh: groupby_agg — the What's-wrong-#2 watch-list
-    # query gets fresh driver timing under the control calibration
-    "groupby_agg",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50

@@ -321,3 +321,67 @@ def test_asof_tolerance_boundary_inclusive(spark):
         ).collect()
     }
     assert out == {1: 100, 2: None, 3: None}
+
+
+def test_minhash_tok_twin_matches_parent_under_ascii(spark):
+    """The tokenizer-parametric minhash twin must equal the parent
+    BITWISE under the ASCII tokenizer — the drift tripwire for its
+    deliberately-duplicated lane-min fold (`minhash_candidates_tok`'s
+    docstring): any divergence between the twins' signatures, banding,
+    or verification shows up as a pair-set difference here."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.dedup import (
+        minhash_dedup_pairs, minhash_dedup_pairs_tok,
+    )
+    from fiat2_spark.operators.text import tokens
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "spark engines are completely different documents"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n_hashes=16, n_bands=4, shingle_n=3, threshold=0.5)
+    want = sorted(
+        map(tuple, minhash_dedup_pairs(df, "doc_id", "text", **kw).collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            minhash_dedup_pairs_tok(
+                df, "doc_id", tokens(F.col("text")), **kw
+            ).collect(),
+        )
+    )
+    assert got == want and want, f"\ngot={got}\nwant={want}"
+
+
+def test_minhash_tok_unicode_finds_nonlatin_pairs(spark):
+    """Under tokens_unicode the twin finds near-dup pairs in a
+    non-Latin script that the ASCII tokenizer cannot even shingle
+    (every Cyrillic doc tokenizes to nothing under [a-z0-9]+) — the
+    multilingual capability the twin exists for."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.dedup import minhash_dedup_pairs_tok
+    from fiat2_spark.operators.text import tokens, tokens_unicode
+
+    base = "быстрая коричневая лиса прыгает через ленивую собаку и кошку"
+    rows = [
+        (1, base),
+        (2, base.replace("кошку", "мышку")),
+        (3, "совершенно другой документ о системах обработки данных"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n_hashes=16, n_bands=4, shingle_n=3, threshold=0.5)
+    uni = minhash_dedup_pairs_tok(
+        df, "doc_id", tokens_unicode(F.col("text")), **kw
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in uni] == [(1, 2)], uni
+    ascii_pairs = minhash_dedup_pairs_tok(
+        df, "doc_id", tokens(F.col("text")), **kw
+    ).collect()
+    assert ascii_pairs == [], ascii_pairs
