@@ -116,6 +116,38 @@ def tokens(text: Column) -> Column:
     return F.filter(raw, lambda t: t != "")
 
 
+# Unicode-version case-mapping skew (found by the differential fuzz,
+# pinned by the exhaustive BMP sweep in test_text_properties): the JVM
+# and DuckDB's utf8proc implement different Unicode versions, so
+# exactly these 14 BMP capitals (Latin Extended-D / Cyrillic /
+# Glagolitic additions from Unicode 12-16, plus U+0130 İ) lowercase
+# differently between the engines. `tokens_unicode` folds each to its
+# single-codepoint lowercase BEFORE lower(), which (a) removes the
+# engine divergence (after the fold no skewed capital survives to
+# either engine's lower()) and (b) fixes İ, whose Java lowercase is
+# 'i' + U+0307 COMBINING DOT ABOVE — a mark outside \p{L}\p{N} that
+# would SPLIT the token ('İstanbul' → ['i', 'stanbul']); the fold's
+# plain 'i' is what a tokenizer wants.
+_CASE_SKEW = (
+    (0x130, 0x69),     # İ → i (not Java's i + combining dot)
+    (0x1C89, 0x1C8A),  # Cyrillic tje (Unicode 16)
+    (0x2C2F, 0x2C5F),  # Glagolitic caudate chrivi (Unicode 14)
+    (0xA7C0, 0xA7C1),  # Latin old polish o (Unicode 16)
+    (0xA7C7, 0xA7C8),  # Latin d with short stroke overlay (Unicode 12)
+    (0xA7C9, 0xA7CA),  # Latin s with short stroke overlay (Unicode 12)
+    (0xA7CB, 0x264),   # Latin rams horn (Unicode 16)
+    (0xA7CC, 0xA7CD),  # Latin s with diagonal stroke (Unicode 16)
+    (0xA7D0, 0xA7D1),  # Latin closed insular g (Unicode 14)
+    (0xA7D6, 0xA7D7),  # Latin middle scots s (Unicode 14)
+    (0xA7D8, 0xA7D9),  # Latin sigmoid s (Unicode 14)
+    (0xA7DA, 0xA7DB),  # Latin lambda (Unicode 16)
+    (0xA7DC, 0x19B),   # Latin lambda with stroke (Unicode 16)
+    (0xA7F5, 0xA7F6),  # Latin reversed half h (Unicode 13)
+)
+CASE_SKEW_SRC = "".join(chr(a) for a, _ in _CASE_SKEW)
+CASE_SKEW_DST = "".join(chr(b) for _, b in _CASE_SKEW)
+
+
 def tokens_unicode(text: Column) -> Column:
     """Unicode tokenizer: lowercase, split on any run of characters
     outside the Unicode letter/number classes (``[^\\p{L}\\p{N}]+``),
@@ -131,12 +163,22 @@ def tokens_unicode(text: Column) -> Column:
 
     Sigma case-FOLDING: Java's toLowerCase applies the contextual
     final-sigma rule (word-final 'Σ' → 'ς') where DuckDB's utf8proc
-    applies the simple mapping ('σ') — the one divergence the
-    differential fuzz actually found. The tokenizer therefore folds
+    applies the simple mapping ('σ') — the first divergence the
+    differential fuzz found. The tokenizer therefore folds
     'ς' → 'σ' after lowercasing (Unicode CASE FOLDING maps both sigma
     lowercase forms to 'σ'), which both removes the engine divergence
     and makes 'κόσμος'/'ΚΟΣΜΟΣ' tokenize identically — the behavior a
     retrieval/dedup tokenizer wants anyway.
+
+    Unicode-VERSION skew: the fuzz's second find — 14 BMP capitals
+    added in Unicode 12-16 (`CASE_SKEW_SRC`, e.g. 'Ꟈ' U+A7C7) lowercase
+    under the JVM's newer table but not utf8proc's, and U+0130 İ
+    lowercases to 'i'+combining-dot in Java (a token-SPLITTING mark)
+    vs 'i' in DuckDB. A translate to their single-codepoint lowercase
+    forms BEFORE lower() removes all 14 divergences on both engines;
+    parity outside this set is verified EXHAUSTIVELY over the BMP
+    (test_text_properties' sweep pins the skew set, so a JVM or DuckDB
+    Unicode-table upgrade trips a test instead of an oracle).
 
     TOKENIZER CONTRACT (which operators accept which tokenizer):
     the ASCII ``[a-z0-9]+`` `tokens` contract is the corpus-wide
@@ -157,7 +199,8 @@ def tokens_unicode(text: Column) -> Column:
     tokenizers across a fit/score pair is a contract violation — pick
     one per pipeline (fit/score pairing asserted by the unicode
     curation queries' oracles)."""
-    folded = F.replace(F.lower(text), F.lit("ς"), F.lit("σ"))
+    skew_folded = F.translate(text, CASE_SKEW_SRC, CASE_SKEW_DST)
+    folded = F.replace(F.lower(skew_folded), F.lit("ς"), F.lit("σ"))
     raw = F.split(folded, r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
 

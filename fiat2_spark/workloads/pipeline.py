@@ -3911,8 +3911,10 @@ def _unicode_pipeline_oracle(n_merges: int = 4) -> str:
     WITH vals(doc_id, text) AS (VALUES {vals}),
     tk AS (
       SELECT doc_id, text,
-             list_filter(string_split_regex(replace(lower(text), 'ς', 'σ'),
-                                            '[^\p{{L}}\p{{N}}]+'),
+             list_filter(string_split_regex(
+                 replace(lower(translate(text, '{TX.CASE_SKEW_SRC}',
+                                         '{TX.CASE_SKEW_DST}')), 'ς', 'σ'),
+                 '[^\p{{L}}\p{{N}}]+'),
                          t -> t <> '') AS toks
       FROM vals
     ),
@@ -4097,11 +4099,15 @@ _DOCS_U_SQL = f"""
     )
 """
 
-# the tokens_unicode SQL mirror: Unicode-aware lower, ς→σ fold,
+# the tokens_unicode SQL mirror: the Unicode-version case-skew fold
+# (operators/text.py:CASE_SKEW_SRC — 14 BMP capitals the two engines'
+# Unicode tables lowercase differently), Unicode-aware lower, ς→σ fold,
 # \p{L}\p{N} split (RE2 and Java agree on the general categories —
-# pinned by text_unicode_pipeline's crafted rows and the fuzz)
+# pinned by text_unicode_pipeline's crafted rows and the fuzz; the
+# skew set is pinned by the exhaustive BMP sweep test)
 _UNI_SPLIT_SQL = (
-    r"list_filter(string_split_regex(replace(lower(text), 'ς', 'σ'), "
+    "list_filter(string_split_regex(replace(lower(translate(text, '"
+    + TX.CASE_SKEW_SRC + "', '" + TX.CASE_SKEW_DST + "')), 'ς', 'σ'), "
     r"'[^\p{L}\p{N}]+'), t -> t <> '')"
 )
 

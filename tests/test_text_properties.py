@@ -13,6 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from fiat2_spark.operators.text import CASE_SKEW_SRC as _SKEW
 from fiat2_spark.operators.text import repetition_stats
 
 _SETTINGS = dict(
@@ -973,7 +974,9 @@ def test_tokens_unicode_differential_fuzz(spark, texts):
     oracle relies on, exercised far beyond the crafted rows."""
     import duckdb
 
-    from fiat2_spark.operators.text import tokens_unicode
+    from fiat2_spark.operators.text import (
+        CASE_SKEW_DST, CASE_SKEW_SRC, tokens_unicode,
+    )
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "i long, text string"
@@ -988,10 +991,11 @@ def test_tokens_unicode_differential_fuzz(spark, texts):
         for i, t in enumerate(texts):
             (row,) = con.execute(
                 r"""SELECT list_filter(
-                       string_split_regex(replace(lower(?), 'ς', 'σ'),
-                                          '[^\p{L}\p{N}]+'),
+                       string_split_regex(
+                           replace(lower(translate(?, ?, ?)), 'ς', 'σ'),
+                           '[^\p{L}\p{N}]+'),
                        x -> x <> '')""",
-                [t],
+                [t, CASE_SKEW_SRC, CASE_SKEW_DST],
             ).fetchall()
             want[i] = row[0]
     finally:
@@ -1098,10 +1102,18 @@ def test_ccnet_buckets_tercile_sizes_and_order(spark):
 @given(
     texts=st.lists(
         st.text(
+            # exclude the engines' known lower() divergences: the 14
+            # Unicode-version skew capitals (CASE_SKEW_SRC) and the
+            # contextual final-sigma 'Σ' — the fixture applies a BARE
+            # lower() (its contract input is the ASCII documents
+            # table, where these can't occur); tokenizer-level parity
+            # for them is the TOKENIZER's fold, fuzzed separately
+            # with no exclusions
             alphabet=st.characters(
                 codec="utf-8",
                 categories=("Lu", "Ll", "Nd", "Po", "Zs"),
                 max_codepoint=0xFFFF,
+                exclude_characters=_SKEW + "Σ",
             ),
             max_size=40,
         ),
@@ -1240,3 +1252,51 @@ def test_lm_perplexity_transliteration_invariance(spark, raw, ref):
                                tokenizer=tokens_unicode).collect()
     }
     assert ascii_scores == uni_scores, f"\nascii={ascii_scores}\nuni={uni_scores}"
+
+
+def test_case_skew_set_pins_all_bmp_lower_divergence(spark):
+    """EXHAUSTIVE BMP sweep: the engines' lower() must agree on every
+    BMP codepoint outside the pinned CASE_SKEW_SRC set — the tripwire
+    that turns a JVM or DuckDB Unicode-table upgrade into a test
+    failure instead of a silent oracle break (this is how both the
+    final-sigma and the Unicode-12-16 skew were caught). Also pins
+    that the tokenizer's pre-lower translate makes the two engines
+    agree ON the skew set."""
+    import duckdb
+
+    from fiat2_spark.operators.text import CASE_SKEW_DST, CASE_SKEW_SRC
+
+    cps = [c for c in range(1, 0x10000) if not (0xD800 <= c <= 0xDFFF)]
+    df = spark.createDataFrame([(c, chr(c)) for c in cps], "cp int, ch string")
+    sp = {
+        r["cp"]: r["lo"]
+        for r in df.select("cp", F.lower(F.col("ch")).alias("lo")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute("create table t(cp int, ch varchar)")
+        con.executemany(
+            "insert into t values (?, ?)", [(c, chr(c)) for c in cps]
+        )
+        du = dict(con.execute("select cp, lower(ch) from t").fetchall())
+        divergent = sorted(c for c in cps if sp[c] != du[c])
+        assert divergent == sorted(ord(c) for c in CASE_SKEW_SRC), [
+            hex(c) for c in divergent
+        ]
+        # after the tokenizer's fold, the skew set itself agrees too
+        folded = con.execute(
+            "select lower(translate(?, ?, ?))",
+            [CASE_SKEW_SRC, CASE_SKEW_SRC, CASE_SKEW_DST],
+        ).fetchone()[0]
+    finally:
+        con.close()
+    sp_folded = (
+        df.sparkSession.range(1)
+        .select(
+            F.lower(
+                F.translate(F.lit(CASE_SKEW_SRC), CASE_SKEW_SRC, CASE_SKEW_DST)
+            ).alias("x")
+        )
+        .collect()[0]["x"]
+    )
+    assert sp_folded == folded == CASE_SKEW_DST
