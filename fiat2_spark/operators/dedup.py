@@ -130,6 +130,7 @@ def minhash_candidates(
     n_hashes: int = 8,
     n_bands: int = 4,
     shingle_n: int = 1,
+    tokenizer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """The banded LSH candidate stage of `minhash_dedup_pairs`:
     returns (cand, sh) — the distinct (id_a, id_b) candidate pairs
@@ -138,9 +139,16 @@ def minhash_candidates(
     scaling probe can decompose a wall-time ratio into candidate-pair
     growth (true near-dup pairs the corpus actually contains) vs
     band-occupancy overhead (false candidates the banding fails to
-    prune) — the two have opposite remedies."""
+    prune) — the two have opposite remedies.
+
+    ``tokenizer`` (text Column → token-array Column) defaults to the
+    ASCII `tokens`; pass ``text.tokens_unicode`` for multilingual
+    corpora, where the ASCII contract would shred non-Latin scripts
+    into unshinglable fragments (the r11 `minhash_candidates_tok` twin,
+    folded back as this parameter — the banded-LSH plan is tokenizer-
+    independent, only the shingle source changes)."""
     rows = n_hashes // n_bands
-    toks = tokens(F.col(text_col))
+    toks = (tokenizer or tokens)(F.col(text_col))
     # signature hashing is CPU-bound (n_hashes md5s per shingle): spread
     # a small/single-row-group scan across rows-per-task-sized partitions
     sh = df.repartition(cpu_partitions(df)).select(
@@ -211,104 +219,6 @@ def minhash_candidates(
     return cand, sh
 
 
-def minhash_candidates_tok(
-    df: DataFrame,
-    id_col: str,
-    toks: Column,
-    n_hashes: int = 8,
-    n_bands: int = 4,
-    shingle_n: int = 1,
-) -> tuple[DataFrame, DataFrame]:
-    """The tokenizer-parametric twin of `minhash_candidates`: identical
-    banded-LSH plan, but over an explicit TOKEN expression (e.g.
-    ``tokens_unicode(F.col("text"))``) instead of the ASCII-tokenized
-    text column — multilingual fuzzy dedup, where the ASCII contract
-    would shred non-Latin scripts into unshinglable fragments.
-
-    Deliberately DUPLICATES the parent's lane-min fold instead of
-    factoring it out of `minhash_candidates`: the ASCII path's
-    reachable hash must stay byte-identical so the registered dedup
-    family keeps its rotation-out premise (the `DsirCorpus` featurize
-    discipline); the real machinery (`shingles`, `seeded_digests`,
-    `minhash_bands`, `MINHASH_LANES`) is already module-level and
-    shared — an agreement test pins the twins bitwise-equal under the
-    ASCII tokenizer."""
-    rows = n_hashes // n_bands
-    sh = df.repartition(cpu_partitions(df)).select(
-        F.col(id_col).alias("doc"),
-        shingles(toks, shingle_n).alias("sh"),
-    ).filter(F.size(F.col("sh")) > 0)
-    sh = sh.localCheckpoint()
-
-    n_seeds = -(-n_hashes // MINHASH_LANES)
-
-    def lane_mins(digests: Column) -> Column:
-        init = F.struct(
-            *[F.lit("zzzzzzzz").alias(f"m{j}") for j in range(MINHASH_LANES)]
-        )
-        return F.aggregate(
-            digests,
-            init,
-            lambda acc, h: F.struct(
-                *[
-                    F.least(acc[f"m{j}"], F.substring(h, 8 * j + 1, 8)).alias(f"m{j}")
-                    for j in range(MINHASH_LANES)
-                ]
-            ),
-        )
-
-    hashed = sh.select(
-        "doc",
-        *[lane_mins(seeded_digests(F.col("sh"), d)).alias(f"s{d}") for d in range(n_seeds)],
-    )
-    sigs = [
-        F.col(f"s{k // MINHASH_LANES}")[f"m{k % MINHASH_LANES}"] for k in range(n_hashes)
-    ]
-    banded = hashed.select(
-        "doc",
-        F.explode(minhash_bands(F.array(*sigs), n_bands, rows)).alias("b"),
-    ).select("doc", F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
-    banded = banded.localCheckpoint()
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc") < F.col("r.doc")),
-        )
-        .select(F.col("l.doc").alias("id_a"), F.col("r.doc").alias("id_b"))
-        .distinct()
-    )
-    return cand, sh
-
-
-def minhash_dedup_pairs_tok(
-    df: DataFrame,
-    id_col: str,
-    toks: Column,
-    n_hashes: int = 8,
-    n_bands: int = 4,
-    shingle_n: int = 1,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """`minhash_dedup_pairs` over an explicit token expression (see
-    `minhash_candidates_tok`): banded candidates + exact Jaccard
-    verification, (id_a, id_b, jac) with id_a < id_b, jac ≥ threshold,
-    6dp."""
-    cand, sh = minhash_candidates_tok(df, id_col, toks, n_hashes, n_bands, shingle_n)
-    a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
-        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"))
-        .filter(F.col("jac") >= threshold)
-    )
-
-
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -317,15 +227,21 @@ def minhash_dedup_pairs(
     n_bands: int = 4,
     shingle_n: int = 1,
     threshold: float = 0.7,
+    tokenizer=None,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verification.
 
     Returns (id_a, id_b, jac) with id_a < id_b, jac >= threshold, jac
-    rounded to 6 decimals. The banded candidate join shuffles
-    n_bands short digests per doc; only colliding candidates pay the
-    exact verification (which re-joins the shingle sets by id).
+    rounded to 6 decimals (the DuckDB oracle thresholds the identically
+    rounded value, so the two sides agree even when an exact Jaccard
+    lands within 5e-7 of the threshold). The banded candidate join
+    shuffles n_bands short digests per doc; only colliding candidates
+    pay the exact verification (which re-joins the shingle sets by id).
+    ``tokenizer`` as in `minhash_candidates`.
     """
-    cand, sh = minhash_candidates(df, id_col, text_col, n_hashes, n_bands, shingle_n)
+    cand, sh = minhash_candidates(
+        df, id_col, text_col, n_hashes, n_bands, shingle_n, tokenizer
+    )
     a = sh.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -505,7 +421,7 @@ SIMHASH_BANDS = 4     # 15-bit bands → pigeonhole-lossless for dist ≤ 3
 _BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 
 
-def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash60_table(df: DataFrame, id_col: str, text_col: str, tokenizer=None) -> DataFrame:
     """(doc, sh): 60-bit SimHash per document, computed as a
     shuffle-aggregate — explode tokens, hash each ONCE, sum ±1 votes for
     each of 60 bits (bit b = bit b%4 of hex digit b//4 of md5(token)),
@@ -513,9 +429,12 @@ def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     functions in the hot path); partial aggregation means the shuffle
     carries 60 longs per doc. Docs with zero tokens drop out (explode),
     matching the oracle's unnest. Token multiplicity counts (weighted
-    vote); vote == 0 → bit 0."""
+    vote); vote == 0 → bit 0. ``tokenizer`` (text → token array)
+    defaults to the ASCII `tokens`; the signature arithmetic is
+    tokenizer-independent."""
     t = df.repartition(cpu_partitions(df)).select(
-        F.col(id_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col).alias("doc"),
+        F.explode((tokenizer or tokens)(F.col(text_col))).alias("tok"),
     )
     h = t.select("doc", F.md5(F.col("tok")).alias("h"))
     # one packed aggregate per hex digit instead of one per bit: the 4
@@ -561,17 +480,19 @@ def simhash60_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select("doc", sh.alias("sh"))
 
 
-def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str, max_dist: int = 3) -> DataFrame:
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_dist: int = 3, tokenizer=None
+) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_dist, found via
     banding: 60 bits → 4 bands of 15; distance ≤ 3 pairs share ≥ 1
     intact band (pigeonhole) so the banded equi-join is lossless.
-    Returns (id_a, id_b, dist).
+    Returns (id_a, id_b, dist). ``tokenizer`` as in `simhash60_table`.
 
     Scale note: band values range over 2^15, so random collisions are
     ~n²/2^16 per band — a 16-bit signature (2^4-value nibble bands) made
     the join quadratic at 5k docs (measured 6M+ candidate rows)."""
     assert max_dist <= 3, "4-band banding is lossless only for dist <= 3"
-    sh = simhash60_table(df, id_col, text_col).localCheckpoint()
+    sh = simhash60_table(df, id_col, text_col, tokenizer).localCheckpoint()
     band = sh.select(
         "doc",
         "sh",
@@ -616,6 +537,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 1,
     threshold: float = 0.9,
     block_col: str | None = None,
+    tokenizer=None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold, blocked on an optional
     column (language) AND a **lossless length bucket** that is part of
@@ -629,10 +551,13 @@ def ngram_jaccard_pairs(
     (a 2× explode, not a widened join), the hash-join key is
     (block, bucket), and an orientation conjunct — bucket order, doc
     order within a bucket — keeps each unordered pair exactly once;
-    output ids are re-canonicalized with least/greatest."""
+    output ids are re-canonicalized with least/greatest. ``tokenizer``
+    (text → token array) defaults to the ASCII `tokens`; the length
+    bucket and size-ratio prefilter are tokenizer-independent (they
+    bound the SHINGLE-set sizes, whatever produced the tokens)."""
     import math
 
-    toks = tokens(F.col(text_col))
+    toks = (tokenizer or tokens)(F.col(text_col))
     # num/den: the threshold as exact integer arithmetic (truncation keeps
     # num/den <= threshold, so both the ratio prefilter and the bucket base
     # derived from it are never stricter than the exact bound — lossless)
@@ -779,10 +704,13 @@ def embedding_dedup_pairs_lsh(
 # -- span-level (C4-style) dedup --------------------------------------------
 
 
-def _segmented(df: DataFrame, id_col: str, text_col: str, seg_len: int) -> DataFrame:
+def _segmented(
+    df: DataFrame, id_col: str, text_col: str, seg_len: int, tokenizer=None
+) -> DataFrame:
     """(doc, segs) — fixed-width token segments of each document. The
     repartition spreads ONLY the projected (doc, text) pair for the
-    CPU-bound tokenize/digest stage."""
+    CPU-bound tokenize/digest stage. ``tokenizer`` defaults to the
+    ASCII `tokens` (the segmenter is tokenizer-independent)."""
     from fiat2_spark.operators.text import token_segments, tokens as toks_of
 
     # tokenize into a REAL column before segmenting: token_segments
@@ -793,7 +721,8 @@ def _segmented(df: DataFrame, id_col: str, text_col: str, seg_len: int) -> DataF
     # projection survives CollapseProject, so the lambda captures a
     # cheap bound reference.
     slim = df.select(
-        F.col(id_col).alias("doc"), toks_of(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("doc"),
+        (tokenizer or toks_of)(F.col(text_col)).alias("__toks"),
     )
     return slim.repartition(cpu_partitions(df, rows_per_task=200)).select(
         "doc", token_segments(F.col("__toks"), seg_len).alias("segs")
@@ -814,7 +743,7 @@ def segment_digests(base: DataFrame) -> DataFrame:
 
 
 def span_dedup_stats(
-    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8
+    df: DataFrame, id_col: str, text_col: str, seg_len: int = 8, tokenizer=None
 ) -> DataFrame:
     """C4-style duplicated-span removal, summarized per document: each
     document's token stream is cut into consecutive ``seg_len``-token
@@ -839,7 +768,7 @@ def span_dedup_stats(
     (never the caller's other columns), and on a cluster whose scan is
     already parallel it is a cheap local rebalance, not a corpus
     shuffle."""
-    base = _segmented(df, id_col, text_col, seg_len)
+    base = _segmented(df, id_col, text_col, seg_len, tokenizer)
     totals = base.select(
         "doc", F.size("segs").cast("long").alias("n_segs")
     )
@@ -862,18 +791,19 @@ def span_dedup_stats(
     )
 
 
-def _substring_dup_spans(df: DataFrame, id_col: str, text_col: str, k: int):
+def _substring_dup_spans(df: DataFrame, id_col: str, text_col: str, k: int, tokenizer=None):
     """(base, spans) shared by stats and apply: base = (doc, n_tokens,
     toks); spans = (doc, island, s, e, n_g) — the maximal merged
     removal intervals of non-first k-gram occurrences (see
-    substring_dedup_stats for the algorithm and scale notes)."""
+    substring_dedup_stats for the algorithm and scale notes).
+    ``tokenizer`` defaults to the ASCII `tokens`."""
     from pyspark.sql import Window
 
     from fiat2_spark.operators.text import tokens as toks_of
 
     slim = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__t"))
     base = slim.repartition(cpu_partitions(df, rows_per_task=500)).select(
-        "doc", toks_of(F.col("__t")).alias("toks")
+        "doc", (tokenizer or toks_of)(F.col("__t")).alias("toks")
     ).select("doc", F.size("toks").cast("long").alias("n_tokens"), "toks")
 
     grams = base.filter(F.size("toks") >= k).select(
@@ -911,7 +841,7 @@ def _substring_dup_spans(df: DataFrame, id_col: str, text_col: str, k: int):
 
 
 def substring_dedup_stats(
-    df: DataFrame, id_col: str, text_col: str, k: int = 8
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, tokenizer=None
 ) -> DataFrame:
     """EXACT-substring dedup at arbitrary offsets, summarized per
     document — the k-gram-anchored realization of suffix-array
@@ -940,8 +870,9 @@ def substring_dedup_stats(
     NOT a per-gram row_number window — so a pathological gram (a
     corpus-wide filler phrase) is handled by AQE's skew-join split
     rather than serializing one window partition. The island merge
-    partitions by doc (bounded by document length)."""
-    base, spans = _substring_dup_spans(df, id_col, text_col, k)
+    partitions by doc (bounded by document length). ``tokenizer`` as in
+    `_substring_dup_spans`."""
+    base, spans = _substring_dup_spans(df, id_col, text_col, k, tokenizer)
     per_doc = spans.groupBy("doc").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("e") - F.col("s")).cast("long").alias("n_removed_tokens"),
@@ -962,7 +893,7 @@ def substring_dedup_stats(
 
 def substring_dedup_apply(
     df: DataFrame, id_col: str, text_col: str, k: int = 8,
-    chunk_tokens: int = 4096,
+    chunk_tokens: int = 4096, tokenizer=None,
 ) -> DataFrame:
     """APPLY the arbitrary-offset substring dedup: return each document
     with its duplicated spans REMOVED (Lee et al. 2022's actual output
@@ -993,8 +924,9 @@ def substring_dedup_apply(
     explode carries one (doc, pos, tok) row per token but the span
     side is |spans| rows per doc (result-bounded); the anti-join and
     both re-assembly aggregations key on doc(, chunk) — one
-    partitioning family, one exchange."""
-    base, spans = _substring_dup_spans(df, id_col, text_col, k)
+    partitioning family, one exchange. ``tokenizer`` as in
+    `_substring_dup_spans`."""
+    base, spans = _substring_dup_spans(df, id_col, text_col, k, tokenizer)
     toks_pos = base.select(
         "doc", "n_tokens", F.posexplode("toks").alias("pos", "tok")
     )
@@ -1233,6 +1165,7 @@ def boilerplate_remove(
     text_col: str,
     seg_len: int = 4,
     min_docs: int = 2,
+    tokenizer=None,
 ) -> DataFrame:
     """CCNet/RefinedWeb-style boilerplate removal (Wenzek et al. 2019
     arXiv:1911.00359 §3.1 paragraph-hash dedup; Penedo et al. 2023
@@ -1266,9 +1199,13 @@ def boilerplate_remove(
     from fiat2_spark.operators.text import token_segments
 
     # tokens as a real column: see doc_segments — an embedded tokens()
-    # inside token_segments' transform lambda re-tokenizes per segment
+    # inside token_segments' transform lambda re-tokenizes per segment;
+    # tokenizer= swaps the unit splitter (the docstring's "swapping the
+    # splitter expression swaps the unit") without touching the
+    # distributed shape
     base = df.select(
-        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("__id"),
+        (tokenizer or tokens)(F.col(text_col)).alias("__toks"),
     )
     segs = base.select(
         "__id",

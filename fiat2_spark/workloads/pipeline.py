@@ -594,8 +594,8 @@ def _minhash_oracle(n_hashes: int = 16, n_bands: int = 4, threshold: float = 0.7
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
     FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {threshold}
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= {threshold}
     """
 
 
@@ -776,8 +776,8 @@ def dedup_simhash(spark, sf_dir):
            round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
     FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.9
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.9
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
@@ -820,7 +820,7 @@ _DEDUP_LSH_PLANE = (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round({_COS_SQL}, 6) AS cos
     FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE {_COS_SQL} >= 0.4
+    WHERE round({_COS_SQL}, 6) >= 0.4
     """,
 )
 def dedup_embedding(spark, sf_dir):
@@ -4256,14 +4256,17 @@ def dedup_minhash_unicode(spark, sf_dir):
     transliterated scripts tokenize to nothing and every cross-replica
     near-dup pair in them is silently lost; under \\p{{L}}\\p{{N}} the
     banding sees whole words in any script. Same audited plan as
-    `dedup_minhash` (band self-join on short digests, exact Jaccard
-    verify on colliding candidates only) via the tokenizer-parametric
-    twin `minhash_candidates_tok`; the oracle recomputes the identical
-    md5 lane signatures over the identical derived corpus."""
+    `dedup_minhash` — literally the same function since the r12 fold
+    of the r11 `_tok` twin back into `minhash_dedup_pairs`, with the
+    tokenizer as a parameter (band self-join on short digests, exact
+    Jaccard verify on colliding candidates only); the oracle recomputes
+    the identical md5 lane signatures over the identical derived
+    corpus."""
     d = multilingual_documents(spark, sf_dir)
-    return D.minhash_dedup_pairs_tok(
-        d, "doc_id", TX.tokens_unicode(F.col("text")),
+    return D.minhash_dedup_pairs(
+        d, "doc_id", "text",
         n_hashes=16, n_bands=4, shingle_n=3, threshold=0.7,
+        tokenizer=TX.tokens_unicode,
     )
 
 

