@@ -383,6 +383,104 @@ def trigram_scores_table(df, text_col: str, keys: list[str]):
     )
 
 
+def argmax_label(vec: Column, labels: list[str], none_label: str = "und") -> Column:
+    """Deterministic argmax over an arbitrary score vector:
+    ``none_label`` when every score is zero, the EARLIEST label in
+    ``labels`` order wins ties — `lang_argmax_vector` generalized to a
+    caller-supplied label set (that function stays pinned to the
+    module-global LANGS for the registered ASCII langid queries). Same
+    single-array_max construction: one (score, -rank) struct max, the
+    vector referenced a constant number of times (a when-chain fold
+    doubles the Catalyst tree per label)."""
+    idx = F.sequence(F.lit(0), F.lit(len(labels) - 1))
+    entries = F.zip_with(
+        vec, idx, lambda s, i: F.struct(s.alias("s"), (-i).alias("r"))
+    )
+    m = F.array_max(entries)
+    names = F.array(*[F.lit(lab) for lab in labels])
+    return F.when(m["s"] == 0, F.lit(none_label)).otherwise(
+        F.element_at(names, (-m["r"] + 1).cast("int"))
+    )
+
+
+#: Script classes for `script_id`, as (label, regex char class) in
+#: PRIORITY order (ties go to the earlier entry). Fixed BMP code-point
+#: RANGES, not \p{Script=...} properties: explicit ranges are identical
+#: across Java regex and DuckDB's RE2 and across Unicode table versions
+#: (the \p{Script} assignments gained codepoints in recent Unicode
+#: releases — the same version-skew family the tokenizer's _CASE_SKEW
+#: fold pins). latin covers unaccented ASCII letters; latin_ext the
+#: accented Latin-1/Extended-A/B letters (multiplication and division
+#: signs U+00D7/U+00F7 excluded — they sit inside the Latin-1 letter
+#: range but are symbols).
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", "[a-zA-Z]"),
+    ("cyrillic", f"[{chr(0x0400)}-{chr(0x04FF)}]"),
+    ("greek", f"[{chr(0x0370)}-{chr(0x03FF)}]"),
+    (
+        "latin_ext",
+        f"[{chr(0xC0)}-{chr(0xD6)}{chr(0xD8)}-{chr(0xF6)}{chr(0xF8)}-{chr(0x24F)}]",
+    ),
+)
+
+
+def script_counts(text: Column) -> Column:
+    """Per-script character counts over `SCRIPT_CLASSES`, as a vector
+    aligned with its order: count = len(text) − len(text with the class
+    deleted) — the `punct_ratio` counting trick, one codegen'd
+    regexp_replace per class, no explode. BMP scope (both engines count
+    BMP chars identically); supplementary-plane text lands in no class."""
+    n = F.length(text)
+    return F.array(
+        *[
+            (n - F.length(F.regexp_replace(text, cls, ""))).cast("int")
+            for _, cls in SCRIPT_CLASSES
+        ]
+    )
+
+
+def script_id(text: Column) -> Column:
+    """Writing-script ID by character-class majority — the first stage
+    of any real multilingual pipeline (CLD/fastText-style cascades
+    gate language models per script before touching content): argmax
+    of `script_counts` with `argmax_label`'s deterministic tie rule,
+    'und' when no classified letter occurs. A pure map pass (a few
+    regexp_replace + length per row), so it scales as a scan."""
+    return argmax_label(script_counts(text), [lab for lab, _ in SCRIPT_CLASSES])
+
+
+def table_scores(toks: Column, table: dict[str, list[str]]) -> dict[str, Column]:
+    """Per-key stopword-hit counts (with multiplicity) over an
+    arbitrary {label: [words]} table — `lang_scores` generalized from
+    the module-global STOPWORDS."""
+    return {
+        key: F.size(F.filter(toks, lambda t: t.isin(*table[key])))
+        for key in table
+    }
+
+
+def lang_id_table(toks: Column, table: dict[str, list[str]]) -> Column:
+    """Language ID over an arbitrary stopword table: argmax of per-key
+    hit counts in sorted-key order ('und' when nothing fires, earliest
+    sorted key wins ties — `lang_id`'s exact tie rule). With a
+    transliterated or non-Latin stopword table this identifies
+    languages the ASCII STOPWORDS lists cannot see; the caller pairs it
+    with `tokens_unicode` (the ASCII tokenizer would shred non-Latin
+    entries before they could match)."""
+    keys = sorted(table)
+    scores = table_scores(toks, table)
+    return argmax_label(F.array(*[scores[k] for k in keys]), keys)
+
+
+def translit_words(words: list[str], src: str, dst: str) -> list[str]:
+    """Per-character transliteration of a word list (src[i] → dst[i]),
+    the driver-side mirror of a `translate`-derived corpus: the image
+    of a stopword list under the same map the corpus text went through,
+    so stopword matching survives transliteration exactly."""
+    m = str.maketrans(src, dst)
+    return [w.translate(m) for w in words]
+
+
 def word_ngrams(toks: Column, n: int) -> Column:
     """Space-joined word n-grams of a token array (empty array when the
     document has fewer than ``n`` tokens). Pure expression — stays in

@@ -1300,3 +1300,69 @@ def test_case_skew_set_pins_all_bmp_lower_divergence(spark):
         .collect()[0]["x"]
     )
     assert sp_folded == folded == CASE_SKEW_DST
+
+
+# -- r12: script ID + multiscript language ID ---------------------------------
+
+def test_script_id_crafted_rows(spark):
+    """script_id's character-majority rule on crafted rows: pure-script
+    rows classify to their script, a mixed row goes to the majority,
+    an exact tie goes to the earlier SCRIPT_CLASSES entry, and a row
+    with no classified letter (digits/punct/unlisted scripts) is
+    'und'."""
+    from fiat2_spark.operators.text import script_id
+
+    rows = [
+        (1, "hello world"),                       # latin
+        (2, "привет мир"),                        # cyrillic
+        (3, "γεια σου κόσμε"),                    # greek
+        (4, "café déjà vu naïve"),                # ascii 6 < accented? no:
+                                                  # c,a,f,d,j,v,u,n,a,v,e latin
+        (5, "ééé zz"),                            # latin_ext 3 > latin 2
+        (6, "аб ab"),                             # tie 2-2 → latin (priority)
+        (7, "12345 .,!?"),                        # und
+        (8, "日本語のテキスト"),                    # unlisted script → und
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    from pyspark.sql import functions as F
+
+    out = {r["i"]: r["s"] for r in df.select("i", script_id(F.col("t")).alias("s")).collect()}
+    assert out[1] == "latin"
+    assert out[2] == "cyrillic"
+    assert out[3] == "greek"
+    assert out[4] == "latin"      # 11 ascii letters vs 4 accented
+    assert out[5] == "latin_ext"
+    assert out[6] == "latin"      # tie → first priority
+    assert out[7] == "und"
+    assert out[8] == "und"
+
+
+def test_langid_multiscript_matches_ascii_langid(spark):
+    """Transliteration invariance (the property the multiscript
+    stopword table is built on): lang_id_table over the multilingual
+    fixture under tokens_unicode predicts EXACTLY what the plain ASCII
+    lang_id predicts on the original documents — per-char
+    transliteration commutes with tokenization and stopword matching.
+    Also: every fixture row's script prediction matches the doc_id % 4
+    ground truth (script_ok all true)."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.text import lang_id, tokens
+    from fiat2_spark.workloads.pipeline import langid_multiscript
+    from fiat2_spark.workloads.util import tbl
+
+    sf = "/root/testdata/sf0.001"
+    out = langid_multiscript(spark, sf).collect()
+    assert out
+    assert all(r["script_ok"] for r in out), [
+        (r["doc_id"], r["script"]) for r in out if not r["script_ok"]
+    ][:5]
+    base = {
+        r["doc_id"]: r["p"]
+        for r in tbl(spark, sf, "documents")
+        .select("doc_id", lang_id(tokens(F.col("text"))).alias("p"))
+        .collect()
+    }
+    mism = [(r["doc_id"], r["lang_pred"], base[r["doc_id"]]) for r in out
+            if r["lang_pred"] != base[r["doc_id"]]]
+    assert not mism, mism[:5]
