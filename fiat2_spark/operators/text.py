@@ -198,11 +198,50 @@ def tokens_unicode(text: Column) -> Column:
     ``alpha_pattern=r"\\p{L}"`` alongside the tokenizer). Mixing
     tokenizers across a fit/score pair is a contract violation — pick
     one per pipeline (fit/score pairing asserted by the unicode
-    curation queries' oracles)."""
+    curation queries' oracles).
+
+    NO-SPACE SCRIPTS (the contract, pinned by crafted-row tests): on
+    unsegmented Han/kana text this tokenizer returns one token PER RUN
+    — '世界です' is a single token, so a whole CJK sentence becomes one
+    giant shingle / one LM "word". That is the documented limitation,
+    not a bug: splitting on non-letters cannot segment a script that
+    writes without separators. For CJK-bearing corpora use
+    `tokens_unicode_cjk`, which falls back to per-codepoint tokens
+    inside fixed CJK ranges (the standard character-level treatment)
+    and behaves exactly like this tokenizer elsewhere."""
     skew_folded = F.translate(text, CASE_SKEW_SRC, CASE_SKEW_DST)
     folded = F.replace(F.lower(skew_folded), F.lit("ς"), F.lit("σ"))
     raw = F.split(folded, r"[^\p{L}\p{N}]+")
     return F.filter(raw, lambda t: t != "")
+
+
+#: Fixed BMP code-point ranges treated as "no-space script" by
+#: `tokens_unicode_cjk`: CJK Unified Ideographs, Extension A, hiragana,
+#: katakana. Explicit RANGES (not \p{Script=Han}) so Java regex and
+#: DuckDB's RE2 agree independently of their Unicode table versions —
+#: the same version-stability discipline as `SCRIPT_CLASSES` and the
+#: `_CASE_SKEW` fold.
+CJK_CLASS = (
+    f"[{chr(0x4E00)}-{chr(0x9FFF)}"   # CJK Unified Ideographs
+    f"{chr(0x3400)}-{chr(0x4DBF)}"    # Extension A
+    f"{chr(0x3040)}-{chr(0x309F)}"    # hiragana
+    f"{chr(0x30A0)}-{chr(0x30FF)}]"   # katakana
+)
+
+
+def tokens_unicode_cjk(text: Column) -> Column:
+    """`tokens_unicode` with a no-space-script fallback: every
+    character in the fixed `CJK_CLASS` ranges is padded with spaces
+    BEFORE tokenization, so an unsegmented Han/kana run tokenizes to
+    per-codepoint tokens — the standard character-level treatment for
+    scripts that write without separators (real segmenters need
+    dictionaries/models; character or character-n-gram units are what
+    CCNet-class web pipelines actually ship for CJK). Outside those
+    ranges the behavior is IDENTICAL to `tokens_unicode` (the padding
+    regex matches nothing), so the fallback composes with every
+    ``tokenizer=``-threaded operator unchanged. One extra codegen'd
+    regexp_replace per row — still a pure map pass."""
+    return tokens_unicode(F.regexp_replace(text, f"({CJK_CLASS})", " $1 "))
 
 
 def token_count(toks: Column) -> Column:

@@ -4396,3 +4396,80 @@ def langid_multiscript(spark, sf_dir):
         ).alias("lang_pred"),
         F.col("lang").alias("lang_true"),
     )
+
+
+# -- no-space-script (CJK) fixture + segmentation fallback --------------------
+
+# 26 consecutive CJK Unified Ideographs as the transliteration targets;
+# the trailing space in the src with no counterpart DELETES spaces, so
+# the derived text is unsegmented Han runs — the degenerate case for a
+# split-on-separators tokenizer (tokens_unicode's documented contract:
+# one run = ONE token).
+_HAN26 = "".join(chr(0x4E00 + i) for i in range(26))
+
+
+def cjk_documents(spark, sf_dir):
+    """Derived unsegmented-CJK fixture: every document's lowercase text
+    transliterated per-char into Han ideographs with SPACES DELETED
+    (translate's unmatched-src-char deletion, identical in Spark and
+    DuckDB) — deterministic, engine-portable, corpus-sized evidence for
+    the no-space-script tokenizer contract. Digits and punctuation
+    survive as the only separators."""
+    d = tbl(spark, sf_dir, "documents")
+    return d.withColumn(
+        "text", F.translate(F.lower(F.col("text")), _XLIT_SRC + " ", _HAN26)
+    )
+
+
+def _uni_split_sql_over(expr: str) -> str:
+    """The `tokens_unicode` DuckDB mirror over an arbitrary SQL
+    expression (the `_UNI_SPLIT_SQL` construction, parameterized)."""
+    return (
+        "list_filter(string_split_regex(replace(lower(translate(" + expr + ", '"
+        + TX.CASE_SKEW_SRC + "', '" + TX.CASE_SKEW_DST + "')), 'ς', 'σ'), "
+        r"'[^\p{L}\p{N}]+'), t -> t <> '')"
+    )
+
+
+_CJK_PAD_SQL = "regexp_replace(text, '(" + TX.CJK_CLASS + r")', ' \1 ', 'g')"
+
+_CJK_ORACLE = f"""
+    WITH docs_c AS (
+      SELECT doc_id, translate(lower(text), '{_XLIT_SRC} ', '{_HAN26}') AS text
+      FROM documents
+    ),
+    tk AS (
+      SELECT doc_id,
+             {_uni_split_sql_over("text")} AS toks_runs,
+             {_uni_split_sql_over(_CJK_PAD_SQL)} AS toks_cjk
+      FROM docs_c
+    )
+    SELECT doc_id,
+           CAST(len(toks_runs) AS BIGINT) AS n_tok_runs,
+           CAST(len(toks_cjk) AS BIGINT) AS n_tok_cjk,
+           md5(array_to_string(toks_cjk, ' ')) AS fp_cjk
+    FROM tk
+"""
+
+
+@q("cjk_segment_tokens", _CJK_ORACLE)
+def cjk_segment_tokens(spark, sf_dir):
+    """The no-space-script contract, corpus-sized (VERDICT r11 missing
+    #3): over the unsegmented-Han fixture, `tokens_unicode` degenerates
+    to one token per run (n_tok_runs — the documented limitation) while
+    `tokens_unicode_cjk`'s fixed-range per-codepoint fallback recovers
+    character-level tokens (n_tok_cjk), gated at token-stream
+    granularity (fp_cjk = md5 of the space-joined fallback stream, so
+    one mis-split or mis-ordered character anywhere in the corpus moves
+    some row's hash). Both tokenizers are pure map passes — one extra
+    codegen'd regexp_replace for the fallback, no shuffle at any corpus
+    size."""
+    d = cjk_documents(spark, sf_dir)
+    tu = TX.tokens_unicode(F.col("text"))
+    tc = TX.tokens_unicode_cjk(F.col("text"))
+    return d.select(
+        "doc_id",
+        TX.token_count(tu).cast("long").alias("n_tok_runs"),
+        TX.token_count(tc).cast("long").alias("n_tok_cjk"),
+        F.md5(F.array_join(tc, " ")).alias("fp_cjk"),
+    )

@@ -1366,3 +1366,67 @@ def test_langid_multiscript_matches_ascii_langid(spark):
     mism = [(r["doc_id"], r["lang_pred"], base[r["doc_id"]]) for r in out
             if r["lang_pred"] != base[r["doc_id"]]]
     assert not mism, mism[:5]
+
+
+def test_cjk_nospace_contract_crafted_rows(spark):
+    """The no-space-script CONTRACT, pinned in BOTH engines on crafted
+    rows: plain tokens_unicode returns one token per unsegmented
+    Han/kana RUN (a whole sentence = one token — the documented
+    limitation), while tokens_unicode_cjk falls back to per-codepoint
+    tokens inside the fixed CJK_CLASS ranges and is byte-identical to
+    tokens_unicode everywhere else."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.text import (
+        CJK_CLASS,
+        tokens_unicode,
+        tokens_unicode_cjk,
+    )
+    from fiat2_spark.workloads.pipeline import _uni_split_sql_over
+
+    rows = [
+        (1, "hello 世界です ok"),          # mixed: run stays one token
+        (2, "日本語のテキストです"),         # pure unsegmented sentence
+        (3, "the quick brown fox"),        # no CJK: fallback == plain
+        (4, "привет κόσμε 漢字 mixed"),    # three scripts + CJK
+        (5, "ひらがなとカタカナ12と漢字"),    # kana + digits inside a run
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    got = {
+        r["i"]: (r["u"], r["c"])
+        for r in df.select(
+            "i",
+            tokens_unicode(F.col("t")).alias("u"),
+            tokens_unicode_cjk(F.col("t")).alias("c"),
+        ).collect()
+    }
+    # the contract, literally:
+    assert got[1] == (
+        ["hello", "世界です", "ok"],
+        ["hello", "世", "界", "で", "す", "ok"],
+    )
+    assert got[2][0] == ["日本語のテキストです"]          # ONE token
+    assert got[2][1] == list("日本語のテキストです")      # per codepoint
+    assert got[3][0] == got[3][1] == ["the", "quick", "brown", "fox"]
+    assert got[4] == (
+        ["привет", "κόσμε", "漢字", "mixed"],
+        ["привет", "κόσμε", "漢", "字", "mixed"],
+    )
+    # digits split a run under BOTH (12 is \p{N}, kept as its own token
+    # by the splitter either way)
+    assert got[5][1] == list("ひらがなとカタカナ") + ["12", "と", "漢", "字"]
+
+    # DuckDB mirrors agree bitwise on every crafted row
+    con = duckdb.connect()
+    try:
+        pad = "regexp_replace(t, '(" + CJK_CLASS + r")', ' \1 ', 'g')"
+        for i, t in rows:
+            u, c = con.execute(
+                f"select {_uni_split_sql_over('t')}, {_uni_split_sql_over(pad)} "
+                "from (select ? as t)",
+                [t],
+            ).fetchone()
+            assert (u, c) == got[i], (i, u, c, got[i])
+    finally:
+        con.close()
