@@ -193,12 +193,44 @@ def control_query_sec(spark, reps: int = 5) -> float:
     return round(sorted(times)[len(times) // 2], 3)
 
 
+def control_scan_sec(spark, sf_dir: str, reps: int = 5) -> float:
+    """SCAN-BOUND host-regime calibration (VERDICT r11 #2: the CPU-only
+    control is range-fed — pure codegen + a 9,973-key shuffle, no
+    parquet scan, no page-cache sensitivity — so IO-regime swings,
+    which drove most of the observed same-code oscillation, passed
+    through unnormalized): a FIXED wide aggregate over the lineitem
+    parquet — four columns decoded end to end, a 4-group hash agg, a
+    1-row answer — timed ``reps`` times, median reported. Together the
+    two controls factor the host regime into its CPU and IO components;
+    tools/compare_bench.py normalizes round-over-round totals by the
+    geometric-mean blend when both artifacts carry both."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("q"),
+                F.sum("l_extendedprice").alias("p"),
+                F.sum("l_discount").alias("d"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("tq"))
+            .collect()
+        )
+        times.append(time.perf_counter() - t0)
+    return round(sorted(times)[len(times) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="fiat2-spark-bench")
     # warm the JVM + parquet footers once
     QUERIES["join_fk"](spark, sf_dir).count()
     control_pre = control_query_sec(spark)
+    scan_pre = control_scan_sec(spark, sf_dir)
 
     # Each query is timed SPARK_GRAFT_BENCH_REPS times (default 2) and the
     # min is reported: the first execution carries one-off Janino/codegen
@@ -243,6 +275,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     control_post = control_query_sec(spark)
+    scan_post = control_scan_sec(spark, sf_dir)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
         "metric": "headline_suite_total",
@@ -250,12 +283,18 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        # host-regime calibration: the same fixed control job before and
-        # after the suite; control_sec is their mean. Compare rounds as
-        # (value/control_sec) to divide out host oscillation.
+        # host-regime calibration: the same two fixed control jobs (CPU-
+        # bound range agg; scan-bound lineitem agg) before and after the
+        # suite; each *_sec is the pre/post mean. control_sec stays the
+        # CPU control under its historical name so older artifacts remain
+        # comparable; compare_bench normalizes by the cpu×scan blend when
+        # both sides carry both.
         "control_sec": round((control_pre + control_post) / 2, 3),
         "control_pre": control_pre,
         "control_post": control_post,
+        "control_scan_sec": round((scan_pre + scan_post) / 2, 3),
+        "control_scan_pre": scan_pre,
+        "control_scan_post": scan_post,
     }
     # Full detail first (one JSON line + a committed file), then a compact
     # summary as the FINAL stdout line: the driver records only a bounded

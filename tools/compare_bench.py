@@ -17,16 +17,23 @@ import re
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], float | None]:
-    """Returns (per-query timings, control_sec or None). control_sec is
-    the embedded host-regime calibration (bench.py:control_query_sec);
-    artifacts from rounds before it was added carry None."""
+def load(path: str) -> tuple[dict[str, float], float | None, float | None]:
+    """Returns (per-query timings, control_sec or None, control_scan_sec
+    or None). control_sec is the embedded CPU-bound host-regime
+    calibration (bench.py:control_query_sec); control_scan_sec the
+    scan-bound one (bench.py:control_scan_sec, r12+); artifacts from
+    rounds before either was added carry None for it."""
     with open(path) as fh:
         obj = json.load(fh)
     if "queries" in obj and isinstance(obj["queries"], dict):
         q = {k: float(v) for k, v in obj["queries"].items()}
         ctl = obj.get("control_sec")
-        return q, (float(ctl) if ctl is not None else None)
+        scan = obj.get("control_scan_sec")
+        return (
+            q,
+            (float(ctl) if ctl is not None else None),
+            (float(scan) if scan is not None else None),
+        )
     if "tail" in obj:
         q = {
             k: float(v)
@@ -35,14 +42,20 @@ def load(path: str) -> tuple[dict[str, float], float | None]:
         ctl = q.pop("control_sec", None)
         q.pop("control_pre", None)
         q.pop("control_post", None)
-        return q, ctl
+        scan = q.pop("control_scan_sec", None)
+        q.pop("control_scan_pre", None)
+        q.pop("control_scan_post", None)
+        return q, ctl, scan
     raise SystemExit(f"{path}: neither a queries dict nor a driver tail capture")
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         raise SystemExit(__doc__)
-    (old, old_ctl), (new, new_ctl) = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_ctl, old_scan), (new, new_ctl, new_scan) = (
+        load(sys.argv[1]),
+        load(sys.argv[2]),
+    )
     ratio_flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.3
     abs_flag = float(sys.argv[4]) if len(sys.argv) > 4 else 0.15
     common = sorted(set(old) & set(new))
@@ -66,18 +79,45 @@ def main() -> None:
         ],
     }
     # host-regime normalization: when both artifacts embed the fixed
-    # control query, report the ratio with the regime divided out —
+    # control queries, report the ratio with the regime divided out —
     # ratio_normalized ≈ 1.0 means "same engine speed, different host
-    # weather" even when the raw ratio swings
-    # presence and positivity checked separately: a control_sec of 0.0
-    # is "measured zero" (impossible for a real job, but it must not be
-    # conflated with "artifact predates the control"), and the division
-    # needs an explicit > 0 guard either way
-    if old_ctl is not None and new_ctl is not None and old_ctl > 0:
+    # weather" even when the raw ratio swings.
+    # presence and positivity checked separately: a control of 0.0 is
+    # "measured zero" (impossible for a real job, but it must not be
+    # conflated with "artifact predates the control"), and BOTH sides of
+    # each division carry an explicit > 0 guard (ADVICE r11: the old
+    # guard checked only old_ctl, so a zero in the NEW artifact raised
+    # ZeroDivisionError).
+    ctl_ratio = None
+    if old_ctl is not None and new_ctl is not None and old_ctl > 0 and new_ctl > 0:
+        ctl_ratio = new_ctl / old_ctl
         out["control_old"] = old_ctl
         out["control_new"] = new_ctl
-        out["control_ratio"] = round(new_ctl / old_ctl, 3)
-        out["ratio_normalized"] = round((n_tot / o_tot) / (new_ctl / old_ctl), 3)
+        out["control_ratio"] = round(ctl_ratio, 3)
+    scan_ratio = None
+    if (
+        old_scan is not None
+        and new_scan is not None
+        and old_scan > 0
+        and new_scan > 0
+    ):
+        scan_ratio = new_scan / old_scan
+        out["control_scan_old"] = old_scan
+        out["control_scan_new"] = new_scan
+        out["control_scan_ratio"] = round(scan_ratio, 3)
+    # the blend: geometric mean of the CPU and scan regime ratios — the
+    # suite is a mix of CPU-bound and scan-bound queries, and the
+    # geomean is the symmetric compromise that never over-credits one
+    # regime; with only the CPU control present (pre-r12 artifacts) it
+    # degrades to the old cpu-only normalization, reported under the
+    # same key so round-over-round readers keep one number to look at
+    if ctl_ratio is not None and scan_ratio is not None:
+        blend = (ctl_ratio * scan_ratio) ** 0.5
+        out["control_blend_ratio"] = round(blend, 3)
+        out["ratio_normalized"] = round((n_tot / o_tot) / blend, 3)
+        out["ratio_normalized_cpu"] = round((n_tot / o_tot) / ctl_ratio, 3)
+    elif ctl_ratio is not None:
+        out["ratio_normalized"] = round((n_tot / o_tot) / ctl_ratio, 3)
     print(json.dumps(out, indent=1))
 
 
