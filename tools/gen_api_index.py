@@ -12,6 +12,7 @@ from __future__ import annotations
 import importlib
 import inspect
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -69,6 +70,12 @@ def main() -> None:
                     sig = str(inspect.signature(obj))
                 except (TypeError, ValueError):
                     sig = "(…)"
+                # deterministic render for callable/object defaults:
+                # str(signature) reprs them as '<function tokens at
+                # 0x7f…>', which made every regeneration diff (VERDICT
+                # r11 #4) — render by name instead
+                sig = re.sub(r"<function ([\w.]+) at 0x[0-9a-f]+>", r"\1", sig)
+                sig = re.sub(r"<([\w.]+) object at 0x[0-9a-f]+>", r"<\1>", sig)
                 if len(sig) > 90:
                     sig = sig[:87] + "...)"
                 rows.append((f"`{name}{sig}`", first_line(obj.__doc__)))

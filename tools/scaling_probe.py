@@ -224,7 +224,12 @@ def corpus_growth_probe(spark, factor: int) -> dict:
     return out
 
 
-def run_once(spark, name: str, sf_dir: str) -> float:
+def run_once(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    """(min wall-time of 2 noop-sink reps, output row count). The count
+    runs OUTSIDE the timed region (one extra execution) — VERDICT r11
+    task 6: a wall-time ratio without the output cardinality hides
+    output-growth regimes (the 7.56× dedup row was true-pair growth,
+    which the pair count makes self-evident)."""
     from fiat2_spark.session import release_checkpoint_blocks
 
     best = None
@@ -241,7 +246,10 @@ def run_once(spark, name: str, sf_dir: str) -> float:
         # partial agg that never changed — drifting 0.56 s → 14.5 s by
         # probe position). run_gate.py sweeps for the same reason.
         release_checkpoint_blocks(spark)
-    return best
+    n = QUERIES[name](spark, sf_dir).count()
+    spark.catalog.clearCache()
+    release_checkpoint_blocks(spark)
+    return best, n
 
 
 def main() -> None:
@@ -255,11 +263,12 @@ def main() -> None:
     pair_decomp = None
     growth = None
     for name in queries:
-        base = run_once(spark, name, SRC)
-        big = run_once(spark, name, DST)
-        rows.append((name, base, big, big / base))
+        base, n_base = run_once(spark, name, SRC)
+        big, n_big = run_once(spark, name, DST)
+        rows.append((name, base, big, big / base, n_base, n_big))
         print(json.dumps({"q": name, "sf0.1": round(base, 2), "sf1": round(big, 2),
-                          "ratio": round(big / base, 2)}), flush=True)
+                          "ratio": round(big / base, 2),
+                          "rows": [n_base, n_big]}), flush=True)
         if name == "dedup_minhash":
             pair_decomp = (minhash_pair_counts(spark, SRC),
                            minhash_pair_counts(spark, DST))
@@ -289,7 +298,8 @@ def main() -> None:
                 return best
 
             scaled_k = run_op(DST, 8 * factor)
-            rows.append((f"{name} (k scaled ×{factor})", base, scaled_k, scaled_k / base))
+            rows.append((f"{name} (k scaled ×{factor})", base, scaled_k, scaled_k / base,
+                         None, None))
             print(json.dumps({"q": f"{name}@k{8 * factor}", "sf0.1": round(base, 2),
                               "sf1": round(scaled_k, 2),
                               "ratio": round(scaled_k / base, 2)}), flush=True)
@@ -298,8 +308,9 @@ def main() -> None:
         if name == "substring_dedup_apply":
             # doc-LENGTH axis: same doc count, ×factor tokens per doc
             build_longdocs(spark, factor)
-            long_t = run_once(spark, name, LDST)
-            rows.append((f"{name} (×{factor} doc LENGTH)", base, long_t, long_t / base))
+            long_t, long_n = run_once(spark, name, LDST)
+            rows.append((f"{name} (×{factor} doc LENGTH)", base, long_t, long_t / base,
+                         n_base, long_n))
             print(json.dumps({"q": f"{name}@longdocs", "sf0.1": round(base, 2),
                               "long": round(long_t, 2),
                               "ratio": round(long_t / base, 2)}), flush=True)
@@ -315,10 +326,11 @@ def main() -> None:
             "and window partitions grow ~factor). Dim tables unchanged (symlinked\n"
             "sf0.1). local[32], min of 2 reps, noop sink, cache cleared\n"
             "between runs.\n\n"
-            f"| query | sf0.1 (s) | ~sf1 (s) | ratio (data x{factor}) |\n|---|---|---|---|\n"
+            f"| query | sf0.1 (s) | ~sf1 (s) | ratio (data x{factor}) | rows (sf0.1 → ~sf1) |\n|---|---|---|---|---|\n"
         )
-        for name, base, big, ratio in rows:
-            fh.write(f"| {name} | {base:.2f} | {big:.2f} | {ratio:.2f}× |\n")
+        for name, base, big, ratio, n_base, n_big in rows:
+            rc = f"{n_base:,} → {n_big:,}" if n_base is not None else "—"
+            fh.write(f"| {name} | {base:.2f} | {big:.2f} | {ratio:.2f}× | {rc} |\n")
         if pair_decomp is not None:
             p1, pn = pair_decomp
             cr = pn["candidates"] / max(p1["candidates"], 1)
