@@ -439,17 +439,17 @@ PRIORITY_R10 = (
     "theta_join_nonequi", "udaf_mad", "window_nav",
     "zonemap_range_scan",
 )
-# Round-11 window. Rotation baseline: FINGERPRINTS_r10.json at r10 HEAD
-# (the tool is unchanged this round). Must-rotate-in set is the tool's
-# output at the final engine commit:
+# Round-11 window (audit trail). Rotation baseline: FINGERPRINTS_r10.json
+# at r10 HEAD (the tool was unchanged that round). Must-rotate-in set was
+# the tool's output at the final engine commit:
 #   python tools/fingerprints.py --compare FINGERPRINTS_r10.json
 #   → changed = 15 (incl. the 4 new), new = 4 — every name seated in
-#     (A)/(B) below; every out-of-window query's reachable hash is
+#     (A)/(B); every out-of-window query's reachable hash was
 #     IDENTICAL to its row-earning round's (the late-round
-#     dedup_minhash_unicode adds ONLY new functions to dedup.py, so no
-#     existing dedup query's reachable hash moves — twin-agreement-
+#     dedup_minhash_unicode added ONLY new functions to dedup.py, so no
+#     existing dedup query's reachable hash moved — twin-agreement-
 #     tested in test_pipeline_late_ops).
-PRIORITY = (
+PRIORITY_R11 = (
     # (A) tool-mandated reachable-delta rotate-ins — the tokenizer=
     # threading through the model-based curation stack (dsir_*, the NB
     # classifier, lm_perplexity/perplexity_filter, the DoReMi family,
@@ -486,7 +486,51 @@ PRIORITY = (
     "tfidf_retrieval", "triangle", "union_all_concat", "word_arith",
     "word_range",
 )
+
+# Round-12 window. Rotation baseline: FINGERPRINTS_r11.json at r11 HEAD.
+# Must-rotate-in set is the tool's output at the final engine commit:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r11.json
+#   → changed = 17 (incl. the 2 new), new = 2 — every name seated in
+#     (A)/(B) below. The dedup family is flagged by DESIGN this round:
+#     the r11 minhash `_tok` twin folded back into a tokenizer=-
+#     parametric `minhash_candidates` and tokenizer= threaded through
+#     simhash / ngram-jaccard / span / substring / boilerplate (VERDICT
+#     r11 task 1), plus the 6dp rounding alignment in the minhash/
+#     ngram/embedding oracles (ADVICE r11 #3); the unicode-fixture
+#     queries ride the tokens_unicode contract-docstring update (the
+#     no-space-script contract, task 3).
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins: the tokenizer=-
+    # threaded dedup family + oracle rounding alignment...
+    "boilerplate_dedup", "dedup_clusters", "dedup_clusters_star",
+    "dedup_embedding", "dedup_fuzzy_apply", "dedup_minhash",
+    "dedup_minhash_unicode", "dedup_ngram_jaccard", "dedup_simhash",
+    "span_dedup", "substring_dedup", "substring_dedup_apply",
+    # ...and the tokens_unicode-contract riders
+    "perplexity_filter_unicode", "text_unicode_pipeline",
+    "unicode_corpus_tokens",
+    # (B) round-12 additions — driver evidence in the round they land:
+    # multiscript language ID over the multilingual fixture, and the
+    # no-space-script (CJK) tokenizer contract + per-codepoint fallback
+    "langid_multiscript", "cjk_segment_tokens",
+    # (C) oldest-evidence refreshes: 33 of the 35 queries whose newest
+    # driver row is r7 (the oldest evidence tier after the r11 rotation);
+    # sample_strata and shuffle_shards defer to r13 — two seats short,
+    # both hold green r7 rows over reachable hashes the tool verifies
+    # byte-identical since (held set, FINGERPRINTS_r11 compare)
+    "agg_sum_count", "asof_join", "bucketed_join", "coq_div_mod",
+    "dedup_editdist", "dedup_exact", "dict_fold", "distinct_agg",
+    "groupby_agg", "hard_negatives", "incremental_groupby",
+    "incremental_join", "incremental_min_orders",
+    "incremental_multi_index", "incremental_sum", "json_extract",
+    "multimodal_bytes", "outer_join", "pagerank3", "quantile_disc",
+    "range_join_binned", "rollup_multires", "sessionize", "set_ops",
+    "sink_roundtrip", "stream_stream_join", "stream_window_agg",
+    "text_fingerprint", "topk_per_group", "tpch_q15_shape",
+    "tpch_q3_shape", "window_frames", "window_rank_family",
+)
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
 assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
 assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50
 assert len(PRIORITY_R8) == 50 and len(set(PRIORITY_R8)) == 50
@@ -517,6 +561,8 @@ _missing_r9 = [n for n in PRIORITY_R9 if n not in _queries]
 assert not _missing_r9, f"PRIORITY_R9 names no longer registered: {_missing_r9}"
 _missing_r10 = [n for n in PRIORITY_R10 if n not in _queries]
 assert not _missing_r10, f"PRIORITY_R10 names no longer registered: {_missing_r10}"
+_missing_r11 = [n for n in PRIORITY_R11 if n not in _queries]
+assert not _missing_r11, f"PRIORITY_R11 names no longer registered: {_missing_r11}"
 
 QUERIES = {n: _queries[n] for n in PRIORITY}
 QUERIES.update((n, f) for n, f in _queries.items() if n not in QUERIES)
