@@ -643,10 +643,13 @@ def quality_score(text: Column, tokenizer=None) -> Column:
     return F.round(0.3 * len_term + 0.3 * sw_term + 0.2 * punct_term + 0.2 * len_band, 6)
 
 
-def fingerprint_md5(text: Column) -> Column:
+def fingerprint_md5(text: Column, tokenizer=None) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
-    text — the exact-dedup key."""
-    return F.md5(F.concat_ws(" ", tokens(text)))
+    text — the exact-dedup key. ``tokenizer`` (text → token array)
+    defaults to the ASCII `tokens`; under `tokens_unicode` two
+    documents differing only in non-Latin content get distinct
+    fingerprints instead of colliding on the empty token stream."""
+    return F.md5(F.concat_ws(" ", (tokenizer or tokens)(text)))
 
 
 def rolling_hash(toks: Column, mod: int = 1_000_000_007, mult: int = 31) -> Column:

@@ -509,14 +509,18 @@ PRIORITY = (
     # ...and the tokens_unicode-contract riders
     "perplexity_filter_unicode", "text_unicode_pipeline",
     "unicode_corpus_tokens",
+    # ...and the fingerprint_md5 tokenizer threading's reachers beyond
+    # the two (C)-seated ones (dedup_exact, text_fingerprint)
+    "dedup_incremental_batch", "pipeline_e2e", "pipeline_training_set",
     # (B) round-12 additions — driver evidence in the round they land:
     # multiscript language ID over the multilingual fixture, and the
     # no-space-script (CJK) tokenizer contract + per-codepoint fallback
     "langid_multiscript", "cjk_segment_tokens",
-    # (C) oldest-evidence refreshes: 33 of the 35 queries whose newest
+    # (C) oldest-evidence refreshes: 30 of the 35 queries whose newest
     # driver row is r7 (the oldest evidence tier after the r11 rotation);
-    # sample_strata and shuffle_shards defer to r13 — two seats short,
-    # both hold green r7 rows over reachable hashes the tool verifies
+    # sample_strata, shuffle_shards, tpch_q3_shape, window_frames, and
+    # window_rank_family defer to r13 — five seats short, all five hold
+    # green r7 rows over reachable hashes the tool verifies
     # byte-identical since (held set, FINGERPRINTS_r11 compare)
     "agg_sum_count", "asof_join", "bucketed_join", "coq_div_mod",
     "dedup_editdist", "dedup_exact", "dict_fold", "distinct_agg",
@@ -527,7 +531,6 @@ PRIORITY = (
     "range_join_binned", "rollup_multires", "sessionize", "set_ops",
     "sink_roundtrip", "stream_stream_join", "stream_window_agg",
     "text_fingerprint", "topk_per_group", "tpch_q15_shape",
-    "tpch_q3_shape", "window_frames", "window_rank_family",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
