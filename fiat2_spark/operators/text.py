@@ -1059,6 +1059,160 @@ def lm_perplexity(
     )
 
 
+def lm_perplexity3(
+    raw, ref, id_col: str, text_col: str,
+    vocab_size: int = 1024, quant: int = 10_000,
+    alpha_num: int = 2, alpha_den: int = 5, unk: str = "<unk>",
+    tokenizer=tokens,
+):
+    """Trigram LM scoring with FULL multi-order stupid backoff (Brants
+    et al. 2007, "Large Language Models in Machine Translation" §4 —
+    the distributed web-scale LM recipe: relative frequencies, no
+    normalization, a fixed backoff penalty α per level). `lm_perplexity`
+    is the bigram→unigram two-level instance; this is the paper's
+    three-level chain:
+
+      seen trigram:   S(w|a,b) = c3(a,b,w) / c2(a,b)
+      else bigram:    S(w|b)   = α · c2(b,w) / c1(b)
+      else unigram:   S(w)     = α² · (c1(w)+1) / (N + V + 1)
+
+    (α = alpha_num/alpha_den; add-1 on the vocab-closed unigram keeps
+    S > 0; context counts are the plain (k−1)-gram counts — stupid
+    backoff scores are deliberately unnormalized, so the document-edge
+    count mismatch the paper accepts is accepted here too.)
+    Per-transition cost q = round(−ln S · quant) exact BIGINT; every ln
+    argument is an exact-integer ratio both engines form bit-identically
+    (the `lm_perplexity`/`dsir_scores` discipline).
+
+    Returns (id, n_trans, nll_q) for EVERY raw document: n_trans =
+    max(len(toks)−2, 0) scored trigram transitions; docs with < 3
+    tokens score (0, 0).
+
+    Scale: identical shape to `lm_perplexity` one order up — the LM
+    tables stay MODEL-sized (vocab-closed: ≤ observed vocab-mapped
+    trigrams/bigrams, ≤ V+1 unigrams), all broadcast; fitting is three
+    explode+count passes over the ref corpus (each map-side partial),
+    scoring one explode + three broadcast probes + a per-doc partial
+    agg. At Brants-scale corpora where the trigram table outgrows a
+    broadcast, the paper's answer is sharding the probe by n-gram hash
+    — here that is the same equi-join without the broadcast hint, which
+    AQE picks automatically when the build side stops fitting.
+
+    ``tokenizer``: fit/score pairing contract as in `lm_perplexity`."""
+    spark = raw.sparkSession
+
+    def grams(df, n: int, cols: list[str]):
+        # n consecutive tokens via arrays_zip over n shifted slices —
+        # native expressions only (see lm_perplexity.transitions)
+        t = tokenizer(F.col(text_col))
+        sz = F.size(t)
+        width = sz - (n - 1)
+        zipped = F.when(
+            sz >= n, F.arrays_zip(*[F.slice(t, i + 1, width) for i in range(n)])
+        )
+        return df.select(
+            F.col(id_col).alias("doc"), F.explode(zipped).alias("g")
+        ).select(
+            "doc", *[F.col("g")[str(i)].alias(c) for i, c in enumerate(cols)]
+        )
+
+    # fit — one unigram pass feeds vocab / c1 / N (blocks, not a
+    # CacheManager pin)
+    ref_uni = ref.select(
+        F.col(id_col).alias("doc"), F.explode(tokenizer(F.col(text_col))).alias("w")
+    ).localCheckpoint()
+    vocab = (
+        ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w").limit(vocab_size)
+        .select("w").localCheckpoint()
+    )
+    tot = ref_uni.agg(F.count(F.lit(1)).alias("n_tot"))
+    c1 = (
+        _vocab_mapped(ref_uni.select("w"), "w", vocab, unk)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    )
+    c2 = (
+        _vocab_mapped(
+            _vocab_mapped(grams(ref, 2, ["prev", "w"]), "prev", vocab, unk),
+            "w", vocab, unk,
+        )
+        .groupBy("prev", "w").agg(F.count(F.lit(1)).alias("n2"))
+        .localCheckpoint()  # feeds both q3's context join and q2
+    )
+    c3 = _vocab_mapped(
+        _vocab_mapped(
+            _vocab_mapped(grams(ref, 3, ["p2", "p1", "w"]), "p2", vocab, unk),
+            "p1", vocab, unk,
+        ),
+        "w", vocab, unk,
+    ).groupBy("p2", "p1", "w").agg(F.count(F.lit(1)).alias("n3"))
+    q3 = c3.join(
+        c2.select(F.col("prev").alias("p2"), F.col("w").alias("p1"), "n2"),
+        ["p2", "p1"],
+    ).select(
+        "p2", "p1", "w",
+        F.round(-F.log(F.col("n3").cast("double") / F.col("n2")) * quant)
+        .cast("long").alias("q"),
+    )
+    q2 = c2.join(c1.select(F.col("w").alias("prev"), "n1"), "prev").select(
+        F.col("prev").alias("p1"), "w",
+        F.round(
+            -F.log(
+                (F.col("n2") * alpha_num).cast("double")
+                / (F.col("n1") * alpha_den).cast("double")
+            )
+            * quant
+        ).cast("long").alias("q"),
+    )
+    dom = vocab.unionByName(spark.createDataFrame([(unk,)], "w string"))
+    q1 = (
+        dom.join(c1, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            F.round(
+                -F.log(
+                    ((F.coalesce("n1", F.lit(0)) + 1) * alpha_num * alpha_num).cast(
+                        "double"
+                    )
+                    / (
+                        (F.col("n_tot") + vocab_size + 1) * alpha_den * alpha_den
+                    ).cast("double")
+                )
+                * quant
+            ).cast("long").alias("q"),
+        )
+    )
+    # score: trigram transitions probe the three broadcast tables,
+    # deepest available level wins, then one per-doc integer sum
+    rt = _vocab_mapped(
+        _vocab_mapped(
+            _vocab_mapped(grams(raw, 3, ["p2", "p1", "w"]), "p2", vocab, unk),
+            "p1", vocab, unk,
+        ),
+        "w", vocab, unk,
+    )
+    scored = (
+        rt.join(F.broadcast(q3.withColumnRenamed("q", "q_tri")), ["p2", "p1", "w"], "left")
+        .join(F.broadcast(q2.withColumnRenamed("q", "q_bi")), ["p1", "w"], "left")
+        .join(F.broadcast(q1.withColumnRenamed("q", "q_uni")), "w", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trans"),
+            F.sum(F.coalesce("q_tri", "q_bi", "q_uni")).cast("long").alias("nll_q"),
+        )
+    )
+    return (
+        raw.select(F.col(id_col).alias("doc")).distinct()
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
+            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
+        )
+    )
+
+
 def perplexity_filter(
     raw, ref, id_col: str, text_col: str, threshold_q: int,
     vocab_size: int = 1024, quant: int = 10_000,

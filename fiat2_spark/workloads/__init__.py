@@ -513,15 +513,16 @@ PRIORITY = (
     # the two (C)-seated ones (dedup_exact, text_fingerprint)
     "dedup_incremental_batch", "pipeline_e2e", "pipeline_training_set",
     # (B) round-12 additions — driver evidence in the round they land:
-    # multiscript language ID over the multilingual fixture, and the
-    # no-space-script (CJK) tokenizer contract + per-codepoint fallback
-    "langid_multiscript", "cjk_segment_tokens",
-    # (C) oldest-evidence refreshes: 30 of the 35 queries whose newest
+    # multiscript language ID over the multilingual fixture, the
+    # no-space-script (CJK) tokenizer contract + per-codepoint fallback,
+    # and the trigram stupid-backoff LM
+    "langid_multiscript", "cjk_segment_tokens", "lm_stupid_backoff",
+    # (C) oldest-evidence refreshes: 29 of the 35 queries whose newest
     # driver row is r7 (the oldest evidence tier after the r11 rotation);
-    # sample_strata, shuffle_shards, tpch_q3_shape, window_frames, and
-    # window_rank_family defer to r13 — five seats short, all five hold
-    # green r7 rows over reachable hashes the tool verifies
-    # byte-identical since (held set, FINGERPRINTS_r11 compare)
+    # sample_strata, shuffle_shards, tpch_q3_shape, tpch_q15_shape,
+    # window_frames, and window_rank_family defer to r13 — six seats
+    # short, all six hold green r7 rows over reachable hashes the tool
+    # verifies byte-identical since (held set, FINGERPRINTS_r11 compare)
     "agg_sum_count", "asof_join", "bucketed_join", "coq_div_mod",
     "dedup_editdist", "dedup_exact", "dict_fold", "distinct_agg",
     "groupby_agg", "hard_negatives", "incremental_groupby",
@@ -530,7 +531,7 @@ PRIORITY = (
     "multimodal_bytes", "outer_join", "pagerank3", "quantile_disc",
     "range_join_binned", "rollup_multires", "sessionize", "set_ops",
     "sink_roundtrip", "stream_stream_join", "stream_window_agg",
-    "text_fingerprint", "topk_per_group", "tpch_q15_shape",
+    "text_fingerprint", "topk_per_group",
 )
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
 assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50

@@ -4473,3 +4473,102 @@ def cjk_segment_tokens(spark, sf_dir):
         TX.token_count(tc).cast("long").alias("n_tok_cjk"),
         F.md5(F.array_join(tc, " ")).alias("fp_cjk"),
     )
+
+
+# -- trigram LM with full multi-order stupid backoff --------------------------
+
+# Independent DuckDB recomputation of lm_perplexity3's three-level model
+# (fresh CTEs rather than _LM_CTES surgery: the bigram oracle's q2 is a
+# TOP level with no alpha, this one's is a backoff level WITH alpha —
+# sharing text would hide that semantic difference, and the oracle is
+# supposed to be an independent derivation anyway).
+_LM3_ORACLE = """
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    ref_uni AS (SELECT unnest(toks) AS w FROM tk WHERE source = 'src0'),
+    vocab AS (SELECT w FROM ref_uni GROUP BY w ORDER BY count(*) DESC, w LIMIT 1024),
+    tot AS (SELECT count(*) AS n_tot FROM ref_uni),
+    m1 AS (SELECT CASE WHEN v.w IS NOT NULL THEN u.w ELSE '<unk>' END AS w
+           FROM ref_uni u LEFT JOIN vocab v ON v.w = u.w),
+    c1 AS (SELECT w, count(*) AS n1 FROM m1 GROUP BY w),
+    ref_bi AS (
+      SELECT toks[CAST(i.i AS INTEGER)] AS prev, toks[CAST(i.i AS INTEGER) + 1] AS w
+      FROM tk, unnest(generate_series(1, len(toks) - 1)) AS i(i)
+      WHERE source = 'src0' AND len(toks) >= 2
+    ),
+    mb AS (SELECT CASE WHEN vp.w IS NOT NULL THEN b.prev ELSE '<unk>' END AS prev,
+                  CASE WHEN vw.w IS NOT NULL THEN b.w ELSE '<unk>' END AS w
+           FROM ref_bi b LEFT JOIN vocab vp ON vp.w = b.prev
+                         LEFT JOIN vocab vw ON vw.w = b.w),
+    c2 AS (SELECT prev, w, count(*) AS n2 FROM mb GROUP BY prev, w),
+    ref_tri AS (
+      SELECT toks[CAST(i.i AS INTEGER)] AS p2, toks[CAST(i.i AS INTEGER) + 1] AS p1,
+             toks[CAST(i.i AS INTEGER) + 2] AS w
+      FROM tk, unnest(generate_series(1, len(toks) - 2)) AS i(i)
+      WHERE source = 'src0' AND len(toks) >= 3
+    ),
+    mt AS (SELECT CASE WHEN v2.w IS NOT NULL THEN t.p2 ELSE '<unk>' END AS p2,
+                  CASE WHEN v1.w IS NOT NULL THEN t.p1 ELSE '<unk>' END AS p1,
+                  CASE WHEN vw.w IS NOT NULL THEN t.w ELSE '<unk>' END AS w
+           FROM ref_tri t LEFT JOIN vocab v2 ON v2.w = t.p2
+                          LEFT JOIN vocab v1 ON v1.w = t.p1
+                          LEFT JOIN vocab vw ON vw.w = t.w),
+    c3 AS (SELECT p2, p1, w, count(*) AS n3 FROM mt GROUP BY p2, p1, w),
+    q3 AS (SELECT c3.p2, c3.p1, c3.w,
+                  CAST(round(-ln(CAST(c3.n3 AS DOUBLE) / c2.n2) * 10000) AS BIGINT) AS q
+           FROM c3 JOIN c2 ON c2.prev = c3.p2 AND c2.w = c3.p1),
+    q2 AS (SELECT c2.prev AS p1, c2.w,
+                  CAST(round(-ln(CAST(c2.n2 * 2 AS DOUBLE) / (cp.n1 * 5)) * 10000) AS BIGINT) AS q
+           FROM c2 JOIN c1 cp ON cp.w = c2.prev),
+    dom AS (SELECT w FROM vocab UNION ALL SELECT '<unk>'),
+    q1 AS (SELECT d.w,
+                  CAST(round(-ln(CAST((COALESCE(c1.n1, 0) + 1) * 4 AS DOUBLE)
+                                 / ((tot.n_tot + 1025) * 25)) * 10000) AS BIGINT) AS q
+           FROM dom d LEFT JOIN c1 ON c1.w = d.w, tot),
+    raw_tri AS (
+      SELECT doc_id, toks[CAST(i.i AS INTEGER)] AS p2, toks[CAST(i.i AS INTEGER) + 1] AS p1,
+             toks[CAST(i.i AS INTEGER) + 2] AS w
+      FROM tk, unnest(generate_series(1, len(toks) - 2)) AS i(i)
+      WHERE source <> 'src0' AND len(toks) >= 3
+    ),
+    rmt AS (SELECT doc_id,
+                   CASE WHEN v2.w IS NOT NULL THEN t.p2 ELSE '<unk>' END AS p2,
+                   CASE WHEN v1.w IS NOT NULL THEN t.p1 ELSE '<unk>' END AS p1,
+                   CASE WHEN vw.w IS NOT NULL THEN t.w ELSE '<unk>' END AS w
+            FROM raw_tri t LEFT JOIN vocab v2 ON v2.w = t.p2
+                           LEFT JOIN vocab v1 ON v1.w = t.p1
+                           LEFT JOIN vocab vw ON vw.w = t.w),
+    sc AS (SELECT r.doc_id, count(*) AS n_trans,
+                  SUM(COALESCE(q3.q, q2.q, q1.q)) AS nll_q
+           FROM rmt r
+           LEFT JOIN q3 ON q3.p2 = r.p2 AND q3.p1 = r.p1 AND q3.w = r.w
+           LEFT JOIN q2 ON q2.p1 = r.p1 AND q2.w = r.w
+           LEFT JOIN q1 ON q1.w = r.w
+           GROUP BY r.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(sc.n_trans, 0) AS BIGINT) AS n_trans,
+           CAST(COALESCE(sc.nll_q, 0) AS BIGINT) AS nll_q
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN sc ON sc.doc_id = d.doc_id
+"""
+
+
+@q("lm_stupid_backoff", _LM3_ORACLE)
+def lm_stupid_backoff(spark, sf_dir):
+    """Trigram LM scoring with the FULL multi-order stupid backoff chain
+    (Brants et al. 2007 §4 — trigram, then α·bigram, then α²·unigram):
+    the web-scale distributed LM recipe, one order above the registered
+    bigram `perplexity_filter`. Fit on the src0 slice, scored over the
+    pool; all three score tables are model-sized broadcasts and every
+    per-transition cost is an exact quantized-BIGINT ln of an integer
+    ratio, so the oracle (an independent CTE recomputation, not surgery
+    over the bigram's) matches bitwise."""
+    d = tbl(spark, sf_dir, "documents")
+    return TX.lm_perplexity3(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        "doc_id", "text", vocab_size=1024, quant=10_000,
+    )

@@ -1430,3 +1430,93 @@ def test_cjk_nospace_contract_crafted_rows(spark):
             assert (u, c) == got[i], (i, u, c, got[i])
     finally:
         con.close()
+
+
+def _py_lm_perplexity3(raw: dict[int, str], ref: dict[int, str],
+                       vocab_size: int = 4, quant: int = 10_000,
+                       alpha_num: int = 2, alpha_den: int = 5):
+    """Exact Python mirror of `lm_perplexity3`: trigram MLE, then
+    α·bigram, then α²·add-1 unigram (Brants et al. 2007 full stupid
+    backoff) — the third independent realization next to the Spark
+    plan and the DuckDB oracle."""
+    import math
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def toks(text):
+        return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+    def q_round(x: float) -> int:
+        return int(Decimal(x * quant).quantize(Decimal(1), ROUND_HALF_UP))
+
+    ref_toks = [w for t in ref.values() for w in toks(t)]
+    cnt = Counter(ref_toks)
+    vocab = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_size]
+    }
+
+    def m(w):
+        return w if w in vocab else "<unk>"
+
+    c1 = Counter(m(w) for w in ref_toks)
+    n_tot = len(ref_toks)
+    c2: Counter = Counter()
+    c3: Counter = Counter()
+    for t in ref.values():
+        ts = [m(w) for w in toks(t)]
+        for a, b in zip(ts, ts[1:]):
+            c2[(a, b)] += 1
+        for a, b, c in zip(ts, ts[1:], ts[2:]):
+            c3[(a, b, c)] += 1
+
+    def q_of(p2, p1, w):
+        if (p2, p1, w) in c3:
+            return q_round(-math.log(c3[(p2, p1, w)] / c2[(p2, p1)]))
+        if (p1, w) in c2:
+            return q_round(-math.log((c2[(p1, w)] * alpha_num) / (c1[p1] * alpha_den)))
+        return q_round(
+            -math.log(
+                ((c1.get(w, 0) + 1) * alpha_num * alpha_num)
+                / ((n_tot + vocab_size + 1) * alpha_den * alpha_den)
+            )
+        )
+
+    out = {}
+    for doc, t in raw.items():
+        ts = [m(w) for w in toks(t)]
+        tris = list(zip(ts, ts[1:], ts[2:]))
+        out[doc] = (len(tris), sum(q_of(a, b, c) for a, b, c in tris))
+    return out
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    raw=st.lists(
+        st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                 min_size=0, max_size=7).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+    ref=st.lists(
+        st.lists(st.sampled_from("alpha beta kappa mu nu xi".split()),
+                 min_size=1, max_size=9).map(" ".join),
+        min_size=1, max_size=4,
+    ),
+)
+def test_lm_perplexity3_matches_python_model(spark, raw, ref):
+    """lm_perplexity3 ≡ the exact Python model on random small corpora —
+    all three backoff levels exercised (seen trigram, seen-bigram-only,
+    unigram floor), with <3-token docs pinned to (0, 0)."""
+    from fiat2_spark.operators.text import lm_perplexity3
+
+    raw_t = {i: t for i, t in enumerate(raw)}
+    ref_t = {100 + i: t for i, t in enumerate(ref)}
+    rdf = spark.createDataFrame(list(raw_t.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(ref_t.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity3(rdf, tdf, "doc_id", "text", vocab_size=4).collect()
+    }
+    want = _py_lm_perplexity3(raw_t, ref_t, vocab_size=4)
+    assert got == want, f"\nraw={raw_t}\nref={ref_t}\ngot={got}\nwant={want}"
