@@ -163,6 +163,10 @@ HEADLINE = [
     "perplexity_filter_unicode",    # LM gate under tokens_unicode, multilingual fixture
     "ccnet_bucket_assign",          # per-language perplexity terciles (head/middle/tail)
     "dedup_minhash_unicode",        # multilingual MinHash+LSH over the fixture
+    # round-12 additions
+    "langid_multiscript",           # script ID + transliterated-table language ID
+    "cjk_segment_tokens",           # no-space-script contract + per-codepoint fallback
+    "lm_stupid_backoff",            # trigram LM, full multi-order stupid backoff
 ]
 
 
