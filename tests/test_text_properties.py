@@ -1563,3 +1563,127 @@ def test_stopword_scores_table_agrees_with_expression_form(spark):
     }
     assert rel == expr and expr[1] == "en" and expr[2] == "ru" and expr[3] == "el"
     assert expr[4] == "und" and expr[5] == "und"
+
+
+_CJK_FRAGS = [
+    "hello", "fox", "мир", "κόσμος", "世界", "の", "テキスト", "漢字景",
+    "ひらが", "123", "a1b", " ", ", ", "。", "、", "す", "中",
+]
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(docs=st.lists(
+    st.lists(st.sampled_from(_CJK_FRAGS), min_size=0, max_size=12).map("".join),
+    min_size=1, max_size=6,
+))
+def test_cjk_tokenizer_differential_fuzz(spark, docs):
+    """Differential fuzz of the CJK fallback: on arbitrary
+    mixed-script concatenations (Latin/Cyrillic/Greek words, Han/kana
+    runs, digits, ASCII and IDEOGRAPHIC punctuation — U+3002/U+3001 sit
+    outside CJK_CLASS and must behave as separators), both
+    `tokens_unicode` and `tokens_unicode_cjk` produce byte-identical
+    token streams in Spark and DuckDB. Extends the crafted-row contract
+    pins to the composition space."""
+    import duckdb
+
+    from fiat2_spark.operators.text import CJK_CLASS, tokens_unicode, tokens_unicode_cjk
+    from fiat2_spark.workloads.pipeline import _uni_split_sql_over
+
+    df = spark.createDataFrame(list(enumerate(docs)), "i long, t string")
+    got = {
+        r["i"]: (r["u"], r["c"])
+        for r in df.select(
+            "i",
+            tokens_unicode(F.col("t")).alias("u"),
+            tokens_unicode_cjk(F.col("t")).alias("c"),
+        ).collect()
+    }
+    pad = "regexp_replace(t, '(" + CJK_CLASS + r")', ' \1 ', 'g')"
+    con = duckdb.connect()
+    try:
+        for i, t in enumerate(docs):
+            u, c = con.execute(
+                f"select {_uni_split_sql_over('t')}, {_uni_split_sql_over(pad)} "
+                "from (select ? as t)",
+                [t],
+            ).fetchone()
+            assert (u, c) == got[i], (i, t, u, c, got[i])
+    finally:
+        con.close()
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(texts=st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            categories=("Lu", "Ll", "Nd", "Po", "Zs", "So"),
+            max_codepoint=0xFFFF,
+        ),
+        max_size=40,
+    ),
+    min_size=1, max_size=8,
+))
+def test_script_counts_differential_fuzz(spark, texts):
+    """Differential fuzz of `script_counts`: the per-class character
+    counts (fixed BMP ranges, regexp_replace-delete counting) agree
+    with DuckDB on arbitrary BMP text — including characters in NO
+    class (symbols, other scripts), which both engines must simply not
+    count. The argmax on top is deterministic Spark-side arithmetic
+    pinned by the crafted-row test."""
+    import duckdb
+
+    from fiat2_spark.operators.text import SCRIPT_CLASSES, script_counts
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {
+        r["i"]: list(r["v"])
+        for r in df.select("i", script_counts(F.col("t")).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    try:
+        exprs = ", ".join(
+            f"length(t) - length(regexp_replace(t, '{cls}', '', 'g'))"
+            for _, cls in SCRIPT_CLASSES
+        )
+        for i, t in enumerate(texts):
+            want = list(con.execute(f"select {exprs} from (select ? as t)", [t]).fetchone())
+            assert got[i] == want, (i, t, got[i], want)
+    finally:
+        con.close()
+
+
+def test_lm_perplexity3_unicode_fit_score_pairing(spark):
+    """lm_perplexity3 under tokenizer=tokens_unicode on a Cyrillic
+    corpus: the fluent document (every trigram seen in the reference)
+    scores strictly lower mean NLL than reversed word salad over the
+    same vocabulary (forced down the backoff chain), and the ASCII
+    default scores the same corpus as empty (0, 0) — the fit/score
+    pairing contract one order up from the registered bigram gate."""
+    from fiat2_spark.operators.text import lm_perplexity3, tokens_unicode
+
+    sent = "быстрая лиса прыгает через ленивую собаку"
+    ref = spark.createDataFrame(
+        [(100 + i, sent) for i in range(4)], "doc_id long, text string"
+    )
+    raw = spark.createDataFrame(
+        [(1, sent), (2, " ".join(reversed(sent.split())))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity3(
+            raw, ref, "doc_id", "text", vocab_size=16, tokenizer=tokens_unicode
+        ).collect()
+    }
+    assert out[1][0] == out[2][0] == 4
+    assert out[1][1] < out[2][1], out
+    ascii_out = {
+        r["doc_id"]: (r["n_trans"], r["nll_q"])
+        for r in lm_perplexity3(raw, ref, "doc_id", "text", vocab_size=16).collect()
+    }
+    assert ascii_out == {1: (0, 0), 2: (0, 0)}, ascii_out
