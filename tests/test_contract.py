@@ -104,6 +104,12 @@ def test_bench_final_line_stays_parseable_under_budget():
     # the kept entries are the slowest ones
     kept = obj["queries"]
     assert kept and max(summary["queries"].values()) == max(kept.values())
+    # r12: BOTH host-regime controls must survive compaction — the
+    # driver's tail capture is where compare_bench's load() scrapes
+    # them from, so a dropped key silently degrades normalization
+    summary2 = dict(summary, control_sec=0.5, control_scan_sec=0.3)
+    obj2 = json.loads(compact_summary(summary2))
+    assert obj2["control_sec"] == 0.5 and obj2["control_scan_sec"] == 0.3
 
 
 def test_readme_query_count_matches_registry():
