@@ -45,6 +45,13 @@ def load(path: str) -> tuple[dict[str, float], float | None, float | None]:
         scan = q.pop("control_scan_sec", None)
         q.pop("control_scan_pre", None)
         q.pop("control_scan_post", None)
+        # the tail capture also carries the summary's own numeric keys —
+        # scraped as pseudo-queries they double-count the suite total
+        # (value) and add a constant ~|registry| seconds (n_queries) to
+        # both sides of every driver-capture comparison, which is what
+        # ratio/ratio_normalized read
+        for k in ("value", "sf", "n_queries"):
+            q.pop(k, None)
         return q, ctl, scan
     raise SystemExit(f"{path}: neither a queries dict nor a driver tail capture")
 
