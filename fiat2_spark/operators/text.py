@@ -449,13 +449,21 @@ def argmax_label(vec: Column, labels: list[str], none_label: str = "und") -> Col
 #: (the \p{Script} assignments gained codepoints in recent Unicode
 #: releases — the same version-skew family the tokenizer's _CASE_SKEW
 #: fold pins). latin covers unaccented ASCII letters; latin_ext the
-#: accented Latin-1/Extended-A/B letters (multiplication and division
-#: signs U+00D7/U+00F7 excluded — they sit inside the Latin-1 letter
-#: range but are symbols).
+#: accented Latin-1/Extended-A/B letters. Symbol/punctuation codepoints
+#: inside a letter block are carved out consistently: U+00D7/U+00F7
+#: (multiplication/division signs) from latin_ext, and from the Greek
+#: block U+0374/U+0375 (numeral signs), U+037E (Greek question mark),
+#: U+0384/U+0385 (tonos marks), U+0387 (ano teleia) — so a document
+#: quoting Greek PUNCTUATION is not voted toward 'greek' on characters
+#: that are not letters.
 SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
     ("latin", "[a-zA-Z]"),
     ("cyrillic", f"[{chr(0x0400)}-{chr(0x04FF)}]"),
-    ("greek", f"[{chr(0x0370)}-{chr(0x03FF)}]"),
+    (
+        "greek",
+        f"[{chr(0x0370)}-{chr(0x0373)}{chr(0x0376)}-{chr(0x037D)}"
+        f"{chr(0x037F)}-{chr(0x0383)}{chr(0x0386)}{chr(0x0388)}-{chr(0x03FF)}]",
+    ),
     (
         "latin_ext",
         f"[{chr(0xC0)}-{chr(0xD6)}{chr(0xD8)}-{chr(0xF6)}{chr(0xF8)}-{chr(0x24F)}]",
@@ -511,7 +519,7 @@ def lang_id_table(toks: Column, table: dict[str, list[str]]) -> Column:
     for SMALL tables (a few dozen words per key), but each token pays
     |table| interpreted isin compares inside the HOF filters. For a
     large table (the 4-script × 10-language transliterated table is
-    ~4,800 words — measured 6.9 s at sf0.1 with this form, and a
+    1,200 entries — measured 6.9 s at sf0.1 with this form, and a
     literal-map variant is no better: Catalyst map literals are
     linear-scan lookups) use `stopword_scores_table`, the relational
     twin that ships the word table once as a broadcast relation — the

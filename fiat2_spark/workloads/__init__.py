@@ -490,8 +490,11 @@ PRIORITY_R11 = (
 # Round-12 window. Rotation baseline: FINGERPRINTS_r11.json at r11 HEAD.
 # Must-rotate-in set is the tool's output at the final engine commit:
 #   python tools/fingerprints.py --compare FINGERPRINTS_r11.json
-#   → changed = 17 (incl. the 2 new), new = 2 — every name seated in
-#     (A)/(B) below. The dedup family is flagged by DESIGN this round:
+#   → changed = 23 (incl. the 3 new), new = 3 — every name seated in
+#     (A)/(B) below (reproduced at the final engine commit; the mid-
+#     round snapshot read 17/2 before fingerprint_md5's threading,
+#     lm_stupid_backoff, and the langid-scorer rewrite landed). The
+#     dedup family is flagged by DESIGN this round:
 #     the r11 minhash `_tok` twin folded back into a tokenizer=-
 #     parametric `minhash_candidates` and tokenizer= threaded through
 #     simhash / ngram-jaccard / span / substring / boilerplate (VERDICT

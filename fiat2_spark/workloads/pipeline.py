@@ -4105,11 +4105,20 @@ _DOCS_U_SQL = f"""
 # \p{L}\p{N} split (RE2 and Java agree on the general categories —
 # pinned by text_unicode_pipeline's crafted rows and the fuzz; the
 # skew set is pinned by the exhaustive BMP sweep test)
-_UNI_SPLIT_SQL = (
-    "list_filter(string_split_regex(replace(lower(translate(text, '"
-    + TX.CASE_SKEW_SRC + "', '" + TX.CASE_SKEW_DST + "')), 'ς', 'σ'), "
-    r"'[^\p{L}\p{N}]+'), t -> t <> '')"
-)
+def _uni_split_sql_over(expr: str) -> str:
+    """The `tokens_unicode` DuckDB mirror over an arbitrary SQL
+    expression — THE single definition of the mirror string (the
+    fixture queries consume it as `_UNI_SPLIT_SQL` below, the CJK
+    oracle over the padded expression), so a tokenizer-mirror change
+    (e.g. another case-skew codepoint) lands everywhere at once."""
+    return (
+        "list_filter(string_split_regex(replace(lower(translate(" + expr + ", '"
+        + TX.CASE_SKEW_SRC + "', '" + TX.CASE_SKEW_DST + "')), 'ς', 'σ'), "
+        r"'[^\p{L}\p{N}]+'), t -> t <> '')"
+    )
+
+
+_UNI_SPLIT_SQL = _uni_split_sql_over("text")
 
 
 @q(
@@ -4330,7 +4339,7 @@ def _langid_ms_oracle() -> str:
     )
     return f"""
     WITH {_DOCS_U_SQL.strip()},
-    tk AS (SELECT doc_id, {_UNI_SPLIT_SQL} AS toks FROM docs_u),
+    tk AS (SELECT doc_id, {_UNI_SPLIT_SQL} AS toks FROM (SELECT doc_id, coalesce(text, '') AS text FROM docs_u)),
     scores AS (
 {score_rows}
     ),
@@ -4341,7 +4350,7 @@ def _langid_ms_oracle() -> str:
             FROM scores)
       WHERE rn = 1
     ),
-    scc AS (SELECT doc_id, {cls_counts} FROM docs_u),
+    scc AS (SELECT doc_id, {cls_counts} FROM (SELECT doc_id, coalesce(text, '') AS text FROM docs_u)),
     sclasses AS (
 {script_rows}
     ),
@@ -4377,12 +4386,19 @@ def langid_multiscript(spark, sf_dir):
     the gated output; lang_pred carries the documents.lang ground truth
     alongside (lang_true). The script stage is a pure map pass (a few
     regexp counts per row); the language stage runs through the
-    RELATIONAL scorer `stopword_scores_table` — the ~4,800-word
+    RELATIONAL scorer `stopword_scores_table` — the 1,200-entry
     transliterated table ships once as a broadcast relation and the
     per-doc hit sums partial-aggregate map-side (the expression-form
     isin filters were measured 3.6× slower at sf0.1: 1,200 interpreted
     string compares per token vs one broadcast hash probe)."""
-    d = multilingual_documents(spark, sf_dir)
+    d = multilingual_documents(spark, sf_dir).withColumn(
+        # NULL-text alignment: Spark's script_counts/argmax propagate
+        # NULL where DuckDB's CASE guards fall through to the ELSE
+        # branch — coalescing to '' on BOTH sides makes a NULL-text row
+        # deterministically ('und', 'und') in both engines (the ADVICE
+        # r11 #3 latent-parity class, closed before it bites)
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
     table = _multiscript_table()
     m = (F.col("doc_id") % 4).cast("int")
     expected = (
@@ -4423,21 +4439,13 @@ def cjk_documents(spark, sf_dir):
     transliterated per-char into Han ideographs with SPACES DELETED
     (translate's unmatched-src-char deletion, identical in Spark and
     DuckDB) — deterministic, engine-portable, corpus-sized evidence for
-    the no-space-script tokenizer contract. Digits and punctuation
-    survive as the only separators."""
+    the no-space-script tokenizer contract. Punctuation and whitespace
+    that survive the map are the only separators (digits survive too
+    but are \\p{N} TOKEN characters — a Han run with embedded digits
+    is still one run under the plain tokenizer)."""
     d = tbl(spark, sf_dir, "documents")
     return d.withColumn(
         "text", F.translate(F.lower(F.col("text")), _XLIT_SRC + " ", _HAN26)
-    )
-
-
-def _uni_split_sql_over(expr: str) -> str:
-    """The `tokens_unicode` DuckDB mirror over an arbitrary SQL
-    expression (the `_UNI_SPLIT_SQL` construction, parameterized)."""
-    return (
-        "list_filter(string_split_regex(replace(lower(translate(" + expr + ", '"
-        + TX.CASE_SKEW_SRC + "', '" + TX.CASE_SKEW_DST + "')), 'ς', 'σ'), "
-        r"'[^\p{L}\p{N}]+'), t -> t <> '')"
     )
 
 
