@@ -296,22 +296,24 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("dst")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # the has-anything-improved flag rides the label row itself
+        # (r12): the former separate new-vs-old join re-shuffled both
+        # label snapshots every round just to compare a column the
+        # update join already had side by side — here convergence is a
+        # filter+isEmpty over the just-materialized checkpoint blocks,
+        # one cheap scan instead of a join per round
         new = (
             labels.join(nbr, labels.doc == nbr.dst, "left")
             .select(
                 F.col("doc"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+                (F.col("nlbl") < F.col("lbl")).alias("__imp"),
             )
             .localCheckpoint()
         )
-        improved = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-        )
-        converged = improved.isEmpty()
+        converged = new.filter(F.col("__imp")).isEmpty()
         labels.unpersist()
-        labels = new
+        labels = new.drop("__imp")
         if converged:
             break
     edges.unpersist()

@@ -1022,7 +1022,12 @@ def lm_perplexity(
     bigrams — all broadcast; fitting is one explode+count pass over the
     ref corpus and scoring is one explode + two broadcast probes + a
     per-doc partial-aggregated sum over the raw corpus. No window, no
-    global sort, no corpus-keyed shuffle except the final per-doc agg.
+    global sort, no corpus-keyed shuffle except the final per-doc agg
+    (r12: the every-doc contract rides the scoring explode itself via
+    ``explode_outer`` — short docs keep a placeholder row excluded from
+    the sums by a pre-vocab-mapping flag — instead of the former
+    ``raw.select(doc).distinct()`` + left-join-back, which cost a second
+    corpus-keyed shuffle plus a corpus-sized sort-merge join).
 
     ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode` — the
     fit/score pairing contract (see `tokens_unicode`): the ref LM is
@@ -1030,18 +1035,23 @@ def lm_perplexity(
     here (OOV→unk keeps the vocab closed under either)."""
     spark = raw.sparkSession
 
-    def transitions(df):
+    def transitions(df, outer: bool = False):
         # (prev, w) pairs via arrays_zip over two shifted slices — ALL
         # native expressions. The lambda-HOF form (transform + 2×
         # element_at) evaluated interpreted per element AND re-ran the
         # embedded tokens() regex split per element_at (no
         # common-subexpression elimination inside HOF lambdas):
         # measured 7.3 s → 0.68 s at sf0.1 on the raw corpus, same rows.
+        # ``outer``: keep docs with < 2 tokens as one (doc, NULL, NULL)
+        # placeholder row (explode_outer of the NULL pair array), so
+        # every raw doc reaches the per-doc aggregate without a
+        # join-back.
         t = tokenizer(F.col(text_col))
         n = F.size(t)
         pairs = F.when(n >= 2, F.arrays_zip(F.slice(t, 1, n - 1), F.slice(t, 2, n - 1)))
+        ex = F.explode_outer(pairs) if outer else F.explode(pairs)
         return df.select(
-            F.col(id_col).alias("doc"), F.explode(pairs).alias("p")
+            F.col(id_col).alias("doc"), ex.alias("p")
         ).select(
             "doc",
             F.col("p")["0"].alias("prev"),
@@ -1090,27 +1100,31 @@ def lm_perplexity(
         )
     )
     # score: transitions probe the seen-bigram table, fall back to the
-    # per-word backoff (both broadcast), then one per-doc integer sum
+    # per-word backoff (both broadcast), then one per-doc integer sum.
+    # The "(0, 0) for every short/empty doc" contract rides the same
+    # explode (outer) — the __real flag is captured BEFORE vocab
+    # mapping, which would otherwise rewrite the placeholder's NULLs to
+    # unk and score them.
     rt = _vocab_mapped(
-        _vocab_mapped(transitions(raw), "prev", vocab, unk), "w", vocab, unk
+        _vocab_mapped(
+            transitions(raw, outer=True).withColumn(
+                "__real", F.col("w").isNotNull()
+            ),
+            "prev", vocab, unk,
+        ),
+        "w", vocab, unk,
     )
-    scored = (
+    real = F.col("__real")
+    return (
         rt.join(F.broadcast(q2.withColumnRenamed("q", "q_bi")), ["prev", "w"], "left")
         .join(F.broadcast(q1.withColumnRenamed("q", "q_uni")), "w", "left")
         .groupBy("doc")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trans"),
-            F.sum(F.coalesce("q_bi", "q_uni")).cast("long").alias("nll_q"),
+            F.sum(F.when(real, 1).otherwise(0)).cast("long").alias("n_trans"),
+            F.sum(F.when(real, F.coalesce("q_bi", "q_uni")).otherwise(0))
+            .cast("long").alias("nll_q"),
         )
-    )
-    return (
-        raw.select(F.col(id_col).alias("doc")).distinct()
-        .join(scored, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
-            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
-        )
+        .select(F.col("doc").alias(id_col), "n_trans", "nll_q")
     )
 
 
@@ -1156,17 +1170,20 @@ def lm_perplexity3(
     ``tokenizer``: fit/score pairing contract as in `lm_perplexity`."""
     spark = raw.sparkSession
 
-    def grams(df, n: int, cols: list[str]):
+    def grams(df, n: int, cols: list[str], outer: bool = False):
         # n consecutive tokens via arrays_zip over n shifted slices —
-        # native expressions only (see lm_perplexity.transitions)
+        # native expressions only (see lm_perplexity.transitions).
+        # ``outer``: keep docs with < n tokens as one all-NULL
+        # placeholder row (the lm_perplexity every-doc contract).
         t = tokenizer(F.col(text_col))
         sz = F.size(t)
         width = sz - (n - 1)
         zipped = F.when(
             sz >= n, F.arrays_zip(*[F.slice(t, i + 1, width) for i in range(n)])
         )
+        ex = F.explode_outer(zipped) if outer else F.explode(zipped)
         return df.select(
-            F.col(id_col).alias("doc"), F.explode(zipped).alias("g")
+            F.col(id_col).alias("doc"), ex.alias("g")
         ).select(
             "doc", *[F.col("g")[str(i)].alias(c) for i, c in enumerate(cols)]
         )
@@ -1239,32 +1256,34 @@ def lm_perplexity3(
         )
     )
     # score: trigram transitions probe the three broadcast tables,
-    # deepest available level wins, then one per-doc integer sum
+    # deepest available level wins, then one per-doc integer sum. The
+    # every-doc contract rides the scoring explode itself (outer, with
+    # the pre-mapping __real flag) — no distinct + join-back shuffle
+    # (the lm_perplexity r12 rewrite, one order up).
     rt = _vocab_mapped(
         _vocab_mapped(
-            _vocab_mapped(grams(raw, 3, ["p2", "p1", "w"]), "p2", vocab, unk),
+            _vocab_mapped(
+                grams(raw, 3, ["p2", "p1", "w"], outer=True).withColumn(
+                    "__real", F.col("w").isNotNull()
+                ),
+                "p2", vocab, unk,
+            ),
             "p1", vocab, unk,
         ),
         "w", vocab, unk,
     )
-    scored = (
+    real = F.col("__real")
+    return (
         rt.join(F.broadcast(q3.withColumnRenamed("q", "q_tri")), ["p2", "p1", "w"], "left")
         .join(F.broadcast(q2.withColumnRenamed("q", "q_bi")), ["p1", "w"], "left")
         .join(F.broadcast(q1.withColumnRenamed("q", "q_uni")), "w", "left")
         .groupBy("doc")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_trans"),
-            F.sum(F.coalesce("q_tri", "q_bi", "q_uni")).cast("long").alias("nll_q"),
+            F.sum(F.when(real, 1).otherwise(0)).cast("long").alias("n_trans"),
+            F.sum(F.when(real, F.coalesce("q_tri", "q_bi", "q_uni")).otherwise(0))
+            .cast("long").alias("nll_q"),
         )
-    )
-    return (
-        raw.select(F.col(id_col).alias("doc")).distinct()
-        .join(scored, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce("n_trans", F.lit(0)).cast("long").alias("n_trans"),
-            F.coalesce("nll_q", F.lit(0)).cast("long").alias("nll_q"),
-        )
+        .select(F.col("doc").alias(id_col), "n_trans", "nll_q")
     )
 
 
@@ -1790,10 +1809,17 @@ def doremi_weights(
     K = #domains); everything after is K-row arithmetic. No corpus
     shuffle, no window. Returns
     (domain, n_docs, n_trans, excess_q, weight)."""
+    # materialize the K-row domain stats ONCE (r12): three consumers
+    # read `per` — the λ_max aggregate, the normalizing-sum aggregate,
+    # and the final select — and each un-materialized reference re-ran
+    # the ENTIRE corpus pass (pool transition explode + broadcast
+    # probes + per-domain agg; only the ref-side fit inside
+    # _doremi_domain_stats was checkpointed). Blocks, not a
+    # CacheManager pin — the batch block contract.
     per = _doremi_domain_stats(
         pool, ref, id_col, text_col, domain_col,
         vocab_size, quant, alpha_num, alpha_den, tokenizer=tokenizer,
-    )
+    ).localCheckpoint()
     # λ quantized to integer quant-units per transition, then softmax-
     # stabilized by the max BEFORE the exp: e_k = round(exp(η·(λ_k −
     # λ_max))·escale) ≤ escale, so e never overflows BIGINT no matter
@@ -1995,10 +2021,15 @@ def doremi_weights_trajectory(
         track.extend(blocks)
         return out
 
-    per = _doremi_domain_stats(
+    # materialize the K-row domain stats ONCE (r12, as in
+    # doremi_weights): λ_max, k_dom, and the round-0 state would
+    # otherwise each re-run the corpus pass. Tracked blocks when a
+    # live-index caller asks (the ckpt helper), batch contract
+    # otherwise.
+    per = ckpt(_doremi_domain_stats(
         pool, ref, id_col, text_col, domain_col,
         vocab_size, quant, alpha_num, alpha_den, tokenizer=tokenizer,
-    )
+    ))
     lam_max = per.agg(F.max("lamq").alias("lam_max"))
     k_df = per.agg(F.count(F.lit(1)).alias("k_dom"))
     cur = (

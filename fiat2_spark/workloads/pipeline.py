@@ -1221,8 +1221,17 @@ def pipeline_e2e(spark, sf_dir):
         TX.quality_score(F.col("text")).alias("quality"),
     )
     kept = scored.filter(F.col("quality") >= 0.5)
-    keepers = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    survivors = keepers.select("doc_id").join(kept, "doc_id")
+    # keep the min-doc_id row per fingerprint with ONE struct-min
+    # aggregate (doc_id leads the struct and is unique, so struct-min ≡
+    # the min-doc_id row): the former groupBy(fp)+join-back-on-doc_id
+    # scanned+scored the corpus twice and paid a second join shuffle
+    # (r12; guide §2.4 — two shuffles and one scan removed, rows
+    # identical)
+    survivors = (
+        kept.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "lang", "n_tokens", "quality")).alias("__s"))
+        .select("__s.doc_id", "__s.lang", "__s.n_tokens", "__s.quality")
+    )
     return survivors.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
@@ -3405,8 +3414,15 @@ def budget_select(spark, sf_dir):
     ntok = score.select(
         "doc_id", F.size(TX.tokens(F.col("text"))).alias("ntok")
     )
+    # checkpoint the classifier output before the budget fill:
+    # token_budget_select's quantile sketch is an ACTION on its input
+    # ordered by logit_q — a column Catalyst cannot prune — so an
+    # un-materialized input re-runs the WHOLE NB featurize+score chain
+    # once for the sketch and again for the query (measured 2.0 s →
+    # 1.2 s at sf0.1; batch block contract, session owner's sweep)
+    scored_ntok = scored.join(ntok, "doc_id").localCheckpoint()
     return TX.token_budget_select(
-        scored.join(ntok, "doc_id"), "doc_id", "ntok", "logit_q", budget=6_000
+        scored_ntok, "doc_id", "ntok", "logit_q", budget=6_000
     ).select("doc_id", "logit_q", F.col("ntok").cast("long").alias("ntok"), "cum_tokens")
 
 
