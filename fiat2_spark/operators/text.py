@@ -2110,18 +2110,22 @@ def bpe_symbols(wrapped: Column) -> Column:
 
 
 def bpe_word_table(df, text_col: str, tokenizer=tokens):
-    """(wrapped, freq): the word-frequency relation BPE learning runs
-    on. One tokenize+explode pass over the corpus, then a vocab-sized
-    groupBy — every subsequent merge iteration touches ONLY this
-    model-sized relation, never the corpus again (the property that
-    makes distributed BPE tractable at 100 TB: the corpus contributes
-    one aggregation pass, the merge loop is vocabulary-work).
+    """(word, wrapped, freq): the word-frequency relation BPE learning
+    runs on. One tokenize+explode pass over the corpus, then a
+    vocab-sized groupBy — every subsequent merge iteration touches ONLY
+    this model-sized relation, never the corpus again (the property
+    that makes distributed BPE tractable at 100 TB: the corpus
+    contributes one aggregation pass, the merge loop is
+    vocabulary-work). The raw ``word`` rides along (r12) so a
+    same-corpus encode can reuse the learner's fully-merged vocabulary
+    directly (`bpe_encode`/`bpe_encode_ids` ``words=``) instead of
+    re-deriving it with a second corpus-distinct pass + merge replay.
     ``tokenizer``: `tokens` (ASCII default) or `tokens_unicode`."""
     return (
         df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(bpe_symbolize(F.col("word")).alias("wrapped"), "freq")
+        .select("word", bpe_symbolize(F.col("word")).alias("wrapped"), "freq")
     )
 
 
@@ -2238,7 +2242,7 @@ def bpe_learn(df, text_col: str, n_merges: int, checkpoint_every: int = 8,
 
 
 def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
-               tokenizer=tokens):
+               tokenizer=tokens, words=None):
     """Apply learned BPE merges to a corpus (Sennrich et al. 2016
     `apply_bpe`): each word's symbol string gets every merge's replace
     IN LEARNED ORDER — one chained codegen'd projection of
@@ -2256,19 +2260,32 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
     1e8 rows on a 100 TB corpus — past any broadcast budget), so AQE
     sizes the join at runtime — broadcast when the vocab is small,
     word-co-partitioned hash join when it isn't. Encoding cost is
-    O(corpus tokens) joins + O(vocab · merges) string work."""
-    wrapped = bpe_symbolize(F.col("word"))
-    for lhs, rhs in merges:
-        wrapped = F.replace(
-            wrapped,
-            F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
-            F.lit(BPE_LB + lhs + rhs + BPE_RB),
+    O(corpus tokens) joins + O(vocab · merges) string work.
+
+    ``words``: the learner's final (word, wrapped, …) vocabulary
+    relation (`bpe_learn`'s first return — fully merged AND
+    checkpoint-materialized). Pass it when encoding the SAME corpus
+    (same tokenizer) the merges were learned on: the encoded vocab is
+    then a pure projection of those blocks, and the second corpus-wide
+    distinct pass + merge-chain replay disappear (r12). With a
+    different corpus leave it None — unseen words need the replay."""
+    if words is not None:
+        toks_per_word = words.select(
+            "word", F.size(bpe_symbols(F.col("wrapped"))).alias("n_sym")
         )
-    toks_per_word = (
-        df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
-        .distinct()
-        .select("word", F.size(bpe_symbols(wrapped)).alias("n_sym"))
-    )
+    else:
+        wrapped = bpe_symbolize(F.col("word"))
+        for lhs, rhs in merges:
+            wrapped = F.replace(
+                wrapped,
+                F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
+                F.lit(BPE_LB + lhs + rhs + BPE_RB),
+            )
+        toks_per_word = (
+            df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
+            .distinct()
+            .select("word", F.size(bpe_symbols(wrapped)).alias("n_sym"))
+        )
     return (
         df.select(F.col(id_col), F.explode(tokenizer(F.col(text_col))).alias("word"))
         .join(toks_per_word, "word")
@@ -2281,7 +2298,7 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
 
 
 def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
-                   tokenizer=tokens):
+                   tokenizer=tokens, words=None):
     """ORDER-PRESERVING BPE encode — the real tokenize endpoint
     (Sennrich et al. 2016 `apply_bpe` emitting input_ids, not counts):
     every document becomes its token-ID SEQUENCE (id, pos, token_id)
@@ -2316,22 +2333,31 @@ def bpe_encode_ids(df, id_col: str, text_col: str, merges: list[tuple[str, str]]
        global window touches the corpus).
 
     Documents with zero tokens are absent (nothing to encode — the
-    `bpe_encode` contract, mirrored by the oracle)."""
+    `bpe_encode` contract, mirrored by the oracle).
+
+    ``words``: same-corpus vocabulary reuse as in `bpe_encode` — the
+    learner's checkpoint-materialized final vocab replaces the
+    distinct pass + merge replay + the extra checkpoint job (r12)."""
     from pyspark.sql import Window as W
 
-    wrapped = bpe_symbolize(F.col("word"))
-    for lhs, rhs in merges:
-        wrapped = F.replace(
-            wrapped,
-            F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
-            F.lit(BPE_LB + lhs + rhs + BPE_RB),
+    if words is not None:
+        # pure projection of the learner's checkpoint blocks — no
+        # corpus pass, no replay, and no second materialization job
+        enc = words.select("word", bpe_symbols(F.col("wrapped")).alias("syms"))
+    else:
+        wrapped = bpe_symbolize(F.col("word"))
+        for lhs, rhs in merges:
+            wrapped = F.replace(
+                wrapped,
+                F.lit(BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB),
+                F.lit(BPE_LB + lhs + rhs + BPE_RB),
+            )
+        enc = (
+            df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
+            .distinct()
+            .select("word", bpe_symbols(wrapped).alias("syms"))
+            .localCheckpoint()
         )
-    enc = (
-        df.select(F.explode(tokenizer(F.col(text_col))).alias("word"))
-        .distinct()
-        .select("word", bpe_symbols(wrapped).alias("syms"))
-        .localCheckpoint()
-    )
     vocab_ids = (
         enc.select(F.explode("syms").alias("sym"))
         .distinct()

@@ -3731,9 +3731,12 @@ def bpe_encode(spark, sf_dir):
     DISTINCT word relation; the corpus pass is a broadcast probe + a
     per-doc partial agg (see operators/text.py:bpe_encode)."""
     d = tbl(spark, sf_dir, "documents")
-    _, mdf = TX.bpe_learn(d, "text", n_merges=8)
+    # same-corpus encode: reuse the learner's checkpoint-materialized
+    # final vocab (words=) — the former second corpus-distinct pass +
+    # merge replay is gone (r12; see operators/text.py:bpe_encode)
+    words, mdf = TX.bpe_learn(d, "text", n_merges=8)
     merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
-    return TX.bpe_encode(d, "doc_id", "text", merges)
+    return TX.bpe_encode(d, "doc_id", "text", merges, words=words)
 
 
 def _bpe_ids_ctes(n_merges: int) -> str:
@@ -3810,9 +3813,10 @@ def bpe_encode_ids(spark, sf_dir):
     vocab probe + a doc-partitioned position window (see
     operators/text.py:bpe_encode_ids)."""
     d = tbl(spark, sf_dir, "documents")
-    _, mdf = TX.bpe_learn(d, "text", n_merges=8)
+    # same-corpus vocabulary reuse (words=), as in bpe_encode (r12)
+    words, mdf = TX.bpe_learn(d, "text", n_merges=8)
     merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
-    return TX.bpe_encode_ids(d, "doc_id", "text", merges)
+    return TX.bpe_encode_ids(d, "doc_id", "text", merges, words=words)
 
 
 @q("pipeline_tokenize_pack", _bpe_ids_ctes(4) + """
@@ -3855,7 +3859,7 @@ def pipeline_tokenize_pack(spark, sf_dir):
     # (learn -> ordered encode -> pack) — merge-count depth is already
     # driver-checked by the 8-merge family, and the learner's
     # per-merge argmax job is the composed query's dominant cost
-    _, mdf = TX.bpe_learn(d, "text", n_merges=4)
+    words, mdf = TX.bpe_learn(d, "text", n_merges=4)
     merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
     # the token-id stream is consumed THREE times downstream (the
     # per-doc count aggregate, grouped_running_sum's sketch action on
@@ -3865,7 +3869,9 @@ def pipeline_tokenize_pack(spark, sf_dir):
     # lang deliberately does NOT ride the token stream: it joins onto
     # the DOC-level count relation instead, so the only token-level
     # join is the single doc-keyed prefix probe below
-    ids = TX.bpe_encode_ids(d, "doc_id", "text", merges).localCheckpoint()
+    ids = TX.bpe_encode_ids(
+        d, "doc_id", "text", merges, words=words
+    ).localCheckpoint()
     dc = (
         ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ids"))
         .join(d.select("doc_id", "lang"), "doc_id")
@@ -3997,10 +4003,10 @@ def text_unicode_pipeline(spark, sf_dir):
     See operators/text.py:tokens for the full tokenizer contract."""
     df = spark.createDataFrame(_UNICODE_ROWS, "doc_id long, text string")
     tu = TX.tokens_unicode(F.col("text"))
-    _, mdf = TX.bpe_learn(df, "text", n_merges=4, tokenizer=TX.tokens_unicode)
+    words, mdf = TX.bpe_learn(df, "text", n_merges=4, tokenizer=TX.tokens_unicode)
     merges = [(r["lhs"], r["rhs"]) for r in mdf.orderBy("step").collect()]
     enc = TX.bpe_encode(
-        df, "doc_id", "text", merges, tokenizer=TX.tokens_unicode
+        df, "doc_id", "text", merges, tokenizer=TX.tokens_unicode, words=words
     ).select("doc_id", "n_bpe_tokens")
     return (
         df.select(
