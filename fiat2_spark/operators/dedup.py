@@ -1022,13 +1022,32 @@ def lloyd_assign(qe: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def lloyd_centroids(qe: DataFrame, k: int, iters: int) -> DataFrame:
+def lloyd_centroids(qe: DataFrame, k: int, iters: int, track=None) -> DataFrame:
     """Exact-integer Lloyd over quantized vectors: init = the k
     SMALLEST actual vids' vectors (TakeOrderedAndProject + broadcast
     semi-join — NOT ``vid < k``, which silently yields fewer/zero
     centroids on sparse, offset, or negative id spaces), ``iters``
     assignment+update rounds, centroid update floor(exact-int /
-    count). Returns (cid, dim, qc); cid = the seed row's vid."""
+    count). Returns (cid, dim, qc); cid = the seed row's vid.
+
+    The k×dims centroid relation is checkpoint-truncated per round
+    (r12): un-materialized, round t's plan nested every previous
+    round's assign→argmin-window→update chain under the next round's
+    broadcast, and the consumer's one action re-planned and re-executed
+    a t-deep tree. ``track``: optional list receiving every round's
+    checkpoint block ids — the live-index contract
+    (`SemanticDedupCorpus.refresh_clusters` releases them once its own
+    tracked centroid snapshot exists); None is the batch contract
+    (blocks belong to the returned result, session owner's sweep)."""
+    from fiat2_spark.session import local_checkpoint_tracked
+
+    def ckpt(df):
+        if track is None:
+            return df.localCheckpoint()
+        out, blocks = local_checkpoint_tracked(df)
+        track.extend(blocks)
+        return out
+
     qx = qe.select("vid", F.posexplode("qv").alias("dim", "v"))
     seeds = qe.select("vid").orderBy("vid").limit(k)
     cent = qx.join(F.broadcast(seeds), "vid").select(
@@ -1036,7 +1055,7 @@ def lloyd_centroids(qe: DataFrame, k: int, iters: int) -> DataFrame:
     )
     for _ in range(iters):
         a = lloyd_assign(qe, cent)
-        cent = (
+        cent = ckpt(
             qx.join(a, "vid")
             .groupBy("cid", "dim")
             .agg(

@@ -779,9 +779,14 @@ class SemanticDedupCorpus:
         from fiat2_spark.operators.dedup import lloyd_assign, lloyd_centroids
 
         qe = self.members.select("vid", "qv", "n2")
+        # lloyd_centroids' per-round truncation blocks (r12) ride the
+        # track list — a live index must release them itself (the
+        # global sweep would free this index's own state)
+        scratch: list = []
         cent, cent_blocks = local_checkpoint_tracked(
-            lloyd_centroids(qe, k, iters)
+            lloyd_centroids(qe, k, iters, track=scratch)
         )
+        release_blocks(self.members.sparkSession, frozenset(scratch))
         af = lloyd_assign(qe, cent)
         members, blocks = local_checkpoint_tracked(
             qe.join(af, "vid").select("vid", "cid", "qv", "n2")

@@ -225,12 +225,24 @@ def pagerank(edges, iters: int = 3):
         .localCheckpoint()
     )
     n = float(nodes.count())
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg"))
+    # attach each edge's out-degree ONCE before the loop (r12): the
+    # former per-iteration e⋈outdeg re-ran the degree aggregate and a
+    # second join every round — the degree of a static graph doesn't
+    # change between iterations. Checkpoint blocks (batch contract);
+    # at scale this is the reusable node-partitioned edge relation the
+    # docstring's "edge exchange reused across iterations" refers to.
+    ej = (
+        e.join(
+            e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("deg")),
+            "src",
+        )
+        .select("src", "dst", "deg")
+        .localCheckpoint()
+    )
     pr = nodes.select("node", F.round(F.lit(1.0) / F.lit(n), 12).alias("pr"))
     for _ in range(iters):
         contribs = (
-            e.join(pr, pr.node == e.src)
-            .join(outdeg, "src")
+            ej.join(pr, pr.node == ej.src)
             .select(
                 F.col("dst").alias("node"),
                 F.round(F.col("pr") / F.col("deg"), 12)

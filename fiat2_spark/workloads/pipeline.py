@@ -1366,12 +1366,17 @@ def pipeline_training_set(spark, sf_dir):
     d = tbl(spark, sf_dir, "documents")
     d = d.repartition(D.cpu_partitions(d, rows_per_task=100))
     toks = TX.tokens(F.col("text"))
+    # ONE tokenize+fingerprint+shingle pass (r12): `base` feeds four
+    # plan legs (gate→keeper agg, gate→join-back, benchmark grams,
+    # flagged probe) and the packing stage's quantile sketch re-runs
+    # the whole composition once more for its action — un-materialized,
+    # the corpus pass ran ~5×. Blocks, not a CacheManager pin.
     base = d.select(
         "doc_id", "lang",
         TX.token_count(toks).cast("long").alias("n_tok"),
         TX.fingerprint_md5(F.col("text")).alias("fp"),
         D.shingles(toks, 3).alias("grams"),
-    )
+    ).localCheckpoint()
     t = base.filter(F.col("n_tok") >= 20)
     keep = t.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     # alias both sides: keep derives from t, so bare t.fp == keep.fp
@@ -1548,9 +1553,17 @@ def decontaminate(spark, sf_dir):
     broadcast side; the explode side stays partition-local until the
     per-doc count."""
     d = tbl(spark, sf_dir, "documents")
+    # materialize the shingled corpus ONCE (r12, the minhash-shingle
+    # discipline): the bench and train branches each re-ran the
+    # tokenize+shingle pass, and Spark's InferFiltersFromGenerate
+    # additionally duplicated the whole shingle expression into a
+    # size()>0 filter BELOW the repartition exchange — the plan
+    # computed shingles twice per surviving row and shuffled raw text.
+    # With the checkpoint, one shingle pass feeds both branches and the
+    # exchange disappears from the read side entirely.
     d = d.repartition(D.cpu_partitions(d, rows_per_task=100)).select(
         "doc_id", D.shingles(TX.tokens(F.col("text")), 3).alias("grams")
-    )
+    ).localCheckpoint()
     bench = (
         d.filter(F.col("doc_id") % 97 == 0)
         .select(F.explode("grams").alias("g"))
