@@ -9,7 +9,7 @@ matters at 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Minimal stopword sets per language for the n-gram/stopword heuristic
@@ -1826,8 +1826,15 @@ def doremi_weights(
     # how large the excess loss grows (un-shifted, λ > ~22.9 nats
     # would); the shift cancels in the normalization, and both the
     # oracle and the Python model mirror the identical quantize+shift.
-    lam_max = per.agg(F.max("lamq").alias("lam_max"))
-    per = per.crossJoin(F.broadcast(lam_max)).withColumn(
+    # K-row arithmetic over the checkpointed stats: the 1-row λ_max and
+    # normalizing aggregates ride a constant-partition window instead
+    # of separate agg+crossJoin(broadcast) subtrees (r12) — one stage,
+    # no per-aggregate broadcast job; the constant partition key keeps
+    # the window declared-partitioned (the token_budget_select idiom),
+    # and every sum/max/count is exact integer arithmetic, so the
+    # weight formula is bit-identical.
+    wk = Window.partitionBy(F.lit(0))
+    per = per.withColumn("lam_max", F.max("lamq").over(wk)).withColumn(
         "e",
         F.round(
             F.exp(
@@ -1837,11 +1844,9 @@ def doremi_weights(
             * escale
         ).cast("long"),
     )
-    norm = per.agg(
-        F.sum("e").alias("e_sum"), F.count(F.lit(1)).alias("k_dom")
-    )
     return (
-        per.crossJoin(F.broadcast(norm))
+        per.withColumn("e_sum", F.sum("e").over(wk))
+        .withColumn("k_dom", F.count(F.lit(1)).over(wk))
         .select(
             "domain", "n_docs", "n_trans", "excess_q",
             F.round(
@@ -2030,11 +2035,13 @@ def doremi_weights_trajectory(
         pool, ref, id_col, text_col, domain_col,
         vocab_size, quant, alpha_num, alpha_den, tokenizer=tokenizer,
     ))
-    lam_max = per.agg(F.max("lamq").alias("lam_max"))
-    k_df = per.agg(F.count(F.lit(1)).alias("k_dom"))
+    # constant-partition window over the K-row checkpoint, as in
+    # doremi_weights (r12): λ_max and k_dom in the same stage as the
+    # state projection, no per-aggregate broadcast jobs
+    wk = Window.partitionBy(F.lit(0))
     cur = (
-        per.crossJoin(F.broadcast(lam_max))
-        .crossJoin(F.broadcast(k_df))
+        per.withColumn("lam_max", F.max("lamq").over(wk))
+        .withColumn("k_dom", F.count(F.lit(1)).over(wk))
         .withColumn(
             "e",
             F.round(
@@ -2053,8 +2060,13 @@ def doremi_weights_trajectory(
     )
     cur = ckpt(cur)
     for _t in range(rounds):
-        cur = cur.withColumn("m", F.col("a") * F.col("e"))
-        msum = cur.agg(F.sum("m").alias("m_sum"))
+        # per-round Σm as the same constant-partition window (r12):
+        # each round's checkpoint is ONE K-row stage instead of an
+        # agg job + broadcast + crossJoin per round; the exact-BIGINT
+        # sum and the pinned float evaluation order are unchanged
+        cur = cur.withColumn("m", F.col("a") * F.col("e")).withColumn(
+            "m_sum", F.sum("m").over(wk)
+        )
         a_new = F.round(
             F.col("m").cast("double")
             * F.lit(float(w1))
@@ -2063,8 +2075,7 @@ def doremi_weights_trajectory(
             / (F.col("k_dom") * F.lit(smooth_den)).cast("double")
         ).cast("long")
         cur = ckpt(
-            cur.crossJoin(F.broadcast(msum))
-            .withColumn("a", a_new)
+            cur.withColumn("a", a_new)
             .withColumn("asum", F.col("asum") + F.col("a"))
             .drop("m", "m_sum")
         )

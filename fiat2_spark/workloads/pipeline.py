@@ -1506,9 +1506,12 @@ def mad_scalable(spark, sf_dir):
         .select("lang", "med")
         .localCheckpoint()
     )
+    # the deviation relation is itself read by three pass-2 legs (the
+    # sketch action, the bracketing-rank counts, the offset join) —
+    # materialize it once too (r12; same rationale as `med` above)
     dev = d.join(F.broadcast(med), "lang").select(
         "lang", "med", F.abs(F.col("v") - F.col("med")).alias("absdev")
-    )
+    ).localCheckpoint()
     return grouped_percentiles(dev, ["lang", "med"], "absdev", {"mad": 0.5}).select(
         "lang", "med", "mad", "n"
     )
@@ -1660,7 +1663,11 @@ def pack_sequences(spark, sf_dir):
         "doc_id", "lang",
         TX.token_count(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
     )
-    d = d.repartition(D.cpu_partitions(d, rows_per_task=200))
+    # ONE tokenize pass (r12): grouped_running_sum reads its input from
+    # three plan legs (the per-(group,bucket) counts, the offset join,
+    # and the quantile sketch's own action) — un-materialized, each leg
+    # re-ran the tokenize+count projection. Blocks, session sweep.
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=200)).localCheckpoint()
     c = R.grouped_running_sum(d, ["lang"], "doc_id", F.col("n_tok"), out_name="cum")
     return c.select(
         "doc_id", "lang", "n_tok",
@@ -3888,6 +3895,11 @@ def pipeline_tokenize_pack(spark, sf_dir):
     dc = (
         ids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ids"))
         .join(d.select("doc_id", "lang"), "doc_id")
+        # doc-count relation materialized once (r12): the prefix sum
+        # reads it from three legs (sketch action, bucket counts,
+        # offset join) — each re-ran the groupBy+lang join over the
+        # token blocks
+        .localCheckpoint()
     )
     pr = R.grouped_running_sum(
         dc, ["lang"], "doc_id", F.col("n_ids"), out_name="cum"
@@ -4072,7 +4084,11 @@ def length_bucket_batches(spark, sf_dir):
         "doc_id",
         TX.token_count(TX.tokens(F.col("text"))).cast("long").alias("n_tok"),
     )
-    d = d.repartition(D.cpu_partitions(d, rows_per_task=200))
+    # ONE tokenize pass (r12): the band numbering's quantile sketch
+    # orders on the token count itself — not prunable — so an
+    # un-materialized input re-ran the tokenize projection for the
+    # sketch action AND both ranking legs. Blocks, session sweep.
+    d = d.repartition(D.cpu_partitions(d, rows_per_task=200)).localCheckpoint()
     assigned = TX.length_bucket_batches(
         d, "doc_id", "n_tok", band_width=64, batch_size=16
     )
