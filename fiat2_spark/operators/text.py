@@ -2074,11 +2074,18 @@ def doremi_weights_trajectory(
             + F.lit(float(w2))
             / (F.col("k_dom") * F.lit(smooth_den)).cast("double")
         ).cast("long")
-        cur = ckpt(
+        cur = (
             cur.withColumn("a", a_new)
             .withColumn("asum", F.col("asum") + F.col("a"))
             .drop("m", "m_sum")
         )
+        # checkpoint-stride 4 (the bpe_learn checkpoint_every idiom,
+        # r12): each deferred round is one K-row window projection —
+        # re-planning ≤ 3 of them is cheaper than a materialization JOB
+        # per round, while lineage stays bounded for any T
+        if (_t + 1) % 4 == 0 and _t + 1 < rounds:
+            cur = ckpt(cur)
+    cur = ckpt(cur)
     return cur.select(
         "domain", "n_docs", "n_trans", "excess_q",
         F.round(

@@ -344,7 +344,12 @@ def quality_filter_apply(spark, sf_dir):
     doc_id-keyed. At 100 TB: identical shape to `text_repetition`, one
     scan, map-side combine on grams."""
     d = tbl(spark, sf_dir, "documents")
-    base = d.select("doc_id", "text", TX.tokens(F.col("text")).alias("toks"))
+    # ONE tokenize pass (r12): `base` feeds the stats projection AND the
+    # trigram leg — un-materialized, each re-ran the regex split over
+    # the corpus. Blocks, session sweep.
+    base = d.select(
+        "doc_id", "text", TX.tokens(F.col("text")).alias("toks")
+    ).localCheckpoint()
     stats = base.select(
         "doc_id",
         F.size("toks").alias("nt"),
