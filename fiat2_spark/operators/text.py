@@ -1479,7 +1479,8 @@ def gopher_rules(
 
 
 def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
-                 checkpoint=True, track=None, tokenizer=tokens):
+                 checkpoint=True, track=None, tokenizer=tokens,
+                 outer=False):
     """One featurize pass: hashed unigram+bigram buckets per doc
     (post-explode codegen'd md5 bucketing, localCheckpointed —
     `dsir_scores`' discipline). Shared by the one-shot classifier and
@@ -1493,15 +1494,23 @@ def _nb_bucketed(df, id_col: str, text_col: str, buckets: int, extra=(),
     unsafe passes ``track`` (a list) to receive the new block ids for
     targeted ``release_blocks`` retirement, or ``checkpoint=False``
     to skip materialization entirely (right when the featurize pass
-    appears exactly once in the consuming plan)."""
+    appears exactly once in the consuming plan).
+
+    ``outer`` (r12, scoring side only): keep zero-feature docs as one
+    (doc, NULL-bucket) placeholder row via ``explode_outer``, so the
+    every-doc bias contract rides the featurize pass itself instead of
+    a corpus-keyed join-back (the `lm_perplexity` rewrite). NEVER set
+    it on a TRAINING corpus — a placeholder row would enter the
+    per-bucket counts as a NULL bucket and change the model."""
     from fiat2_spark.operators.dedup import cpu_partitions
 
+    ex = F.explode_outer if outer else F.explode
     out = (
         df.repartition(cpu_partitions(df))
         .select(
             F.col(id_col).alias("doc"),
             *[F.col(c) for c in extra],
-            F.explode(ngram_strings(tokenizer(F.col(text_col)))).alias("feat"),
+            ex(ngram_strings(tokenizer(F.col(text_col)))).alias("feat"),
         )
         .select(
             "doc",
@@ -1607,22 +1616,25 @@ def nb_score_from_counts(
         .cast("long")
         .alias("bias")
     )
+    # the every-doc bias contract rides the featurize pass itself
+    # (r12): explode_outer keeps zero-feature docs as one NULL-bucket
+    # placeholder row, the weight probe goes LEFT (a bucket unseen in
+    # training contributes 0 — same as the former inner probe), and
+    # the per-doc aggregate covers every doc — no corpus-keyed
+    # join-back against the score relation (the `lm_perplexity`
+    # rewrite, one corpus join fewer per scoring query)
     sb = _nb_bucketed(score, id_col, text_col, buckets, checkpoint=checkpoint,
-                      tokenizer=tokenizer)
+                      tokenizer=tokenizer, outer=True)
     doc_sums = (
-        sb.join(F.broadcast(w), "bucket")
+        sb.join(F.broadcast(w), "bucket", "left")
         .groupBy("doc")
-        .agg(F.sum("w").alias("fsum"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("fsum"))
     )
     return (
-        score.select(F.col(id_col).alias("doc"))
-        .join(doc_sums, "doc", "left")
-        .crossJoin(F.broadcast(bias))
+        doc_sums.crossJoin(F.broadcast(bias))
         .select(
             F.col("doc").alias(id_col),
-            (F.coalesce("fsum", F.lit(0)) + F.col("bias"))
-            .cast("long")
-            .alias("logit_q"),
+            (F.col("fsum") + F.col("bias")).cast("long").alias("logit_q"),
         )
         .withColumn("pred", F.col("logit_q") > 0)
     )
