@@ -1082,17 +1082,19 @@ def test_quality_classifier_model_broadcasts(spark):
 
 
 def test_doremi_no_corpus_join_lm_broadcast(spark):
-    """DoReMi's pool side is ONE transition explode with the domain
-    riding the explode (no corpus-keyed join back to the pool); the LM
-    probes are broadcasts. Sort-merge joins may survive only on
-    MODEL-sized fit relations (vocab/bigram/K-domain tables -- the
-    `perplexity_filter` precedent); a doc-keyed one would mean the
-    corpus join-back shape this operator exists to avoid."""
+    """DoReMi's corpus pass (one transition explode with the domain
+    riding the explode, LM probes as broadcasts — never a corpus-keyed
+    join back to the pool) runs ONCE, at build time, behind the round
+    checkpoints (the trajectory test pins the same contract for
+    doremi_trajectory). The returned plan is therefore a K-row job
+    over the checkpointed domain-stats relation: it must read the
+    checkpoint (ExistingRDD), never re-scan parquet, and must not
+    contain a corpus-keyed join shape."""
     p = plan_of(QUERIES["doremi_reweight"](spark, SF_SMOKE))
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin [doc" not in p, p
-    assert "BroadcastHashJoin" in p, p
-    assert "partial_sum" in p and "partial_count" in p
+    assert "ExistingRDD" in p, p
+    assert "parquet" not in p.lower(), p
 
 
 def test_bpe_pair_counts_vocab_sized_topk(spark):
