@@ -2020,8 +2020,10 @@ def doremi_weights_trajectory(
     localCheckpoint-truncated so the T-round lineage stays flat.
     Returns (domain, n_docs, n_trans, excess_q, weight), Σ weight ≈ 1.
 
-    ``track``: optional list receiving the rounds+1 loop checkpoints'
-    block ids for targeted release — the live-index contract
+    ``track``: optional list receiving the loop checkpoints' block ids
+    (domain-stats + initial state + stride-4 interior + final, so
+    3 + ⌊(rounds−1)/4⌋ checkpoints) for targeted release — the
+    live-index contract
     `bpe_learn_from_words`/`_nb_bucketed` follow (ADVICE r10); None is
     the batch contract (blocks belong to the returned result, session
     owner's sweep reclaims them)."""
