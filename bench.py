@@ -324,6 +324,17 @@ def compact_summary(summary: dict, budget: int = 1400) -> str:
     compact = dict(summary)
     compact["n_queries"] = len(timings)
     compact["detail"] = "bench_detail.json"
+    # r13 (VERDICT r12 #7): a query absent from the kept tail is NOT
+    # absent from the run — it ran fast and fell below the cutoff (the
+    # r12 PERF diff misread 12 such queries, several of them that
+    # round's best wins, as "dropped_from_bench"). Publish the dropped
+    # remainder explicitly: n_below_cutoff + their summed seconds, so
+    # value == sum(queries.values()) + others_total always holds and a
+    # comparer can tell "fast" from "gone" without the detail file.
+    # Seed with the worst-case value so the budget loop accounts for
+    # the key's width.
+    compact["others_total"] = round(sum(timings.values()), 3)
+    compact["n_below_cutoff"] = len(timings)
     kept: dict[str, float] = {}
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         kept[name] = sec
@@ -332,6 +343,10 @@ def compact_summary(summary: dict, budget: int = 1400) -> str:
             kept.pop(name)
             break
     compact["queries"] = kept
+    compact["others_total"] = round(
+        sum(sec for name, sec in timings.items() if name not in kept), 3
+    )
+    compact["n_below_cutoff"] = len(timings) - len(kept)
     return json.dumps(compact, separators=(",", ":"))
 
 

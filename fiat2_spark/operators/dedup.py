@@ -1036,7 +1036,7 @@ def lloyd_centroids(qe: DataFrame, k: int, iters: int, track=None) -> DataFrame:
     broadcast, and the consumer's one action re-planned and re-executed
     a t-deep tree. ``track``: optional list receiving every round's
     checkpoint block ids — the live-index contract
-    (`SemanticDedupCorpus.refresh_clusters` releases them once its own
+    (`SemanticDedupCorpus.recluster` releases them once its own
     tracked centroid snapshot exists); None is the batch contract
     (blocks belong to the returned result, session owner's sweep)."""
     from fiat2_spark.session import local_checkpoint_tracked

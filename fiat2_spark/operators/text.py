@@ -1580,7 +1580,10 @@ def nb_score_from_counts(
     per TABLE row immediately quantized to BIGINT, so per-doc scoring
     is pure integer sums and both engines agree bitwise. Buckets never
     observed in training contribute nothing (inner probe — the oracle
-    mirrors). Returns (id, logit_q, pred).
+    mirrors). Returns (id, logit_q, pred) — ONE row per DISTINCT id
+    (the `lm_perplexity` contract, r12: duplicate ids' features
+    aggregate into a single score row; callers needing per-input-row
+    scores must key by a unique id).
 
     ``checkpoint=False`` skips the score-side featurize checkpoint —
     it appears exactly once in the returned plan, so a long-lived
@@ -1820,7 +1823,15 @@ def doremi_weights(
     explode + two broadcast probes + a per-domain partial agg (K rows,
     K = #domains); everything after is K-row arithmetic. No corpus
     shuffle, no window. Returns
-    (domain, n_docs, n_trans, excess_q, weight)."""
+    (domain, n_docs, n_trans, excess_q, weight).
+
+    NOTE (ADVICE r12): the K-row stats checkpoint below makes this
+    function EAGER — the full pool pass runs at call time, not at the
+    first action — and its blocks are untracked (batch contract: the
+    session owner's `release_checkpoint_blocks` sweep reclaims them).
+    A live-index caller, for whom the global sweep is unsafe, should
+    use `doremi_weights_trajectory(rounds=1, track=...)`, whose hook
+    exposes every loop block."""
     # materialize the K-row domain stats ONCE (r12): three consumers
     # read `per` — the λ_max aggregate, the normalizing-sum aggregate,
     # and the final select — and each un-materialized reference re-ran
@@ -2192,6 +2203,61 @@ def bpe_pair_counts(df, text_col: str, top_k: int = 32, tokenizer=tokens):
     )
 
 
+#: Driver-side merge-loop threshold (r13): when the materialized word
+#: table holds at most this many rows, `bpe_learn_from_words` collects
+#: it once and runs the merge loop in plain Python — zero Spark jobs
+#: per merge instead of one vocab-relation argmax job each (the
+#: sub-`FOLD_COLLECT_LIMIT` driver-materialization idiom of
+#: plans/compile.py, sized far smaller because the loop re-walks every
+#: row per merge). 65,536 rows × ~100 B ≈ 7 MB on the driver; a real
+#: heavy-tailed corpus vocabulary (~1e8 rows at 100 TB under Heaps'
+#: law) stays on the distributed loop below. The Python loop mirrors
+#: the distributed one operation for operation (same wrapped-symbol
+#: strings, same left-to-right non-overlapping `str.replace`, same
+#: (freq desc, lhs, rhs) argmax — Python code-point string order ==
+#: UTF8String byte order), so the two paths are bit-identical;
+#: `test_bpe_learn_driver_matches_distributed` pins it.
+BPE_DRIVER_VOCAB_LIMIT = 65_536
+
+
+def _bpe_learn_driver(spark, schema, rows, n_merges: int):
+    """The Sennrich merge loop on a DRIVER-COLLECTED word table (rows
+    of `schema`, which must carry `wrapped` and `freq`): pair counts,
+    (freq desc, lhs, rhs) argmax, left-to-right non-overlapping
+    replace — the exact operations the distributed loop runs, on the
+    same wrapped-symbol strings. Returns (words_df, merges_df) with
+    the final vocabulary as a LocalRelation (driver-local rows need no
+    checkpoint: re-planning them re-scans nothing)."""
+    names = schema.fieldNames()
+    wi, fi = names.index("wrapped"), names.index("freq")
+    wrapped = [r[wi] for r in rows]
+    freqs = [r[fi] for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, f in zip(wrapped, freqs):
+            syms = [p[1:] for p in w.split(BPE_RB) if p]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                pc[k] = pc.get(k, 0) + f
+        if not pc:
+            break
+        (lhs, rhs), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lhs, rhs, freq))
+        pattern = BPE_LB + lhs + BPE_RB + BPE_LB + rhs + BPE_RB
+        repl = BPE_LB + lhs + rhs + BPE_RB
+        wrapped = [w.replace(pattern, repl) for w in wrapped]
+    out = [
+        tuple(r)[:wi] + (w,) + tuple(r)[wi + 1:]
+        for r, w in zip(rows, wrapped)
+    ]
+    wdf = spark.createDataFrame(out, schema)
+    mdf = spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, freq bigint"
+    )
+    return wdf, mdf
+
+
 def bpe_learn_from_words(words, n_merges: int, checkpoint_every: int = 8,
                          track=None):
     """The BPE merge loop over an EXISTING (wrapped, freq) word table
@@ -2203,9 +2269,14 @@ def bpe_learn_from_words(words, n_merges: int, checkpoint_every: int = 8,
     state feeds it), so batch/stream merge lists agree structurally.
 
     Iterative by nature (each argmax depends on the previous rewrite),
-    so the loop runs on the driver — but every iteration's job touches
-    only the VOCAB-sized relation: a pair count + a 1-row TakeOrdered
-    + a string replace. Lineage is truncated with a localCheckpoint
+    so the loop runs on the driver — and when the materialized word
+    table is at most `BPE_DRIVER_VOCAB_LIMIT` rows the DATA does too:
+    one bounded collect of the checkpointed vocabulary, then the whole
+    loop in Python with zero Spark jobs per merge (r13; bit-identical
+    by construction, see `_bpe_learn_driver`). Above the limit every
+    iteration's job touches only the VOCAB-sized relation: a pair
+    count + a 1-row TakeOrdered + a string replace. Lineage is
+    truncated with a localCheckpoint
     every ``checkpoint_every`` merges rather than every merge: each
     deferred step is ONE codegen'd string replace on a vocab-sized
     relation (re-running ≤ checkpoint_every−1 of them inside the next
@@ -2232,6 +2303,15 @@ def bpe_learn_from_words(words, n_merges: int, checkpoint_every: int = 8,
         return out
 
     words = ckpt(words)
+    if BPE_DRIVER_VOCAB_LIMIT > 0:
+        # bounded size-probe-and-fetch in ONE job on the checkpoint
+        # blocks: coalesce(1) keeps executeTake from its adaptive
+        # multi-job partition scan, and the limit caps what the driver
+        # can ever pull; ≤ limit rows returned ⇒ we hold the whole
+        # vocabulary and the loop needs no further Spark jobs
+        probe = words.coalesce(1).limit(BPE_DRIVER_VOCAB_LIMIT + 1).collect()
+        if len(probe) <= BPE_DRIVER_VOCAB_LIMIT:
+            return _bpe_learn_driver(spark, words.schema, probe, n_merges)
     merges: list[tuple[int, str, str, int]] = []
     pending = 0
     for step in range(1, n_merges + 1):
@@ -2300,7 +2380,11 @@ def bpe_encode(df, id_col: str, text_col: str, merges: list[tuple[str, str]],
     (same tokenizer) the merges were learned on: the encoded vocab is
     then a pure projection of those blocks, and the second corpus-wide
     distinct pass + merge-chain replay disappear (r12). With a
-    different corpus leave it None — unseen words need the replay."""
+    different corpus (or tokenizer) leave it None — the vocab probe is
+    an INNER join on word, so a ``words`` table that does not cover
+    the corpus silently drops every unseen word's tokens from the
+    counts (ADVICE r12) rather than failing; only the replay path can
+    encode unseen words."""
     if words is not None:
         toks_per_word = words.select(
             "word", F.size(bpe_symbols(F.col("wrapped"))).alias("n_sym")

@@ -104,6 +104,14 @@ def test_bench_final_line_stays_parseable_under_budget():
     # the kept entries are the slowest ones
     kept = obj["queries"]
     assert kept and max(summary["queries"].values()) == max(kept.values())
+    # r13: the below-cutoff remainder is published, so "fast" is
+    # distinguishable from "gone" (the r12 PERF diff misread the tail
+    # cutoff as 12 dropped queries): every query is accounted for
+    # either by name or in the (n_below_cutoff, others_total) pair
+    assert obj["n_below_cutoff"] == 500 - len(kept)
+    assert abs(obj["others_total"]
+               - sum(v for k, v in summary["queries"].items() if k not in kept)
+               ) < 0.01
     # r12: BOTH host-regime controls must survive compaction — the
     # driver's tail capture is where compare_bench's load() scrapes
     # them from, so a dropped key silently degrades normalization
