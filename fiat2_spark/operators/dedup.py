@@ -275,7 +275,15 @@ def dup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Input: (id_a, id_b) pairs (directionless). Output: (doc, cluster).
     """
-    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # materialize the pair list ONCE (r13): the symmetric union below
+    # reads it from BOTH branches, so an un-materialized `pairs` plan —
+    # e.g. minhash's candidate self-join + Jaccard verify joins —
+    # executed twice under the union (the shingle/band checkpoints
+    # inside minhash bounded the recompute, but the joins above them
+    # still ran once per branch). One checkpoint of the edge-list-sized
+    # projection, then both union branches are block reads.
+    p = pairs.select("id_a", "id_b").localCheckpoint()
+    e = p.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
@@ -356,14 +364,19 @@ def dup_clusters_star(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     identical to `dup_clusters` — the same transitive-closure oracle
     checks both.
     """
+    # one materialization of the pair list (r13): `nodes` and `edges`
+    # each re-evaluated the full `pairs` plan (minhash candidate +
+    # verify joins) in their own checkpoint job — now both derive from
+    # the same blocks.
+    p = pairs.select("id_a", "id_b").localCheckpoint()
     nodes = (
-        pairs.select(F.col("id_a").alias("doc"))
-        .unionByName(pairs.select(F.col("id_b").alias("doc")))
+        p.select(F.col("id_a").alias("doc"))
+        .unionByName(p.select(F.col("id_b").alias("doc")))
         .distinct()
         .localCheckpoint()
     )
     edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        p.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
