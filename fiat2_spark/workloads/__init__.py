@@ -502,7 +502,7 @@ PRIORITY_R11 = (
 #     ngram/embedding oracles (ADVICE r11 #3); the unicode-fixture
 #     queries ride the tokens_unicode contract-docstring update (the
 #     no-space-script contract, task 3).
-PRIORITY = (
+PRIORITY_R12 = (
     # (A) tool-mandated reachable-delta rotate-ins: the tokenizer=-
     # threaded dedup family + oracle rounding alignment...
     "boilerplate_dedup", "dedup_clusters", "dedup_clusters_star",
@@ -536,7 +536,52 @@ PRIORITY = (
     "sink_roundtrip", "stream_stream_join", "stream_window_agg",
     "text_fingerprint", "topk_per_group",
 )
+# Round-13 window (optimization round 2 of 2). Rotation baseline:
+# FINGERPRINTS_r12.json at r12 HEAD (tool unchanged). Must-rotate-in
+# set is the tool's output at the final engine commit:
+#   python tools/fingerprints.py --compare FINGERPRINTS_r12.json
+#   → changed = 12, new = 0, held = 197. The 12 are exactly the r13
+#     optimization reachers: the BPE-family queries via the driver-side
+#     merge loop in bpe_learn_from_words (+ the bpe_encode words=
+#     docstring caveat), the connected-components consumers via the
+#     pairs checkpoint in dup_clusters/dup_clusters_star, dedup_semantic
+#     via the lloyd_centroids docstring rename, quality_classifier /
+#     budget_select via the nb_score_from_counts contract note, and
+#     doremi_reweight via the doremi_weights eagerness note (ADVICE r12
+#     items — docstrings are part of the function-level reachable hash
+#     by design). Every out-of-window query's reachable hash is
+#     IDENTICAL to its row-earning round's (held set, tool-verified).
+PRIORITY = (
+    # (A) tool-mandated reachable-delta rotate-ins — the full changed
+    # set, seated verbatim
+    "bpe_encode", "bpe_encode_ids", "bpe_merges", "budget_select",
+    "dedup_clusters", "dedup_clusters_star", "dedup_fuzzy_apply",
+    "dedup_semantic", "doremi_reweight", "pipeline_tokenize_pack",
+    "quality_classifier", "text_unicode_pipeline",
+    # (B) no new queries this round (optimization round — no features)
+    # (C) oldest-evidence refresh: the six r7-row holders deferred from
+    # their r12 seats (the deferral the r12 window comment promised)
+    "sample_strata", "shuffle_shards", "tpch_q3_shape", "tpch_q15_shape",
+    "window_frames", "window_rank_family",
+    # (D) oldest-evidence refresh: 32 of the 39 queries whose newest
+    # driver row is r8 (the oldest tier after (C)); text_langid_trigram,
+    # text_redact_pii, text_repetition, text_salient, text_tokens,
+    # tpch_q18_shape, and upsert_keyed defer — seven seats short, all
+    # seven hold green r8 rows over reachable hashes the tool verifies
+    # byte-identical since (held set, FINGERPRINTS_r12 compare)
+    "ann_bruteforce", "ann_ivf", "ann_lsh", "bm25_retrieval",
+    "cms_tokens", "csv_roundtrip", "cube_agg", "decontaminate",
+    "dsl_auto_index", "dsl_auto_index_dist", "dsl_auto_index_join",
+    "dsl_command_pipeline", "dsl_comprehension", "dsl_employee_join",
+    "dsl_filter_project", "dsl_fold_table", "dsl_grandchildren",
+    "dsl_let_if_table", "dsl_orders_agg", "embedding_centroids",
+    "embedding_quantize", "hll_users", "multimodal_frames",
+    "multimodal_resize", "nested_collections", "percentile_cont",
+    "sample_group_k", "sample_mixture", "sample_weighted",
+    "server_album_join", "server_artist_filter", "text_langid",
+)
 assert len(PRIORITY) == 50 and len(set(PRIORITY)) == 50
+assert len(PRIORITY_R12) == 50 and len(set(PRIORITY_R12)) == 50
 assert len(PRIORITY_R11) == 50 and len(set(PRIORITY_R11)) == 50
 assert len(PRIORITY_R10) == 50 and len(set(PRIORITY_R10)) == 50
 assert len(PRIORITY_R9) == 50 and len(set(PRIORITY_R9)) == 50

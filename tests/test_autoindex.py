@@ -143,6 +143,7 @@ def test_choices_match_ex_orders_annotation(spark):
     }
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_auto_index_differential(spark):
     """run_command_auto ≡ run_command on the Ex_Orders lifecycle."""
     prog = _orders_prog()
@@ -635,6 +636,7 @@ def test_dist_index_insert_is_o1_pending(spark, monkeypatch):
     assert idx.lookup(999999) is None
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_conjunction_guard_lookup_rewrites_with_residual(spark):
     """An eq-lookup whose guard is a CONJUNCTION (x.id == k AND
     x.price < c) must still be served by the dict index, with the

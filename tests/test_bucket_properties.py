@@ -8,6 +8,8 @@ of the value."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -36,6 +38,7 @@ def _df(spark, rows):
 
 @settings(**_SETTINGS)
 @given(rows=_ROWS, n_buckets=st.integers(1, 8))
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_grouped_row_number_matches_plain_window(spark, rows, n_buckets):
     from pyspark.sql import Window as W
 
@@ -78,6 +81,7 @@ def test_grouped_listagg_matches_plain_concat(spark, rows, n_buckets):
 
 @settings(**_SETTINGS)
 @given(rows=_ROWS, n_buckets=st.integers(1, 8))
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_grouped_running_sum_matches_plain_window_prop(spark, rows, n_buckets):
     from pyspark.sql import Window as W
 
@@ -101,6 +105,7 @@ def test_grouped_running_sum_matches_plain_window_prop(spark, rows, n_buckets):
 
 @settings(**_SETTINGS)
 @given(rows=_ROWS, n_buckets=st.integers(1, 8))
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_grouped_rank_family_matches_plain_windows_prop(spark, rows, n_buckets):
     """rank/dense_rank/percent_rank/ntile/cume_dist through the bucket
     scheme vs the plain group-partitioned windows, on duplicate-heavy
@@ -142,6 +147,7 @@ def test_grouped_rank_family_matches_plain_windows_prop(spark, rows, n_buckets):
     ),
     n_buckets=st.integers(1, 8),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_grouped_percentiles_match_numpy(spark, rows, n_buckets):
     """Exact interpolated percentiles through the distributed-ranking
     scheme vs numpy's linear-interpolation percentile — an independent
@@ -175,6 +181,7 @@ def test_grouped_percentiles_match_numpy(spark, rows, n_buckets):
 
 @settings(**_SETTINGS)
 @given(rows=_ROWS, n_buckets=st.integers(1, 8))
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_grouped_listagg_distinct_value_column(spark, rows, n_buckets):
     """LISTAGG where the concatenated value is NOT the order key: ties
     on the order value must resolve by the value itself (the documented

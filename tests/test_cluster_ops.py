@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fiat2_spark.operators.dedup import dup_clusters
@@ -73,6 +75,7 @@ def _uf_components(edges):
     return {x: find(x) for x in parent}
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_dup_clusters_star_long_chain_and_random(spark):
     """Star contraction (Kiveris et al. 2014) must label a 60-node
     chain — diameter far beyond its O(log²) round budget — plus a

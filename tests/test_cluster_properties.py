@@ -7,6 +7,8 @@ id."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -42,6 +44,7 @@ def _model(edges):
 
 @settings(**_SETTINGS)
 @given(edges=_EDGES)
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_dup_clusters_match_union_find(spark, edges):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     want = _model(edges)
@@ -208,6 +211,7 @@ def _py_semantic(vecs: dict[int, list[int]], k: int, iters: int,
         min_size=3, max_size=10,
     )
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_semantic_dedup_matches_python_model(spark, vecs):
     """semantic_dedup ≡ the exact Python model on random small integer
     vector tables — clustering, assignment ties, floor-div centroid
@@ -273,6 +277,7 @@ def test_semantic_dedup_sparse_negative_ids(spark):
     ),
     cut=st.integers(1, 8),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_semantic_corpus_random_splits_agree(spark, vecs, cut):
     """SemanticDedupCorpus over a RANDOM id-ordered 2-batch split must
     accumulate exactly the one-shot rows (the fixed-split agreement

@@ -13,6 +13,8 @@ execution."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -289,6 +291,7 @@ def _snapshot(st_: Store):
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(cmd=_command())
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_auto_index_preserves_command_semantics(spark, cmd):
     st_plain = _mk_store(spark)
     run_command(cmd, st_plain, {}, spark)

@@ -5,6 +5,8 @@ the session."""
 
 from __future__ import annotations
 
+import pytest
+
 import runpy
 import sys
 
@@ -21,6 +23,7 @@ def _run(script: str, capsys):
     return capsys.readouterr().out
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_pipeline_demo_runs(spark, capsys):
     out = _run("examples/pipeline_demo.py", capsys)
     assert "corpus" in out and "context windows packed" in out

@@ -7,6 +7,8 @@ or duplicate matches if the covering-bucket math were wrong."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from hypothesis import HealthCheck, given, settings
@@ -38,6 +40,7 @@ def _ts(off):
 
 @settings(**_SETTINGS)
 @given(lefts=_OFFS, rights=_OFFS)
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_range_join_binned_matches_naive(spark, lefts, rights):
     W = 60
     l = spark.createDataFrame(

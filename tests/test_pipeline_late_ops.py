@@ -217,6 +217,7 @@ def _write_events(spark, tmpdir, rows):
 
 @settings(**_SETTINGS)
 @given(rows=_EVENTS)
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_funnel_conversion_matches_python_model(spark, rows):
     import tempfile
 
@@ -242,6 +243,7 @@ def test_funnel_conversion_matches_python_model(spark, rows):
 
 @settings(**_SETTINGS)
 @given(rows=_EVENTS)
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_retention_cohorts_matches_python_model(spark, rows):
     import tempfile
 
@@ -268,6 +270,7 @@ def test_retention_cohorts_matches_python_model(spark, rows):
 
 @settings(**_SETTINGS)
 @given(rows=_EVENTS)
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_gapfill_daily_matches_python_model(spark, rows):
     import datetime
     import tempfile
@@ -399,6 +402,7 @@ def test_minhash_unicode_tokenizer_finds_nonlatin_pairs(spark):
     assert ascii_pairs == [], ascii_pairs
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_dedup_family_tokenizer_threading(spark):
     """r12: `tokenizer=` threads through the WHOLE dedup family
     (VERDICT r11 missing #1) — simhash, n-gram Jaccard, span dedup's

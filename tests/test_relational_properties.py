@@ -14,6 +14,8 @@ only exercises the shapes its authors thought to write.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -305,6 +307,7 @@ def _canon(rows):
 
 @settings(**_SETTINGS)
 @given(prog=_rel_program())
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_compiled_relational_matches_python(spark, prog):
     got = [
         r.asDict() for r in compile_expr(prog, {}, _store(spark), spark).collect()
@@ -319,6 +322,7 @@ def test_compiled_relational_matches_python(spark, prog):
     agg=st.sampled_from(["AGSum", "AGCount", "AGMin", "AGMax"]),
     col=st.sampled_from(["u", "v"]),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_compiled_table_agg_matches_python(spark, prog, agg, col):
     """EACFold/EACIFold over a projection of a random relational
     program — the aggregate-lifting path (_lift_table_aggs) against the

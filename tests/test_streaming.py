@@ -4,6 +4,8 @@ its own batch execution — same plan, two runtimes."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from fiat2_spark.streaming.stream_agg import (
@@ -173,6 +175,7 @@ def test_join_agg_view_matches_scratch(spark):
     assert got == want and len(want) == 3
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_join_agg_view_streaming_matches_scratch(spark):
     """JoinAggView driven by a REAL streaming source: fact batches
     arrive as files through readStream + foreachBatch, each micro-batch
@@ -285,6 +288,7 @@ def test_streaming_static_enrichment_matches_batch(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_dedup_corpus_streaming_matches_batch(spark):
     """Corpus-growth dedup driven by a real file stream: batches of
     documents (with duplicate fingerprints within AND across batches,
@@ -334,6 +338,7 @@ def test_dedup_corpus_streaming_matches_batch(spark):
     assert corpus.ingest(arriving).count() == 0
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_watermark_drops_late_rows_in_append_mode(spark):
     """Late-data semantics made observable: batch 1 advances the
     watermark far past an old window; batch 2 delivers an event INSIDE
@@ -390,6 +395,7 @@ def test_watermark_drops_late_rows_in_append_mode(spark):
     assert (0, 3) not in got
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_span_dedup_corpus_streaming_matches_batch(spark):
     """Span-level corpus-growth dedup driven by a real file stream:
     doc-id-ordered batches (duplicate segments within docs, across
@@ -438,6 +444,7 @@ def test_span_dedup_corpus_streaming_matches_batch(spark):
     assert got == oneshot
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_moments_view_streaming_prequential(spark):
     """Running-moments anomaly scoring through a real file stream: the
     final state must equal the one-shot moments of everything ingested
@@ -519,6 +526,7 @@ def test_streaming_ewma_matches_batch_fold(spark):
     assert stream == batch and len(batch) > 0
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_substring_dedup_corpus_streaming_matches_batch(spark):
     """Arbitrary-offset substring dedup driven by a real file stream:
     doc-id-ordered batches (passages repeated at SHIFTED offsets within

@@ -7,6 +7,8 @@ single-token, and empty documents."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from hypothesis import HealthCheck, given, settings
@@ -688,6 +690,7 @@ def _py_doremi_trajectory(pool, ref, rounds: int = 3,
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_doremi_weights_match_python_model(spark, pool, ref):
     """doremi_weights ≡ the exact Python model: integer columns
     (n_docs, n_trans, excess_q) bit-equal, weights within 1e-6 of the
@@ -757,6 +760,7 @@ def test_doremi_upweights_learnable_domains(spark):
         min_size=1, max_size=6,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_bpe_encode_matches_python_model(spark, docs):
     """bpe_encode ≡ learn-then-apply in the exact Python model: per-doc
     word and BPE-symbol counts after 8 learned merges applied in order,
@@ -794,6 +798,7 @@ def test_bpe_encode_matches_python_model(spark, docs):
         min_size=1, max_size=6,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_bpe_encode_ids_matches_python_model(spark, docs):
     """bpe_encode_ids ≡ the exact Python model at SEQUENCE granularity:
     every document's full ordered token-ID stream matches — positions
@@ -850,6 +855,7 @@ def test_bpe_encode_ids_matches_python_model(spark, docs):
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_doremi_trajectory_matches_python_model(spark, pool, ref):
     """doremi_weights_trajectory ≡ the exact Python model over 3
     rounds: integer stats bit-equal, trajectory-averaged weights within
@@ -881,6 +887,7 @@ def test_doremi_trajectory_matches_python_model(spark, pool, ref):
     assert abs(sum(v[3] for v in got.values()) - 1.0) <= 1e-5 * max(len(got), 1)
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_doremi_trajectory_single_round_reduces_to_one_step(spark):
     """With T=1 the trajectory average IS the single update from
     uniform — directionally identical to `doremi_weights` (the learnable
@@ -1121,6 +1128,7 @@ def test_ccnet_buckets_tercile_sizes_and_order(spark):
     ),
     pick=st.integers(min_value=0, max_value=3),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_translate_fixture_differential_fuzz(spark, texts, pick):
     """Differential fuzz of the multilingual-fixture derivation: the
     per-char transliteration (lower + translate against each of the
@@ -1220,6 +1228,7 @@ def test_doremi_trajectory_track_hook_zero_residency(spark):
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_lm_perplexity_transliteration_invariance(spark, raw, ref):
     """lm_perplexity under tokens_unicode on a per-char transliterated
     corpus must score bitwise-equal to the ASCII run on the original:
@@ -1256,6 +1265,7 @@ def test_lm_perplexity_transliteration_invariance(spark, raw, ref):
     assert ascii_scores == uni_scores, f"\nascii={ascii_scores}\nuni={uni_scores}"
 
 
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_case_skew_set_pins_all_bmp_lower_divergence(spark):
     """EXHAUSTIVE BMP sweep: the engines' lower() must agree on every
     BMP codepoint outside the pinned CASE_SKEW_SRC set — the tripwire
@@ -1506,6 +1516,7 @@ def _py_lm_perplexity3(raw: dict[int, str], ref: dict[int, str],
         min_size=1, max_size=4,
     ),
 )
+@pytest.mark.slow  # >=15s model-differential sweep; default run deselects (pytest.ini)
 def test_lm_perplexity3_matches_python_model(spark, raw, ref):
     """lm_perplexity3 ≡ the exact Python model on random small corpora —
     all three backoff levels exercised (seen trigram, seen-bigram-only,

@@ -50,7 +50,7 @@ def load(path: str) -> tuple[dict[str, float], float | None, float | None]:
         # (value) and add a constant ~|registry| seconds (n_queries) to
         # both sides of every driver-capture comparison, which is what
         # ratio/ratio_normalized read
-        for k in ("value", "sf", "n_queries"):
+        for k in ("value", "sf", "n_queries", "others_total", "n_below_cutoff"):
             q.pop(k, None)
         return q, ctl, scan
     raise SystemExit(f"{path}: neither a queries dict nor a driver tail capture")
